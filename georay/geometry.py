@@ -1,0 +1,136 @@
+"""Point-in-polygon + polygon cell-cover index (SURVEY.md §2.5 N2/N3).
+
+The reference's geometry layer is Boost.Geometry Point/Box predicates
+(SURVEY.md §2.3); this module generalizes it to arbitrary rings with a
+vectorized numpy ray-cast and a cell-keyed candidate index so PIP against
+thousands of tile polygons stays O(points × candidate_polys), not
+O(points × all_polys).
+
+Edge semantics: strict-interior crossing test (points exactly on a boundary
+are undefined — fixtures and oracle polygons offset edges off the synthetic
+coordinate lattice so no test point lies on one). Antimeridian-crossing rings
+must be pre-split by the caller into two lon-monotone rings sharing an id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from georay import codec
+
+
+def points_in_ring(
+    lon: np.ndarray, lat: np.ndarray, ring_lon: np.ndarray, ring_lat: np.ndarray
+) -> np.ndarray:
+    """Vectorized crossing-number ray cast. ``ring`` need not repeat the
+    first vertex; non-convex rings supported. Returns a bool mask."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    rx = np.asarray(ring_lon, dtype=np.float64)
+    ry = np.asarray(ring_lat, dtype=np.float64)
+    if rx[0] == rx[-1] and ry[0] == ry[-1] and rx.size > 1:
+        rx, ry = rx[:-1], ry[:-1]
+    inside = np.zeros(lon.shape[0], dtype=bool)
+    n = rx.size
+    for j in range(n):
+        x1, y1 = rx[j], ry[j]
+        x2, y2 = rx[(j + 1) % n], ry[(j + 1) % n]
+        if y1 == y2:
+            continue
+        crosses = (y1 > lat) != (y2 > lat)
+        with np.errstate(invalid="ignore"):
+            xint = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        inside ^= crosses & (lon < xint)
+    return inside
+
+
+class PolygonSet:
+    """A broadcastable, immutable set of polygons with a cell-cover index.
+
+    Built once on the driver (or in an actor ``__init__`` from a ``ray.put``
+    ref — SURVEY.md §2.5 N3's R-tree role): for each polygon, the precision-
+    ``bits`` cell cover of its bbox maps cell → candidate polygon ids, so a
+    point only ray-casts against polygons whose cover contains its cell.
+    """
+
+    def __init__(self, poly_ids: list, rings: list, bits: int = 12):
+        if len(poly_ids) != len(rings):
+            raise ValueError("poly_ids and rings must align")
+        self.bits = bits
+        self.poly_ids = np.asarray(poly_ids)
+        self.rings = [
+            (np.asarray(r[0], dtype=np.float64), np.asarray(r[1], dtype=np.float64))
+            for r in rings
+        ]
+        self.bbox = np.array(
+            [(rx.min(), ry.min(), rx.max(), ry.max()) for rx, ry in self.rings]
+        )
+        # cell -> candidate polygon indices (CSR layout for numpy lookup)
+        cover_cells = []
+        cover_polys = []
+        for i, (rx, ry) in enumerate(self.rings):
+            cover = codec.bounding_boxes(
+                (rx.min(), ry.min(), rx.max(), ry.max()), bits
+            )
+            cover_cells.append(cover)
+            cover_polys.append(np.full(cover.size, i, dtype=np.int64))
+        cc = np.concatenate(cover_cells) if cover_cells else np.empty(0, np.uint64)
+        cp = np.concatenate(cover_polys) if cover_polys else np.empty(0, np.int64)
+        order = np.argsort(cc, kind="stable")
+        self._cells = cc[order]
+        self._polys = cp[order]
+
+    def candidates(self, cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(point_idx, poly_idx) candidate pairs for points keyed by cell."""
+        lo = np.searchsorted(self._cells, cell, side="left")
+        hi = np.searchsorted(self._cells, cell, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        point_idx = np.repeat(np.arange(cell.shape[0]), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        flat = np.arange(total) - starts + np.repeat(lo, counts)
+        return point_idx, self._polys[flat]
+
+    def contains(
+        self, lon: np.ndarray, lat: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """All (point_idx, poly_idx) pairs where the point is strictly inside
+        the polygon. Vectorized: candidate pruning by cell, bbox filter, then
+        one ray-cast per (polygon, its candidate points) subset."""
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        cell = codec.encode(lon, lat, self.bits)
+        p_idx, g_idx = self.candidates(cell)
+        if p_idx.size == 0:
+            return p_idx, g_idx
+        bb = self.bbox[g_idx]
+        ok = (
+            (lon[p_idx] >= bb[:, 0])
+            & (lon[p_idx] <= bb[:, 2])
+            & (lat[p_idx] >= bb[:, 1])
+            & (lat[p_idx] <= bb[:, 3])
+        )
+        p_idx, g_idx = p_idx[ok], g_idx[ok]
+        if p_idx.size == 0:
+            return p_idx, g_idx
+        inside = np.zeros(p_idx.size, dtype=bool)
+        order = np.argsort(g_idx, kind="stable")
+        gs = g_idx[order]
+        bounds = np.flatnonzero(np.diff(gs)) + 1
+        for seg in np.split(np.arange(gs.size), bounds):
+            g = int(gs[seg[0]])
+            rows = order[seg]
+            rx, ry = self.rings[g]
+            inside[rows] = points_in_ring(lon[p_idx[rows]], lat[p_idx[rows]], rx, ry)
+        return p_idx[inside], g_idx[inside]
+
+
+def make_box_ring(
+    lon0: float, lat0: float, width: float, height: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Axis-aligned box as a CCW ring (reference Box parity, SURVEY.md §2.3 G2)."""
+    rx = np.array([lon0, lon0 + width, lon0 + width, lon0, lon0])
+    ry = np.array([lat0, lat0, lat0 + height, lat0 + height, lat0])
+    return rx, ry

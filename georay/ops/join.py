@@ -1,0 +1,109 @@
+"""Cell-keyed spatial equi-joins (SURVEY.md §2.5 N4).
+
+Two physical strategies, chosen by side size:
+
+- :func:`broadcast_cell_join` — the small side is ``ray.put`` ONCE as sorted
+  numpy arrays; every map_batches task binary-searches it per batch. No
+  shuffle at all; the right choice whenever one side fits in a worker heap
+  (dimension tables, tile sets). This is the 100 TB-scale default for
+  point×polygon-table joins.
+- :func:`shuffle_cell_join` — both sides large: Ray Data's hash-partitioned
+  ``Dataset.join`` (all-to-all exchange on the cell key). Use
+  ``georay.runtime.salt_hot_cells`` first when the key distribution is
+  skewed (dense urban cells).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class _SortedLookup:
+    """Immutable sorted-key multimap over a pyarrow table, built once."""
+
+    def __init__(self, table: pa.Table, key_col: str):
+        keys = table[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        self.table = table.take(pa.array(order))
+
+    def match(self, probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(probe_idx, right_row_idx) pairs for every key match — vectorized
+        range-expand, no Python row loop."""
+        lo = np.searchsorted(self.keys, probe, side="left")
+        hi = np.searchsorted(self.keys, probe, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        probe_idx = np.repeat(np.arange(probe.shape[0]), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        right_idx = np.arange(total) - starts + np.repeat(lo, counts)
+        return probe_idx, right_idx
+
+
+def broadcast_cell_join(
+    left_ds,
+    right_table: pa.Table,
+    on: str = "cell",
+    right_on: str | None = None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+):
+    """Inner equi-join: big Dataset × small in-memory table, broadcast once.
+
+    ``right_table`` is shipped to the object store a single time via
+    ``ray.put``; each task materializes the sorted lookup lazily on first
+    batch (per-process cache), not per batch.
+    """
+    import ray
+
+    right_on = right_on or on
+    if right_cols is not None:
+        keep = list(dict.fromkeys([right_on] + right_cols))
+        right_table = right_table.select(keep)
+    right_ref = ray.put(right_table)
+
+    class Joiner:
+        def __init__(self):
+            self.lookup = _SortedLookup(ray.get(right_ref), right_on)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if left_cols is not None:
+                t = t.select(list(dict.fromkeys([on] + left_cols)))
+            probe = t[on].to_numpy(zero_copy_only=False)
+            li, ri = self.lookup.match(probe)
+            left_part = t.take(pa.array(li))
+            right_part = self.lookup.table.take(pa.array(ri))
+            cols = {name: left_part[name] for name in left_part.column_names}
+            for name in right_part.column_names:
+                if name == right_on and right_on == on:
+                    continue
+                out_name = name if name not in cols else f"{name}_r"
+                cols[out_name] = right_part[name]
+            return pa.table(cols)
+
+    return left_ds.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def shuffle_cell_join(
+    left_ds,
+    right_ds,
+    on: str = "cell",
+    num_partitions: int = 32,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+):
+    """Inner equi-join of two large Datasets: Ray Data hash shuffle join."""
+    if left_cols is not None:
+        left_ds = left_ds.select_columns(list(dict.fromkeys([on] + left_cols)))
+    if right_cols is not None:
+        right_ds = right_ds.select_columns(list(dict.fromkeys([on] + right_cols)))
+    return left_ds.join(
+        right_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_suffix="_r",
+    )

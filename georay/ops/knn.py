@@ -1,0 +1,162 @@
+"""kNN via neighbor-cell (k-ring) candidate expansion (SURVEY.md §2.5 N5).
+
+``knn_ring`` is the broadcast variant: reference points are shipped once as a
+cell-sorted lookup; each query batch probes its own cell plus the ring of
+surrounding cells (matching pangeo-geohash's ``neighbors`` semantics,
+SURVEY.md §2.1 S5), computes exact squared-degree distances to the gathered
+candidates, and keeps the per-query top-k — all inside one ``map_batches``
+with no shuffle. Queries with fewer than k in-ring candidates return fewer
+rows (ring-bound semantics; the oracle SQL mirrors this exactly via the
+Chebyshev-distance join predicate).
+
+The big×big variant (flat-map ring cells → shuffle join → per-query top-k
+reduce) is :func:`knn_shuffle`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from georay import cells
+
+
+def _topk_per_query(
+    qidx: np.ndarray, dist: np.ndarray, tiebreak: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rank candidates within each query by (dist, tiebreak); return the
+    selection mask positions and 1-based ranks. Pure vectorized lexsort."""
+    order = np.lexsort((tiebreak, dist, qidx))
+    qs = qidx[order]
+    new_group = np.empty(qs.size, dtype=bool)
+    if qs.size:
+        new_group[0] = True
+        new_group[1:] = qs[1:] != qs[:-1]
+    group_start = np.maximum.accumulate(np.where(new_group, np.arange(qs.size), 0))
+    rank = np.arange(qs.size) - group_start
+    keep = rank < k
+    return order[keep], rank[keep] + 1
+
+
+def knn_ring(
+    queries_ds,
+    refs_table: pa.Table,
+    bits: int,
+    k: int,
+    ring: int = 1,
+    query_cols: list[str] | None = None,
+    ref_id: str = "ref_id",
+    cell_col: str = "cell",
+):
+    """For each query row: the k nearest reference rows among all refs whose
+    cell is within Chebyshev distance ``ring`` of the query's cell.
+
+    Requires lon/lat + ``cell_col`` on both sides. Output columns: the query
+    columns, ``ref_id``, ``dist2`` (squared degrees), ``rank`` (1-based).
+    """
+    import ray
+
+    rcell = refs_table[cell_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(rcell, kind="stable")
+    packed = {
+        "cell": rcell[order],
+        "lon": refs_table["lon"].to_numpy(zero_copy_only=False)[order],
+        "lat": refs_table["lat"].to_numpy(zero_copy_only=False)[order],
+        "id": refs_table[ref_id].to_numpy(zero_copy_only=False)[order],
+    }
+    refs_ref = ray.put(packed)
+
+    class Knn:
+        def __init__(self):
+            self.refs = ray.get(refs_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            refs = self.refs
+            qcell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            qlon = t["lon"].to_numpy(zero_copy_only=False)
+            qlat = t["lat"].to_numpy(zero_copy_only=False)
+            n = qcell.shape[0]
+            ring_cells, valid = cells.k_ring(qcell, bits, ring)
+            flat_cells = ring_cells.reshape(-1).astype(np.int64)
+            flat_q = np.repeat(np.arange(n), ring_cells.shape[1])
+            flat_ok = valid.reshape(-1)
+            flat_cells, flat_q = flat_cells[flat_ok], flat_q[flat_ok]
+            lo = np.searchsorted(refs["cell"], flat_cells, side="left")
+            hi = np.searchsorted(refs["cell"], flat_cells, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                sel, rank = np.empty(0, np.int64), np.empty(0, np.int64)
+                qidx = np.empty(0, np.int64)
+                ridx = np.empty(0, np.int64)
+            else:
+                qidx = np.repeat(flat_q, counts)
+                starts = np.repeat(np.cumsum(counts) - counts, counts)
+                ridx = np.arange(total) - starts + np.repeat(lo, counts)
+                dx = qlon[qidx] - refs["lon"][ridx]
+                dy = qlat[qidx] - refs["lat"][ridx]
+                dist = dx * dx + dy * dy
+                sel, rank = _topk_per_query(qidx, dist, refs["id"][ridx], k)
+            qsel = qidx[sel]
+            rsel = ridx[sel]
+            cols = {}
+            keep = query_cols or [c for c in t.column_names]
+            base = t.take(pa.array(qsel))
+            for name in keep:
+                cols[name] = base[name]
+            cols[ref_id] = pa.array(refs["id"][rsel])
+            dxs = qlon[qsel] - refs["lon"][rsel]
+            dys = qlat[qsel] - refs["lat"][rsel]
+            cols["dist2"] = pa.array(dxs * dxs + dys * dys)
+            cols["rank"] = pa.array(rank.astype(np.int64))
+            return pa.table(cols)
+
+    return queries_ds.map_batches(Knn, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def knn_shuffle(
+    queries_ds,
+    refs_ds,
+    bits: int,
+    k: int,
+    ring: int = 1,
+    query_id: str = "query_id",
+    ref_id: str = "ref_id",
+    cell_col: str = "cell",
+    num_partitions: int = 32,
+):
+    """Big×big kNN: explode each query to its ring cells (vectorized, 1 row →
+    ≤(2r+1)² rows), hash-join against refs on cell, then per-query top-k
+    reduce. Shuffle keys: cell (join), query_id (reduce)."""
+    import pandas as pd
+
+    def explode(t: pa.Table) -> pa.Table:
+        qcell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ring_cells, valid = cells.k_ring(qcell, bits, ring)
+        m = ring_cells.shape[1]
+        idx = np.repeat(np.arange(qcell.shape[0]), m)
+        flat_ok = valid.reshape(-1)
+        base = t.drop_columns([cell_col]).take(pa.array(idx[flat_ok]))
+        return base.append_column(
+            cell_col, pa.array(ring_cells.reshape(-1)[flat_ok].astype(np.int64))
+        )
+
+    exploded = queries_ds.map_batches(explode, batch_format="pyarrow")
+    joined = exploded.join(
+        refs_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(cell_col,),
+        left_suffix="_q",
+        right_suffix="_r",
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        dx = g["lon_q"].to_numpy() - g["lon_r"].to_numpy()
+        dy = g["lat_q"].to_numpy() - g["lat_r"].to_numpy()
+        g = g.assign(dist2=dx * dx + dy * dy)
+        g = g.sort_values(["dist2", ref_id]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[[query_id, ref_id, "dist2", "rank"]]
+
+    return joined.groupby(query_id).map_groups(topk, batch_format="pandas")

@@ -1,0 +1,50 @@
+"""Point-in-polygon assignment as a stateful actor-pool stage (SURVEY.md N3).
+
+The polygon set (with its cell-cover candidate index) is built ONCE per actor
+in ``__init__`` from a ``ray.put`` broadcast ref — never per batch — matching
+the reference's role of a shared read-only spatial index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from georay.geometry import PolygonSet
+
+
+def pip_assign(
+    points_ds,
+    poly_ids,
+    rings,
+    bits: int = 12,
+    keep_cols: list[str] | None = None,
+    poly_id_col: str = "poly_id",
+    concurrency=(1, 8),
+):
+    """Inner-join points to the polygons strictly containing them.
+
+    ``rings``: list of (lon_array, lat_array) rings aligned with
+    ``poly_ids``. Emits one row per (point, containing polygon) pair with the
+    requested point columns plus ``poly_id_col``.
+    """
+    import ray
+
+    polyset_ref = ray.put(PolygonSet(poly_ids, rings, bits=bits))
+
+    class PipAssign:
+        def __init__(self):
+            self.polyset = ray.get(polyset_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lon = t["lon"].to_numpy(zero_copy_only=False)
+            lat = t["lat"].to_numpy(zero_copy_only=False)
+            p_idx, g_idx = self.polyset.contains(lon, lat)
+            cols_src = t if keep_cols is None else t.select(keep_cols)
+            base = cols_src.take(pa.array(p_idx))
+            ids = np.asarray(self.polyset.poly_ids)[g_idx]
+            return base.append_column(poly_id_col, pa.array(ids))
+
+    return points_ds.map_batches(
+        PipAssign, batch_format="pyarrow", concurrency=concurrency
+    )

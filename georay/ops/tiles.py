@@ -1,0 +1,116 @@
+"""Raster-tile ↔ vector assignment (SURVEY.md §2.5 N6, X9).
+
+A tile is a coarse cell prefix of the canonical Morton code. Aggregation is
+two-phase to keep the all-to-all exchange small at scale: per-batch partial
+counts inside ``map_batches`` (one row per distinct tile per batch), then a
+tiny ``groupby(tile).sum`` over the partials — the shuffle moves O(tiles ×
+batches) rows, never O(input rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from georay import codec
+
+
+def tile_counts(ds, bits: int, cell_col: str = "cell", cell_bits: int | None = None):
+    """Per-tile row counts. ``cell_bits`` set → cells are re-prefixed from a
+    finer precision (tile = cell >> (cell_bits - bits)); else cells are
+    already at tile precision. Output: ``tile_x, tile_y, n`` (SQL-comparable
+    grid coords, bijective with the tile Morton code)."""
+    from ray.data.aggregate import Sum
+
+    shift = 0 if cell_bits is None else cell_bits - bits
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if shift:
+            cell = cell >> np.uint64(shift)
+        tiles, counts = np.unique(cell, return_counts=True)
+        return pa.table(
+            {"tile": tiles.astype(np.int64), "partial_n": counts.astype(np.int64)}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tile = t["tile"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(tile, bits)
+        return pa.table({"tile_x": x, "tile_y": y, "n": t["n"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def tile_aggregate(ds, bits: int, value_col: str, cell_col: str = "cell"):
+    """Per-tile (count, int-sum) aggregate with the same partial/combine
+    shape. ``value_col`` must be integer-valued (callers pre-scale floats to
+    ints for order-independent exactness)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tiles, inverse, counts = np.unique(cell, return_inverse=True, return_counts=True)
+        sums = np.zeros(tiles.size, dtype=np.int64)
+        np.add.at(sums, inverse, val)
+        return pa.table(
+            {
+                "tile": tiles.astype(np.int64),
+                "partial_n": counts.astype(np.int64),
+                "partial_sum": sums,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile")
+        .aggregate(Sum("partial_n", alias_name="n"), Sum("partial_sum", alias_name="sum_val"))
+    )
+
+
+def assemble_raster(ds, bits: int, value_col: str = "n", tile_bits: int = 6):
+    """Raster assembly (reference ``to_xarray`` parity, SURVEY.md §2.4 X9):
+    pivot cell-keyed values into dense per-tile 2-D grids. Each output row is
+    one coarse tile: ``tile, x0, y0, h, w, values`` (row-major flattened
+    dense grid, missing cells = 0). Groups shuffle on the coarse tile prefix
+    so each dense block assembles locally."""
+    import pandas as pd
+
+    fine_per_tile = bits - tile_bits
+
+    def add_tile(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "tile", pa.array((cell >> np.uint64(fine_per_tile)).astype(np.int64))
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g["cell"].to_numpy().astype(np.uint64)
+        val = g[value_col].to_numpy()
+        x, y = codec.deinterleave(cell, bits)
+        x0, y0 = int(x.min()), int(y.min())
+        h, w = int(y.max()) - y0 + 1, int(x.max()) - x0 + 1
+        grid = np.zeros((h, w), dtype=np.float64)
+        grid[y - y0, x - x0] = val
+        return pd.DataFrame(
+            {
+                "tile": [int(g["tile"].iloc[0])],
+                "x0": [x0],
+                "y0": [y0],
+                "h": [h],
+                "w": [w],
+                "values": [grid.reshape(-1)],
+            }
+        )
+
+    return (
+        ds.map_batches(add_tile, batch_format="pyarrow")
+        .groupby("tile")
+        .map_groups(assemble, batch_format="pandas")
+    )

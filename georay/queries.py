@@ -1,0 +1,598 @@
+"""Driver-harness query pipelines, each paired with DuckDB oracle SQL.
+
+Every entry runs a REAL distributed Ray Data pipeline (read → map_batches →
+join/groupby → result) and has an ANSI-SQL twin over the same parquet views.
+Spatial queries synthesize lon/lat deterministically from integer keys with
+float64 expressions mirrored verbatim in the SQL text, and compare cells via
+the floor-grid (x, y) bijection (SURVEY.md §5.6). Aggregates that would be
+float-order-dependent are pre-scaled to integers per row so sums are exact
+under any execution order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from georay import cells, codec
+from georay.ops import join as join_ops
+from georay.ops import knn as knn_ops
+from georay.ops import pip as pip_ops
+from georay.ops import spatial, tiles
+from georay.ops.spatial import HASH_LON, sql_lat, sql_lon, sql_x, sql_y
+
+BITS_ENC = 24  # 4096 x 4096 grid
+BITS_PARENT_FINE = 20
+BITS_PARENT = 8
+BITS_JOIN = 8  # 16 x 16 grid
+BITS_TILE = 10  # 32 x 32 grid
+COVER_BOX = (-10.0, 40.0, 10.0, 55.0)
+BITS_COVER = 15  # 256 x 128 grid
+KNN_K = 3
+ANN_K = 5
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    """Driver-side read of a SMALL table (dimension side of broadcast joins)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _small_points(table: pa.Table, key_col: str, bits: int) -> pa.Table:
+    t = spatial.add_synth_points(table, key_col)
+    t = spatial.add_cell(t, bits)
+    return spatial.add_cell_xy(t, bits)
+
+
+# ---------------------------------------------------------------- cell encode
+
+
+def q_cell_encode(sf_dir: str):
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+    return spatial.points_with_cells(ds, "c_custkey", BITS_ENC).select_columns(
+        ["c_custkey", "cx", "cy"]
+    )
+
+
+SQL_CELL_ENCODE = f"""
+SELECT c_custkey,
+       {sql_x(sql_lon('c_custkey'), 12)} AS cx,
+       {sql_y(sql_lat('c_custkey'), 12)} AS cy
+FROM customer
+"""
+
+
+# ------------------------------------------------------------- cell roundtrip
+
+
+def q_cell_roundtrip(sf_dir: str):
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        code = codec.encode(lon, lat, BITS_ENC)
+        clon, clat = codec.decode(code, BITS_ENC)
+        return pa.table({"c_custkey": t["c_custkey"], "clon": clon, "clat": clat})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CELL_ROUNDTRIP = f"""
+SELECT c_custkey,
+       ({sql_x(sql_lon('c_custkey'), 12)} + 0.5) / 4096.0 * 360.0 - 180.0 AS clon,
+       ({sql_y(sql_lat('c_custkey'), 12)} + 0.5) / 4096.0 * 180.0 - 90.0 AS clat
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------- cell parent
+
+
+def q_cell_parent(sf_dir: str):
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        fine = codec.encode(lon, lat, BITS_PARENT_FINE)
+        parent = cells.cell_to_parent(fine, BITS_PARENT_FINE, BITS_PARENT)
+        px, py = codec.deinterleave(parent, BITS_PARENT)
+        return pa.table({"c_custkey": t["c_custkey"], "px": px, "py": py})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CELL_PARENT = f"""
+SELECT c_custkey,
+       {sql_x(sql_lon('c_custkey'), 10)} // 64 AS px,
+       {sql_y(sql_lat('c_custkey'), 10)} // 64 AS py
+FROM customer
+"""
+
+
+# ------------------------------------------------------------------ grid cover
+
+
+def q_cover_grid(sf_dir: str):
+    """Enumerate the cell cover of a box as a streamed generator dataset and
+    aggregate its shape — never materialized on the driver (SURVEY.md S4)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    _, lon_boxes, lat_boxes, x0, y0 = codec.grid_properties(COVER_BOX, BITS_COVER)
+    nx, _ = codec.split_bits(BITS_COVER)
+
+    def gen(t: pa.Table) -> pa.Table:
+        idx = t["id"].to_numpy(zero_copy_only=False)
+        x = (x0 + idx % lon_boxes) & ((1 << nx) - 1)
+        y = y0 + idx // lon_boxes
+        cell = codec.interleave(x, y, BITS_COVER)
+        return pa.table({"cell": cell.astype(np.int64)})
+
+    cover = ray.data.range(lon_boxes * lat_boxes).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+    def xy(t: pa.Table) -> pa.Table:
+        x, y = codec.deinterleave(
+            t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64), BITS_COVER
+        )
+        return pa.table({"x": x, "y": y})
+
+    agg = cover.map_batches(xy, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_cells"),
+        Min("x", alias_name="x_min"),
+        Max("x", alias_name="x_max"),
+        Min("y", alias_name="y_min"),
+        Max("y", alias_name="y_max"),
+    )
+    import pandas as pd
+
+    return pd.DataFrame([agg])
+
+
+SQL_COVER_GRID = f"""
+SELECT CAST(({sql_x('10.0', 8)} - {sql_x('-10.0', 8)} + 1)
+          * ({sql_y('55.0', 7)} - {sql_y('40.0', 7)} + 1) AS BIGINT) AS n_cells,
+       {sql_x('-10.0', 8)} AS x_min,
+       {sql_x('10.0', 8)} AS x_max,
+       {sql_y('40.0', 7)} AS y_min,
+       {sql_y('55.0', 7)} AS y_max
+"""
+
+
+# ---------------------------------------------------------------- spatial join
+
+
+def _sql_point_cte(table: str, key: str, bits: int, extra_cols: str = "") -> str:
+    nx, ny = codec.split_bits(bits)
+    return (
+        f"SELECT {key}{extra_cols}, {sql_lon(key)} AS lon, {sql_lat(key)} AS lat, "
+        f"{sql_x(sql_lon(key), nx)} AS x, {sql_y(sql_lat(key), ny)} AS y FROM {table}"
+    )
+
+
+def q_spatial_join(sf_dir: str):
+    """Broadcast path: suppliers (small) shipped once, customers streamed."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN)
+    supp = _small_points(
+        _read_table(sf_dir, "supplier", columns=["s_suppkey"]), "s_suppkey", BITS_JOIN
+    )
+    out = join_ops.broadcast_cell_join(
+        cust,
+        supp,
+        on="cell",
+        left_cols=["c_custkey", "cx", "cy"],
+        right_cols=["s_suppkey"],
+    )
+    return out.select_columns(["c_custkey", "s_suppkey", "cx", "cy"])
+
+
+SQL_SPATIAL_JOIN = f"""
+WITH c AS ({_sql_point_cte('customer', 'c_custkey', BITS_JOIN)}),
+     s AS ({_sql_point_cte('supplier', 's_suppkey', BITS_JOIN)})
+SELECT c.c_custkey, s.s_suppkey, c.x AS cx, c.y AS cy
+FROM c JOIN s ON c.x = s.x AND c.y = s.y
+"""
+
+
+def q_spatial_join_shuffle(sf_dir: str):
+    """Shuffle path: hash-partitioned Dataset.join on the cell key — same
+    result as the broadcast path, exercised separately."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey"])
+    supp = spatial.points_with_cells(supp, "s_suppkey", BITS_JOIN, xy=False)
+    out = join_ops.shuffle_cell_join(
+        cust,
+        supp,
+        on="cell",
+        num_partitions=8,
+        left_cols=["c_custkey", "cx", "cy"],
+        right_cols=["s_suppkey"],
+    )
+    return out.select_columns(["c_custkey", "s_suppkey", "cx", "cy"])
+
+
+# ------------------------------------------------------------------------ kNN
+
+
+def q_knn(sf_dir: str):
+    """k nearest suppliers per customer among ring-1 cells at BITS_JOIN —
+    exact ring-bound kNN semantics mirrored by the Chebyshev SQL join."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    supp = _small_points(
+        _read_table(sf_dir, "supplier", columns=["s_suppkey"]), "s_suppkey", BITS_JOIN
+    )
+    out = knn_ops.knn_ring(
+        cust,
+        supp,
+        bits=BITS_JOIN,
+        k=KNN_K,
+        ring=1,
+        query_cols=["c_custkey"],
+        ref_id="s_suppkey",
+    )
+    return out.select_columns(["c_custkey", "s_suppkey", "rank"])
+
+
+SQL_KNN = f"""
+WITH c AS ({_sql_point_cte('customer', 'c_custkey', BITS_JOIN)}),
+     s AS ({_sql_point_cte('supplier', 's_suppkey', BITS_JOIN)})
+SELECT c_custkey, s_suppkey, rank FROM (
+  SELECT c.c_custkey, s.s_suppkey,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY (c.lon - s.lon) * (c.lon - s.lon)
+                  + (c.lat - s.lat) * (c.lat - s.lat), s.s_suppkey
+         ) AS BIGINT) AS rank
+  FROM c JOIN s
+    ON LEAST((c.x - s.x + 16) % 16, (s.x - c.x + 16) % 16) <= 1
+   AND ABS(c.y - s.y) <= 1
+) WHERE rank <= {KNN_K}
+"""
+
+
+# ------------------------------------------------------------------------ PIP
+
+PIP_W, PIP_H = 30.0, 20.0
+
+
+def _nation_boxes(sf_dir: str):
+    nat = _read_table(sf_dir, "nation", columns=["n_nationkey"])
+    keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    lon0 = ((keys * HASH_LON) % 300000) / 1000.0 - 150.0 + 0.0005
+    lat0 = ((keys * 40503) % 140000) / 1000.0 - 80.0 + 0.0005
+    from georay.geometry import make_box_ring
+
+    rings = [make_box_ring(lon0[i], lat0[i], PIP_W, PIP_H) for i in range(keys.size)]
+    return keys.tolist(), rings
+
+
+def q_pip(sf_dir: str):
+    """Ray-cast point-in-polygon on an actor pool holding the polygon index;
+    the SQL twin reduces to box-range predicates (boxes are offset off the
+    synthetic coordinate lattice so no point lies on a boundary)."""
+    ids, rings = _nation_boxes(sf_dir)
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", 12, xy=False, cell=False)
+    out = pip_ops.pip_assign(
+        cust, ids, rings, bits=12, keep_cols=["c_custkey"], poly_id_col="n_nationkey"
+    )
+    return out
+
+
+SQL_PIP = f"""
+WITH c AS (SELECT c_custkey, {sql_lon('c_custkey')} AS lon,
+                  {sql_lat('c_custkey')} AS lat FROM customer),
+     n AS (SELECT n_nationkey,
+                  ((n_nationkey * {HASH_LON}) % 300000) / 1000.0 - 150.0 + 0.0005 AS lon0,
+                  ((n_nationkey * 40503) % 140000) / 1000.0 - 80.0 + 0.0005 AS lat0
+           FROM nation)
+SELECT c.c_custkey, CAST(n.n_nationkey AS BIGINT) AS n_nationkey
+FROM c JOIN n
+  ON c.lon > n.lon0 AND c.lon < n.lon0 + {PIP_W!r}
+ AND c.lat > n.lat0 AND c.lat < n.lat0 + {PIP_H!r}
+"""
+
+
+# ---------------------------------------------------------------- tile counts
+
+
+def q_tile_counts(sf_dir: str):
+    """Tile assignment over the big fact table with two-phase aggregation."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = (
+            t["l_orderkey"].to_numpy(zero_copy_only=False) * 8
+            + t["l_linenumber"].to_numpy(zero_copy_only=False)
+        )
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE)
+        return pa.table({"cell": cell.astype(np.int64)})
+
+    keyed_ds = li.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return tiles.tile_counts(keyed_ds, BITS_TILE)
+
+
+SQL_TILE_COUNTS = f"""
+WITH p AS (SELECT {sql_lon('l_orderkey * 8 + l_linenumber')} AS lon,
+                  {sql_lat('l_orderkey * 8 + l_linenumber')} AS lat FROM lineitem)
+SELECT {sql_x('lon', 5)} AS tile_x, {sql_y('lat', 5)} AS tile_y,
+       COUNT(*) AS n
+FROM p GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- lineitem agg
+
+
+def q1_lineitem(sf_dir: str):
+    """Flagship columnar aggregate (TPC-H Q1 shape): per-batch partial
+    aggregation, then a tiny groupby over partials. Money pre-scaled to
+    integer cents per row so sums are execution-order-exact."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64("1998-09-02T00:00:00", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "qty": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "cents": np.round(
+                    t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(p_qty=("qty", "sum"), p_cents=("cents", "sum"), p_n=("qty", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_cents", alias_name="sum_base_cents"),
+            Sum("p_n", alias_name="n_rows"),
+        )
+    )
+    return agg
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -------------------------------------------------------------- events window
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-day window per event_type (streaming-shaped workload as a
+    batch groupby; values floor-scaled to ints for order-exact sums)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // (86_400 * 1_000_000)
+        milli = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "day": day, "milli": milli}
+        )
+        g = df.groupby(["event_type", "day"], as_index=False).agg(
+            p_n=("milli", "size"), p_milli=("milli", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_milli", alias_name="sum_val_milli"))
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type,
+       CAST(FLOOR(EPOCH(ts) / 86400.0) AS BIGINT) AS day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_val_milli
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def q_dedup_docs(sf_dir: str):
+    """Exact dedup, first-wins by min doc_id, keyed on a 40-char content
+    prefix (hash-partition on the key; only (key, id) shuffles, not rows)."""
+    from ray.data.aggregate import Count, Min
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "k": pc.utf8_slice_codeunits(t["text"], 0, 40),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    agg = (
+        docs.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    )
+    return agg.select_columns(["doc_id", "n_copies"])
+
+
+SQL_DEDUP_DOCS = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY substr(text, 1, 40)
+"""
+
+
+# ---------------------------------------------------------------- token stats
+
+
+def q_token_stats(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spaces = pc.count_substring(t["text"], " ")
+        n_tokens = pc.add(pc.cast(spaces, pa.int64()), 1)
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": n_tokens, "n_chars_out": n_chars}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_out
+FROM documents
+"""
+
+
+# -------------------------------------------------------------------- ANN topk
+
+
+def _emb_matrix(col) -> np.ndarray:
+    """Arrow list<float> column → (N, dim) matrix, zero Python row loops."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k per query against a broadcast query matrix:
+    per-batch numpy matmul + local top-k, then a tiny per-query merge."""
+    import pandas as pd
+    import ray
+
+    q_table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mask = (q_table["vec_id"].to_numpy() % 10) == 0
+    q_ids = q_table["vec_id"].to_numpy()[mask]
+    q_mat = _emb_matrix(q_table["embedding"])[mask].astype(np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_mat))
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class LocalTopK:
+        def __init__(self):
+            self.q_ids, self.q_mat = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            mat = _emb_matrix(t["embedding"]).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = self.q_mat @ mat.T  # Q x B
+            sims[self.q_ids[:, None] == ids[None, :]] = -np.inf  # exclude self
+            k = min(ANN_K, ids.size)
+            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            qidx = np.repeat(np.arange(self.q_ids.size), k)
+            nidx = part.reshape(-1)
+            return pa.table(
+                {
+                    "query_id": self.q_ids[qidx],
+                    "neighbor_id": ids[nidx],
+                    "sim": sims[qidx, nidx],
+                }
+            )
+
+    local = emb.map_batches(LocalTopK, batch_format="pyarrow", concurrency=(1, 4))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[np.isfinite(g["sim"])]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(ANN_K)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+         ) AS BIGINT) AS rank
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+) WHERE rank <= {ANN_K}
+"""
+
+
+# ------------------------------------------------------------------- registry
+
+
+def registry():
+    """name -> (pipeline callable, oracle SQL or None)."""
+    return {
+        "cell_encode": (q_cell_encode, SQL_CELL_ENCODE),
+        "cell_roundtrip": (q_cell_roundtrip, SQL_CELL_ROUNDTRIP),
+        "cell_parent": (q_cell_parent, SQL_CELL_PARENT),
+        "cover_grid": (q_cover_grid, SQL_COVER_GRID),
+        "spatial_join": (q_spatial_join, SQL_SPATIAL_JOIN),
+        "spatial_join_shuffle": (q_spatial_join_shuffle, SQL_SPATIAL_JOIN),
+        "knn_ring1": (q_knn, SQL_KNN),
+        "pip_nation": (q_pip, SQL_PIP),
+        "tile_counts": (q_tile_counts, SQL_TILE_COUNTS),
+        "q1_lineitem": (q1_lineitem, SQL_Q1),
+        "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+        "dedup_docs": (q_dedup_docs, SQL_DEDUP_DOCS),
+        "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+        "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    }
