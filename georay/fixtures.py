@@ -1,0 +1,168 @@
+"""Deterministic synthetic image+caption table and tile polygons (FIXTURES.md
+F1/F2 — the BASELINE.json input_hint shape).
+
+The images table is generated DISTRIBUTED (``ray.data.range → map_batches``,
+one deterministic row per index — layout identical to the 10^12-image
+target), cached as partitioned parquet under ``/tmp/georay_cache``, and read
+back with column pruning. Row semantics:
+
+- ``image_id = f"img{i:012d}"``; ``w, h = 32+(i%4)*16, 32+(i%3)*16``;
+  ``fmt`` cycles bmp/png/q6.
+- pixels: :func:`georay.images.synth_pixels` (period 768 in the pixel index —
+  the SQL-oracle handle for content dedup).
+- duplicate injection: rows with ``i % 64 == 63`` carry the pixels/dims/fmt
+  of row ``i-1`` (exact-dedup fixture → identical ``phash``).
+- coords: the shared synthetic formulas, except every 10th row is pinned to
+  one of 3 dense "urban" cells (skew fixture for salting).
+- ``caption = f"caption for {image_id}: {geohash5}"``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from georay import codec, images
+from georay.geometry import make_box_ring
+from georay.ops.spatial import synth_lonlat
+
+CACHE_ROOT = "/tmp/georay_cache"
+
+# images per scale factor (dir basename -> rows)
+N_IMAGES = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+
+HOT_CITIES = ((-74.006, 40.7128), (2.3522, 48.8566), (139.6917, 35.6895))
+PIXEL_PERIOD = 768  # lcm of all i-periodicities in synth_pixels + dims
+
+
+def n_images_for(sf_dir: str) -> int:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return N_IMAGES.get(base, 1_000)
+
+
+def row_coords(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """lon/lat per image row: shared synth formula + hot-cell override."""
+    lon, lat = synth_lonlat(i)
+    hot = (i % 10) == 0
+    city = i % 3
+    clon = np.array([c[0] for c in HOT_CITIES])
+    clat = np.array([c[1] for c in HOT_CITIES])
+    lon = np.where(hot, clon[city], lon)
+    lat = np.where(hot, clat[city], lat)
+    return lon, lat
+
+
+def pixel_index(i: np.ndarray) -> np.ndarray:
+    """Index whose synth_pixels output this row carries (dup injection)."""
+    return np.where((i % 64) == 63, i - 1, i)
+
+
+def make_image_rows(indices: np.ndarray) -> pa.Table:
+    """One deterministic image row per index — the map_batches generator."""
+    indices = np.asarray(indices, dtype=np.int64)
+    pix_idx = pixel_index(indices)
+    lon, lat = row_coords(indices)
+    gh = codec.encode_str(lon, lat, 5)
+    ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
+    for k in range(indices.size):
+        i = int(indices[k])
+        p = int(pix_idx[k])
+        w, h = images.image_dims(p)
+        fmt = images.image_fmt(p)
+        pixels = images.synth_pixels(p, w, h)
+        ids.append(f"img{i:012d}")
+        blobs.append(images.encode_image(pixels, fmt))
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+        captions.append(f"caption for img{i:012d}: {gh[k].decode()}")
+        phashes.append(np.uint64(images.content_hash64(pixels)).astype(np.int64))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(np.asarray(ws, np.int32)),
+            "h": pa.array(np.asarray(hs, np.int32)),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(np.asarray(phashes, np.int64)),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        }
+    )
+
+
+def ensure_images_table(sf_dir: str, cache_root: str = CACHE_ROOT) -> str:
+    """Generate (once) and return the parquet dir of the images table for a
+    scale. Distributed generation; atomic commit via done-marker."""
+    n = n_images_for(sf_dir)
+    out = os.path.join(cache_root, f"images_{n}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import ray.data
+
+    def gen(t: pa.Table) -> pa.Table:
+        return make_image_rows(t["id"].to_numpy(zero_copy_only=False))
+
+    tmp = out + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        ray.data.range(n, override_num_blocks=max(4, n // 4000))
+        .map_batches(gen, batch_format="pyarrow")
+        .write_parquet(tmp)
+    )
+    os.replace(tmp, out)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return out
+
+
+def read_images(sf_dir: str, columns: list[str] | None = None):
+    """Ray Dataset over the (cached) images table. The IO facade: would be
+    ``ray.data.read_lance`` when pylance is importable (SURVEY.md §7); this
+    sandbox has parquet only."""
+    import ray.data
+
+    path = ensure_images_table(sf_dir)
+    return ray.data.read_parquet(path, columns=columns)
+
+
+# ------------------------------------------------------------------ tiles (F2)
+
+
+def make_tiles(n_tiles: int = 64, seed: int = 42):
+    """Deterministic tile polygon table: (tile_id, zoom, ring). Mostly quads,
+    25% perturbed into non-convex hexagons; one antimeridian-crossing pair
+    (pre-split) and one pole-adjacent tile."""
+    rng = np.random.RandomState(seed)
+    ids, rings, zooms = [], [], []
+    for t in range(n_tiles):
+        z = 3 + t % 4
+        lon0 = rng.uniform(-170, 130)
+        lat0 = rng.uniform(-80, 60)
+        w = rng.uniform(8, 30)
+        h = rng.uniform(6, 20)
+        if t % 4 == 3:  # non-convex hexagon (notched box)
+            rx = np.array([lon0, lon0 + w, lon0 + w, lon0 + w / 2, lon0 + w / 2, lon0])
+            ry = np.array([lat0, lat0, lat0 + h, lat0 + h, lat0 + h / 2, lat0 + h / 2])
+        else:
+            rx, ry = make_box_ring(lon0, lat0, w, h)
+        ids.append(f"t{z}/{t}")
+        zooms.append(z)
+        rings.append((rx, ry))
+    # antimeridian-crossing tile, pre-split into two rings sharing the id
+    for part, (lo, hi) in enumerate([(170.0, 180.0), (-180.0, -172.0)]):
+        ids.append("tam/0")
+        zooms.append(3)
+        rings.append(make_box_ring(lo, -10.0, hi - lo, 20.0))
+    # pole-adjacent tile
+    ids.append("tpole/0")
+    zooms.append(3)
+    rings.append(make_box_ring(-30.0, 80.0, 60.0, 9.9))
+    return ids, zooms, rings

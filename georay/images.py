@@ -1,0 +1,221 @@
+"""Numpy-native image codecs, PSNR, content hashing, pixel synthesis.
+
+The sandbox has no PIL/libjpeg (SURVEY.md §7 environment facts), so the
+image+caption table (BASELINE.json input_hint) uses three self-contained
+codecs, all pure numpy + stdlib zlib:
+
+- ``bmp``  — 24-bit BGR bottom-up rows padded to 4 bytes (lossless).
+- ``png``  — real PNG: signature/IHDR/IDAT/IEND, zlib, filter type 0
+             per row, CRC32-checked (lossless; readable by any PNG tool).
+- ``q6``   — 6-bit/channel quantization + zlib (LOSSY; PSNR ≈ 46–49 dB vs
+             the source, exercising the PSNR ≥ 40 dB decoded-pixel
+             invariant for real, BASELINE.json:15).
+
+Pixels are (h, w, 3) uint8 RGB everywhere. Everything is deterministic —
+:func:`synth_pixels` regenerates any image's ground truth from its row index
+alone (FIXTURES.md F1).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+FORMATS = ("bmp", "png", "q6")
+LOSSY_FORMATS = ("q6",)
+
+
+# ------------------------------------------------------------------------ BMP
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 14 + 40 + img_size, 0, 0, 14 + 40,
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    bgr = pixels[::-1, :, ::-1]  # bottom-up, RGB->BGR
+    if pad:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        body = rows.tobytes()
+    else:
+        body = np.ascontiguousarray(bgr).tobytes()
+    return header + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp={bpp}")
+    stride = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    arr = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return arr[::-1, :, ::-1].copy()
+
+
+# ------------------------------------------------------------------------ PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)  # filter type 0 per row
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
+            if depth != 8 or ctype != 2:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    if (raw[:, 0] != 0).any():
+        raise ValueError("unsupported PNG filter (engine encodes filter 0 only)")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------------------------- q6 lossy
+
+
+def encode_q6(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    q = (pixels >> 2).astype(np.uint8)  # 6 bits/channel
+    return struct.pack("<HH", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_q6(data: bytes) -> np.ndarray:
+    w, h = struct.unpack_from("<HH", data, 0)
+    q = np.frombuffer(zlib.decompress(data[4:]), dtype=np.uint8).reshape(h, w, 3)
+    return ((q << 2) | (q >> 4)).astype(np.uint8)  # bit-replicate to 8 bits
+
+
+_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "q6": encode_q6}
+_DECODERS = {"bmp": decode_bmp, "png": decode_png, "q6": decode_q6}
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    return _ENCODERS[fmt](pixels)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    return _DECODERS[fmt](data)
+
+
+# --------------------------------------------------------------------- metrics
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = np.mean(diff * diff)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_POLY_P = np.uint64(0x100000001B3)  # FNV prime reused as polynomial base
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers(n: int) -> np.ndarray:
+    cached = _POW_CACHE.get(n)
+    if cached is None:
+        with np.errstate(over="ignore"):
+            p = np.empty(n, dtype=np.uint64)
+            acc = np.uint64(1)
+            for i in range(n):
+                p[i] = acc
+                acc = acc * _POLY_P  # intentional mod-2^64 wraparound
+        _POW_CACHE[n] = p
+        cached = p
+    return cached
+
+
+def content_hash64(data: bytes | np.ndarray) -> int:
+    """Vectorized 64-bit content hash (polynomial over uint64 words, FNV
+    constants, cached powers table). Deterministic and collision-exact for
+    identical pixel tensors — the ``phash`` dedup key of FIXTURES.md F1."""
+    buf = np.frombuffer(
+        data.tobytes() if isinstance(data, np.ndarray) else data, dtype=np.uint8
+    )
+    pad = (-buf.size) % 8
+    if pad:
+        buf = np.concatenate([buf, np.zeros(pad, dtype=np.uint8)])
+    words = buf.view(np.uint64)
+    p = _powers(words.size + 1)
+    with np.errstate(over="ignore"):  # intentional mod-2^64 arithmetic
+        h = (
+            (words * p[words.size - 1 :: -1]).sum(dtype=np.uint64)
+            + _FNV_OFFSET * p[words.size]
+        )
+    return int(h)
+
+
+# ------------------------------------------------------------------- synthesis
+
+
+def image_dims(i: int) -> tuple[int, int]:
+    """Deterministic (w, h) for row index i (FIXTURES.md F1)."""
+    return 32 + (i % 4) * 16, 32 + (i % 3) * 16
+
+
+def image_fmt(i: int) -> str:
+    return FORMATS[i % 3]
+
+
+def synth_pixels(i: int, w: int | None = None, h: int | None = None) -> np.ndarray:
+    """Deterministic RGB gradient+checker pattern seeded by the row index —
+    the ground-truth pixel tensor every invariant check regenerates."""
+    if w is None or h is None:
+        w, h = image_dims(i)
+    xx = np.arange(w, dtype=np.int64)[None, :]
+    yy = np.arange(h, dtype=np.int64)[:, None]
+    r = (xx * 7 + yy * 3 + i * 11) % 256
+    g = (xx * 2 + yy * 5 + i * 29) % 256
+    b = ((xx // 8 + yy // 8 + i) % 2) * 255
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = r
+    out[:, :, 1] = g
+    out[:, :, 2] = b
+    return out

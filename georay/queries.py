@@ -575,6 +575,126 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+# ------------------------------------------------------------- image pipelines
+#
+# The synthetic image+caption table (input_hint schema) is generated
+# distributed + cached by georay.fixtures. Its rows are pure functions of the
+# row index, so DuckDB oracles reconstruct the relevant columns from
+# ``range(N)`` arithmetic. N is baked for sf0.01 (=10_000) — the scale the
+# driver runs oracles at. Pixel content has period 768 in the pixel index
+# (georay.fixtures.PIXEL_PERIOD), which makes CONTENT-hash dedup exactly
+# SQL-checkable without hashing a single pixel in SQL.
+
+_SQL_IMG = "SELECT i, CASE WHEN i % 64 = 63 THEN i - 1 ELSE i END AS pix FROM range(0, 10000) t(i)"
+
+_SQL_IMG_COORDS = """
+SELECT i,
+  CASE WHEN i % 10 = 0 THEN
+    (CASE i % 3 WHEN 0 THEN -74.006 WHEN 1 THEN 2.3522 ELSE 139.6917 END)
+  ELSE ((i * 2654435761) % 360000) / 1000.0 - 180.0 END AS lon,
+  CASE WHEN i % 10 = 0 THEN
+    (CASE i % 3 WHEN 0 THEN 40.7128 WHEN 1 THEN 48.8566 ELSE 35.6895 END)
+  ELSE ((i * 40503) % 180000) / 1000.0 - 90.0 END AS lat
+FROM range(0, 10000) t(i)
+"""
+
+
+def q_images_dedup(sf_dir: str):
+    """Exact dedup on the pixel-content hash over the image table."""
+    from georay import fixtures
+    from georay.ops import images as img_ops
+
+    ds = fixtures.read_images(sf_dir, columns=["image_id", "phash"])
+    return img_ops.dedup_by_phash(ds)
+
+
+SQL_IMAGES_DEDUP = f"""
+WITH img AS ({_SQL_IMG})
+SELECT CAST(MIN(i) AS BIGINT) AS first_id, COUNT(*) AS n_copies
+FROM img GROUP BY pix % 768
+"""
+
+
+def q_images_decode(sf_dir: str):
+    """Decode + invariant enforcement (actor pool), aggregated per format.
+    ``n_ok`` must equal ``n`` — any codec/caption regression breaks the
+    oracle match, making the PSNR/caption invariant part of the gate."""
+    from ray.data.aggregate import Count, Sum
+
+    from georay import fixtures
+    from georay.ops import images as img_ops
+
+    ds = fixtures.read_images(
+        sf_dir, columns=["image_id", "fmt", "bytes", "caption"]
+    )
+    checked = img_ops.decode_invariant(ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fmt": t["fmt"],
+                "ok_int": t["ok"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        checked.map_batches(project, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Count(alias_name="n"), Sum("ok_int", alias_name="n_ok"))
+    )
+
+
+SQL_IMAGES_DECODE = f"""
+WITH img AS ({_SQL_IMG})
+SELECT CASE pix % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'q6' END AS fmt,
+       COUNT(*) AS n, COUNT(*) AS n_ok
+FROM img GROUP BY 1
+"""
+
+
+def q_images_tiles(sf_dir: str):
+    """Tile assignment of image capture points (incl. the 3 hot urban cells
+    — the skew fixture) with two-phase aggregation."""
+    from georay import fixtures
+
+    ds = fixtures.read_images(sf_dir, columns=["lon", "lat"])
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cell = codec.encode(lon, lat, BITS_TILE)
+        return pa.table({"cell": cell.astype(np.int64)})
+
+    return tiles.tile_counts(
+        ds.map_batches(to_cell, batch_format="pyarrow", zero_copy_batch=True),
+        BITS_TILE,
+    )
+
+
+SQL_IMAGES_TILES = f"""
+WITH p AS ({_SQL_IMG_COORDS})
+SELECT {sql_x('lon', 5)} AS tile_x, {sql_y('lat', 5)} AS tile_y, COUNT(*) AS n
+FROM p GROUP BY 1, 2
+"""
+
+
+def q_images_pip(sf_dir: str):
+    """Image points vs the fixture tile-polygon set (non-convex hexagons,
+    antimeridian split pair, pole tile) on the PIP actor pool. Rows-only
+    check (polygons are seeded-random, not SQL-reconstructible)."""
+    from ray.data.aggregate import Count
+
+    from georay import fixtures
+    from georay.ops import pip as pip_ops
+
+    ids, _zooms, rings = fixtures.make_tiles()
+    ds = fixtures.read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    pairs = pip_ops.pip_assign(
+        ds, ids, rings, bits=10, keep_cols=["image_id"], poly_id_col="tile_id"
+    )
+    return pairs.groupby("tile_id").aggregate(Count(alias_name="n_points"))
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -595,4 +715,8 @@ def registry():
         "dedup_docs": (q_dedup_docs, SQL_DEDUP_DOCS),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+        "images_dedup": (q_images_dedup, SQL_IMAGES_DEDUP),
+        "images_decode": (q_images_decode, SQL_IMAGES_DECODE),
+        "images_tiles": (q_images_tiles, SQL_IMAGES_TILES),
+        "images_pip": (q_images_pip, None),
     }
