@@ -22,10 +22,10 @@ from georay import queries as _q  # noqa: E402
 
 
 def entry() -> Any:
-    """Flagship pipeline on sf0.001: spatial join (broadcast) of customer
-    points against supplier points at the join precision, with cell columns —
-    read → map_batches(encode) → broadcast join → result Dataset."""
-    return _q.q_spatial_join("/root/testdata/sf0.001")
+    """Flagship pipeline on sf0.001: image table → decode + PSNR/caption
+    invariant (actor pool) → ray-cast PIP join against tile polygons
+    (broadcast index) → per-tile counts."""
+    return _q.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

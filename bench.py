@@ -1,0 +1,147 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "images_per_sec": ..., "rows_per_sec_tiles": ...}
+
+--scaling: runs the flagship suite twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same warmed input and prints the two
+throughputs plus scaling efficiency = (thr32/thr8)/4 (sandbox proxy for the
+N → 4N cluster criterion — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# --scaling measures the flagship on a LARGER fixed-size image table so the
+# parallel work (~400 CPU-s) dwarfs the per-pipeline fixed overhead (~5 s);
+# at 100k images the job is overhead-bound and no parallelism level helps.
+SCALING_IMAGES = int(os.environ.get("GRAFT_SCALING_IMAGES", "1600000"))
+FLAGSHIP_IMAGES = os.environ.get("GRAFT_FLAGSHIP_IMAGES")
+
+BENCH_QUERIES = [
+    "flagship_images",
+    "images_decode",
+    "images_tiles",
+    "images_dedup",
+    "spatial_join",
+    "knn_ring1",
+    "tile_counts",
+    "q1_lineitem",
+]
+
+
+def run_suite(only: list[str] | None = None) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from georay import fixtures
+    from georay import queries as q
+
+    # warm: generate/read the image cache + page-cache the parquet inputs
+    # (untimed — we measure compute + shuffle, not first-touch disk I/O)
+    n_images = int(FLAGSHIP_IMAGES) if FLAGSHIP_IMAGES else fixtures.n_images_for(SF_DIR)
+    fixtures.read_images_n(n_images, columns=["image_id"]).count()
+
+    reg = q.registry()
+    callables = {name: fn for name, (fn, _s) in reg.items()}
+    callables["flagship_images"] = lambda sf: q.flagship(sf, n_images=n_images)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    names = only or BENCH_QUERIES
+    for name in names:
+        fn = callables[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        # consume the stream (all bench results are small aggregates)
+        if isinstance(res, ray.data.Dataset):
+            n_rows = len(res.to_pandas())
+        else:
+            n_rows = len(res)
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name == "flagship_images":
+            extras["images_per_sec"] = round(n_images / dt, 1)
+        del n_rows
+    ray.shutdown()
+    return {
+        "metric": "spatial-join + tile-assignment suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_FLAGSHIP_IMAGES=str(SCALING_IMAGES))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--only-flagship"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm caches once so both runs see identical, already-generated input
+    # (generation itself runs at 32 cpus; untimed)
+    subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); import ray; "
+         "ray.init(address='local', num_cpus=32, include_dashboard=False, "
+         "logging_level='ERROR'); from georay import fixtures; "
+         "fixtures.ensure_images_table_n(%d); ray.shutdown()" % (REPO, SCALING_IMAGES)],
+        check=True, capture_output=True,
+    )
+    lo = one(8)
+    hi = one(32)
+    thr_lo = lo["images_per_sec"]
+    thr_hi = hi["images_per_sec"]
+    return {
+        "metric": "scaling efficiency (flagship images/sec, 8 -> 32 cpus)",
+        "sec_8": lo["queries"]["flagship_images"],
+        "sec_32": hi["queries"]["flagship_images"],
+        "images_per_sec_8": thr_lo,
+        "images_per_sec_32": thr_hi,
+        "scaling_efficiency": round((thr_hi / thr_lo) / 4.0, 3),
+        "n_images": SCALING_IMAGES,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--only-flagship" in sys.argv:
+        print(json.dumps(run_suite(["flagship_images"])))
+    else:
+        print(json.dumps(run_suite()))

@@ -309,6 +309,35 @@ def area(code, bits: int) -> np.ndarray:
     )
 
 
+def where_zones(codes_2d: np.ndarray) -> dict:
+    """Index ranges of contiguous same-code zones in a 2-D code raster —
+    parity with ``geohash.core.string.where`` (SURVEY.md §2.1 S9).
+
+    Returns ``{code: ((row_min, row_max), (col_min, col_max))}`` — the
+    bounding index box of each distinct code's occurrences (upstream's exact
+    zone semantics are a MUST-VERIFY; the engine freezes the bounding-box
+    interpretation). Vectorized per distinct code.
+    """
+    codes_2d = np.asarray(codes_2d)
+    if codes_2d.ndim != 2:
+        raise ValueError("where_zones expects a 2-D code raster")
+    rows, cols = np.indices(codes_2d.shape)
+    flat = codes_2d.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    sorted_codes = flat[order]
+    r = rows.reshape(-1)[order]
+    c = cols.reshape(-1)[order]
+    bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+    out = {}
+    for seg in np.split(np.arange(flat.size), bounds):
+        code = sorted_codes[seg[0]]
+        out[code.item() if hasattr(code, "item") else code] = (
+            (int(r[seg].min()), int(r[seg].max())),
+            (int(c[seg].min()), int(c[seg].max())),
+        )
+    return out
+
+
 def transform(code, bits_from: int, bits_to: int) -> np.ndarray:
     """Re-encode codes at a coarser precision (S10 / H3 cell_to_parent).
 

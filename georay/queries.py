@@ -380,6 +380,7 @@ def q1_lineitem(sf_dir: str):
 
     agg = (
         li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)  # partial rows are tiny; shuffle cost is per-block
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("p_qty", alias_name="sum_qty"),
@@ -428,6 +429,7 @@ def q_events_window(sf_dir: str):
 
     return (
         ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
         .groupby(["event_type", "day"])
         .aggregate(Sum("p_n", alias_name="n"), Sum("p_milli", alias_name="sum_val_milli"))
     )
@@ -465,6 +467,7 @@ def q_dedup_docs(sf_dir: str):
 
     agg = (
         docs.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
         .groupby("k")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
@@ -639,6 +642,7 @@ def q_images_decode(sf_dir: str):
 
     return (
         checked.map_batches(project, batch_format="pyarrow")
+        .repartition(8)
         .groupby("fmt")
         .aggregate(Count(alias_name="n"), Sum("ok_int", alias_name="n_ok"))
     )
@@ -695,6 +699,265 @@ def q_images_pip(sf_dir: str):
     return pairs.groupby("tile_id").aggregate(Count(alias_name="n_points"))
 
 
+# ------------------------------------------------------ near-dup / text suite
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash(64)+LSH(16 bands × 4) candidates → exact shingle-Jaccard
+    verify at τ=0.7. The SQL twin computes exact 5-gram Jaccard relationally
+    (unnest → gram join). With the corpus's pair-similarity gap (all true
+    pairs ≥0.92) the banded LSH finds every pair deterministically."""
+    from georay.ops import minhash as mh
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs_table = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return mh.near_dup_pairs(
+        docs, docs_table, n_hashes=64, n_bands=16, shingle_k=5, threshold=0.7
+    )
+
+
+SQL_MINHASH_NEARDUP = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, j, 5) AS gram
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS j FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+"""
+
+
+def q_embed_neardup(sf_dir: str):
+    """Exact embedding near-dup pairs at cosine ≥ 0.45 (brute broadcast
+    path; the LSH-bucketed variant is the rows-only scale path below)."""
+    from georay.ops import similarity as sim
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = sim.cosine_pairs_brute(emb, table, threshold=0.45)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+def q_fingerprint_dedup(sf_dir: str):
+    """Exact dedup via 64-bit rolling-hash fingerprints of the 40-char
+    prefix — hash-based dedup whose groups must coincide with grouping by
+    the prefix text itself (collision-free check)."""
+    from georay.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.dedup_by_fingerprint(docs, prefix=40)
+
+
+SQL_FINGERPRINT_DEDUP = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id_first, COUNT(*) AS n_copies
+FROM documents GROUP BY substr(text, 1, 40)
+"""
+
+
+def q_knn_shuffle(sf_dir: str):
+    """Big×big kNN path: ring-cell flat-map → hash shuffle join → per-query
+    top-k reduce. Same semantics (and SQL twin) as the broadcast kNN."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey"])
+    supp = spatial.points_with_cells(supp, "s_suppkey", BITS_JOIN, xy=False)
+    out = knn_ops.knn_shuffle(
+        cust,
+        supp,
+        bits=BITS_JOIN,
+        k=KNN_K,
+        ring=1,
+        query_id="c_custkey",
+        ref_id="s_suppkey",
+        num_partitions=8,
+    )
+    return out.select_columns(["c_custkey", "s_suppkey", "rank"])
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language-ID confusion counts vs the stored labels
+    (rows-only: detections aren't SQL-reproducible)."""
+    from georay.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = text_ops.langid(docs)
+    truth = _read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    joined = join_ops.broadcast_cell_join(
+        pred, truth, on="doc_id", right_cols=["lang"]
+    )
+    return tiles.count_by(
+        joined.map_batches(
+            lambda t: pa.table({"pair": pa.array(
+                [f"{a}->{b}" for a, b in zip(t["lang"].to_pylist(),
+                                             t["lang_pred"].to_pylist())]
+            )}),
+            batch_format="pyarrow",
+        ),
+        "pair",
+        combine_partitions=4,
+    )
+
+
+def q_quality(sf_dir: str):
+    """Quality-score features per doc (rows-only)."""
+    from georay.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.quality(docs)
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash block-LSH near-dup (rows-only; deterministic FNV hashing)."""
+    from georay.ops import minhash as mh
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return mh.simhash_near_dup_pairs(docs, max_hamming=6, n_blocks=8)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate ANN (rows-only; recall vs brute is
+    unit-tested)."""
+    from georay.ops import similarity as sim
+
+    table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mask = (table["vec_id"].to_numpy() % 10) == 0
+    q_ids = table["vec_id"].to_numpy()[mask]
+    q_mat = sim.emb_matrix(table["embedding"])[mask]
+    all_mat = sim.emb_matrix(table["embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = sim.ivf_topk(
+        emb, q_ids, q_mat, k=ANN_K, n_centroids=16, n_probe=4,
+        sample_mat=all_mat[:: max(1, all_mat.shape[0] // 256)],
+    )
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def q_raster(sf_dir: str):
+    """Dense raster assembly of per-cell image counts (to_xarray parity,
+    rows-only: tensors aren't SQL-comparable)."""
+    from georay import fixtures
+
+    ds = fixtures.read_images(sf_dir, columns=["lon", "lat"])
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        cell = codec.encode(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            BITS_TILE,
+        )
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"cell": u.astype(np.int64), "n": c.astype(np.int64)})
+
+    cells_ds = ds.map_batches(to_cell, batch_format="pyarrow", zero_copy_batch=True)
+    agg = tiles.tile_aggregate(cells_ds, BITS_TILE, "n")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"cell": t["tile"], "n": t["sum_val"]})
+
+    out = tiles.assemble_raster(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        bits=BITS_TILE,
+        value_col="n",
+        tile_bits=4,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["values"]), batch_format="pyarrow"
+    )
+
+
+def q_compact(sf_dir: str):
+    """Distributed H3-style compact of customer cells at 20 bits
+    (rows-only; in-memory compact is oracle-tested in unit tests)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    pts = spatial.points_with_cells(cust, "c_custkey", 20, xy=False)
+    comp = cells.compact_dataset(
+        pts.select_columns(["cell"]), "cell", bits=20, step=2, anchor_bits=10
+    )
+    return tiles.count_by(comp, "cell_bits", combine_partitions=4)
+
+
+# ------------------------------------------------------------- inverted index
+
+IDX_BOX = (-50.0, -30.0, 60.0, 45.0)
+BITS_IDX = 16  # 256 x 256 grid
+
+
+def q_index_query_box(sf_dir: str):
+    """Build (cached) the cell-partitioned inverted index over customer
+    points, then ``query_box`` — partition-pruned read + exact cell refine
+    (reference GeoHash.query_box parity, SURVEY.md X6). The SQL twin filters
+    on the cover's grid-coordinate rectangle."""
+    import os
+
+    from georay.fixtures import CACHE_ROOT
+    from georay.index import CellIndex
+
+    root = os.path.join(
+        CACHE_ROOT, f"index_customer_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if not os.path.exists(os.path.join(root, "_index.json")):
+        cust = _read(sf_dir, "customer", columns=["c_custkey"])
+        pts = spatial.points_with_cells(cust, "c_custkey", BITS_IDX, xy=False)
+        CellIndex.build(pts, root, bits=BITS_IDX, prefix_bits=6)
+    idx = CellIndex(root)
+    out = idx.query_box(IDX_BOX, columns=["c_custkey", "cell", "_prefix"])
+    return out.select_columns(["c_custkey"])
+
+
+SQL_INDEX_QUERY_BOX = f"""
+WITH c AS ({_sql_point_cte('customer', 'c_custkey', BITS_IDX)})
+SELECT c_custkey FROM c
+WHERE x >= {sql_x(str(IDX_BOX[0]), 8)} AND x <= {sql_x(str(IDX_BOX[2]), 8)}
+  AND y >= {sql_y(str(IDX_BOX[1]), 8)} AND y <= {sql_y(str(IDX_BOX[3]), 8)}
+"""
+
+
+# -------------------------------------------------------------------- flagship
+
+
+def flagship(sf_dir: str, n_images: int | None = None):
+    """The north-star pipeline end-to-end: image table → decode + invariant
+    enforcement (actor pool) → drop failed rows → ray-cast PIP spatial join
+    against the tile polygon set (broadcast index, actor pool) → per-tile
+    counts (two-phase aggregation). Returns the per-tile count Dataset.
+
+    ``n_images`` overrides the sf-derived table size (scaling benchmarks)."""
+    from georay import fixtures
+    from georay.ops import images as img_ops
+    from georay.ops import pip as pip_ops
+
+    cols = ["image_id", "fmt", "bytes", "caption", "lon", "lat"]
+    if n_images is not None:
+        ds = fixtures.read_images_n(n_images, columns=cols)
+    else:
+        ds = fixtures.read_images(sf_dir, columns=cols)
+    checked = img_ops.decode_invariant(ds)
+
+    def keep_ok(t: pa.Table) -> pa.Table:
+        return t.filter(t["ok"]).select(["image_id", "lon", "lat"])
+
+    ok = checked.map_batches(keep_ok, batch_format="pyarrow")
+    ids, _zooms, rings = fixtures.make_tiles()
+    pairs = pip_ops.pip_assign(
+        ok, ids, rings, bits=10, keep_cols=["image_id"], poly_id_col="tile_id"
+    )
+    return tiles.count_by(pairs, "tile_id")
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -719,4 +982,15 @@ def registry():
         "images_decode": (q_images_decode, SQL_IMAGES_DECODE),
         "images_tiles": (q_images_tiles, SQL_IMAGES_TILES),
         "images_pip": (q_images_pip, None),
+        "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
+        "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+        "fingerprint_dedup": (q_fingerprint_dedup, SQL_FINGERPRINT_DEDUP),
+        "knn_shuffle": (q_knn_shuffle, SQL_KNN),
+        "langid_confusion": (q_langid, None),
+        "quality_scores": (q_quality, None),
+        "simhash_neardup": (q_simhash_neardup, None),
+        "ann_ivf": (q_ann_ivf, None),
+        "raster_assembly": (q_raster, None),
+        "compact_cells": (q_compact, None),
+        "index_query_box": (q_index_query_box, SQL_INDEX_QUERY_BOX),
     }

@@ -1,0 +1,144 @@
+"""Partitioning, skew handling, and resumable checkpointed output
+(SURVEY.md §4, §7.7 — the explicit-design scale concerns).
+
+- Heavy-hitter detection: a cheap two-phase count pre-pass (per-batch
+  partials → tiny groupby) finds keys whose row count exceeds a threshold.
+- Salting: hot keys split into ``key*S + salt`` sub-keys so one dense urban
+  cell no longer serializes into a single reducer; callers unsalt
+  (``key // S``) after the per-group work so output row counts stay exact.
+- Checkpointed writes: one parquet file per partition key, written to a temp
+  path and atomically renamed, plus a manifest JSON (row counts + lineage +
+  wall time per partition). A rerun skips partitions whose manifest entry is
+  committed — that is what "resumable from checkpoint" means for a batch
+  pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+
+def detect_heavy_keys(ds, col: str, threshold: int) -> np.ndarray:
+    """Keys with more than ``threshold`` rows, via partial counts (the
+    shuffle moves one row per distinct key per batch, never the data)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            t[col].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({col: keys, "partial_n": counts.astype(np.int64)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+    out = agg.to_pandas()  # one row per distinct key — small for cell keys
+    return out.loc[out["n"] > threshold, col].to_numpy()
+
+
+def salt_hot_keys(ds, col: str, hot_keys: np.ndarray, n_salt: int = 16,
+                  salted_col: str | None = None):
+    """Add a salted shuffle key: hot rows get ``key*n_salt + (row_hash %
+    n_salt)``, cold rows ``key*n_salt``. Group by the salted column, then
+    unsalt with ``key // n_salt``."""
+    salted_col = salted_col or f"{col}_salted"
+    hot = np.sort(np.asarray(hot_keys))
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t[col].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(key, hot)
+        # cheap deterministic per-row hash for salt assignment
+        rid = np.arange(key.shape[0], dtype=np.int64)
+        salt = ((key ^ (rid * 0x9E3779B9)) % n_salt).astype(np.int64)
+        out = key * n_salt + np.where(is_hot, salt, 0)
+        return t.append_column(salted_col, pa.array(out))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- checkpointing
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def load_manifest(out_dir: str) -> dict:
+    path = _manifest_path(out_dir)
+    if not os.path.exists(path):
+        return {"partitions": {}}
+    with open(path) as f:
+        return json.load(f)
+
+
+def committed_partitions(out_dir: str) -> set:
+    return set(load_manifest(out_dir)["partitions"])
+
+
+def write_partitioned(
+    ds,
+    out_dir: str,
+    partition_col: str,
+    resume: bool = True,
+    lineage: str | None = None,
+):
+    """Write one parquet file per partition key with atomic rename + manifest.
+
+    On resume, partitions already committed in the manifest are filtered out
+    BEFORE the shuffle, so finished work is skipped entirely. Returns the
+    manifest dict. The partition column should be coarse (e.g. a cell
+    prefix): one file per key."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = load_manifest(out_dir) if resume else {"partitions": {}}
+    done = set(manifest["partitions"]) if resume else set()
+
+    if done:
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            key = t[partition_col].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(key.astype("U"), np.array(sorted(done)))
+            return t.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        key = str(g[partition_col].iloc[0])
+        t0 = time.time()
+        final = os.path.join(out_dir, f"part-{key}.parquet")
+        tmp = final + f".tmp{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, final)  # atomic commit of the partition file
+        return pd.DataFrame(
+            {
+                "partition": [key],
+                "rows": [len(g)],
+                "bytes": [os.path.getsize(final)],
+                "seconds": [round(time.time() - t0, 4)],
+            }
+        )
+
+    stats = ds.groupby(partition_col).map_groups(write_group, batch_format="pandas")
+    for row in stats.iter_rows():
+        manifest["partitions"][row["partition"]] = {
+            "rows": int(row["rows"]),
+            "bytes": int(row["bytes"]),
+            "seconds": float(row["seconds"]),
+            "lineage": lineage,
+        }
+    manifest["committed_at"] = time.time()
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(out_dir))
+    return manifest

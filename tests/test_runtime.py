@@ -1,0 +1,83 @@
+"""Skew salting + checkpointed partitioned writes."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+from georay import runtime
+
+
+def _skewed_ds(ray, n=5000):
+    key = np.where(np.arange(n) % 2 == 0, 7, np.arange(n) % 50)
+    return ray.data.from_arrow(
+        pa.table({"cell": key.astype(np.int64), "v": np.arange(n, dtype=np.int64)})
+    ).repartition(8)
+
+
+def test_detect_heavy_keys(ray_session):
+    import ray
+
+    ds = _skewed_ds(ray)
+    hot = runtime.detect_heavy_keys(ds, "cell", threshold=1000)
+    assert hot.tolist() == [7]
+
+
+def test_salting_preserves_counts(ray_session):
+    import ray
+
+    ds = _skewed_ds(ray)
+    hot = np.array([7])
+    salted = runtime.salt_hot_keys(ds, "cell", hot, n_salt=8)
+    df = salted.to_pandas()
+    # unsalting restores the original key for every row
+    assert np.array_equal(df["cell_salted"].to_numpy() // 8, df["cell"].to_numpy())
+    # hot key spread across multiple sub-keys, cold keys untouched
+    hot_subs = df.loc[df["cell"] == 7, "cell_salted"].nunique()
+    assert hot_subs > 1
+    cold = df[df["cell"] != 7]
+    assert (cold["cell_salted"] == cold["cell"] * 8).all()
+
+
+def test_write_partitioned_and_resume(ray_session, tmp_path):
+    import ray
+
+    out = str(tmp_path / "parts")
+    t = pa.table(
+        {
+            "part": np.repeat(np.arange(4), 25).astype(np.int64),
+            "v": np.arange(100, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    man = runtime.write_partitioned(ds, out, "part", lineage="unit-test")
+    assert set(man["partitions"]) == {"0", "1", "2", "3"}
+    assert sum(p["rows"] for p in man["partitions"].values()) == 100
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 4
+
+    # resume: delete one partition file but keep the manifest entry ->
+    # rerun must NOT rewrite it (it is committed)
+    os.remove(os.path.join(out, "part-2.parquet"))
+    man2 = runtime.write_partitioned(ds, out, "part", lineage="unit-test-2")
+    assert not os.path.exists(os.path.join(out, "part-2.parquet"))
+    assert set(man2["partitions"]) == {"0", "1", "2", "3"}
+
+    # fresh rerun after wiping the manifest rewrites everything
+    os.remove(os.path.join(out, "_manifest.json"))
+    man3 = runtime.write_partitioned(ds, out, "part", lineage="unit-test-3")
+    assert os.path.exists(os.path.join(out, "part-2.parquet"))
+    assert sum(p["rows"] for p in man3["partitions"].values()) == 100
+
+    # data round-trips
+    import pyarrow.parquet as pq
+
+    back = pq.ParquetDataset(
+        [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")]
+    ).read()
+    assert back.num_rows == 100
+    assert sorted(back["v"].to_pylist()) == list(range(100))

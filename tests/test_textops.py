@@ -1,0 +1,183 @@
+"""Text/near-dup/similarity operator tests vs in-memory oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+
+def _brute_jaccard_pairs(table, k=5, threshold=0.7):
+    ids = table["doc_id"].to_numpy()
+    texts = table["text"].to_pylist()
+    sh = [set(s[i : i + k] for i in range(len(s) - k + 1)) for s in texts]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sh[i] & sh[j])
+            if inter and inter / (len(sh[i]) + len(sh[j]) - inter) >= threshold:
+                out.add((int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))))
+    return out
+
+
+def test_minhash_lsh_finds_all_pairs(ray_session, docs_table):
+    import ray
+
+    from georay.ops import minhash as mh
+
+    ds = ray.data.from_arrow(docs_table.select(["doc_id", "text"])).repartition(4)
+    got = mh.near_dup_pairs(
+        ds, docs_table, n_hashes=64, n_bands=16, shingle_k=5, threshold=0.7
+    ).to_pandas()
+    want = _brute_jaccard_pairs(docs_table)
+    assert set(zip(got["id_a"], got["id_b"])) == want
+    assert (got["jaccard"] >= 0.7).all()
+
+
+def test_simhash_deterministic_across_runs(ray_session, docs_table):
+    import ray
+
+    from georay.ops import minhash as mh
+
+    ds = ray.data.from_arrow(docs_table.select(["doc_id", "text"])).repartition(3)
+    a = mh.simhash_signatures(ds).to_pandas().sort_values("doc_id")
+    b = mh.simhash_signatures(ds).to_pandas().sort_values("doc_id")
+    assert np.array_equal(a["simhash"].to_numpy(), b["simhash"].to_numpy())
+    # near-identical docs have small hamming distance
+    pairs = mh.simhash_near_dup_pairs(ds, max_hamming=6).to_pandas()
+    want = _brute_jaccard_pairs(docs_table, threshold=0.9)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # every true near-dup pair is found (high-jaccard -> low hamming)
+    assert want <= got
+
+
+def test_fingerprint_matches_text_grouping(docs_table):
+    from georay.ops.text import fingerprint64
+
+    texts = np.array(docs_table["text"].to_pylist())
+    fp = fingerprint64(texts, prefix=40)
+    by_fp = {}
+    by_txt = {}
+    for i, (f, s) in enumerate(zip(fp, texts)):
+        by_fp.setdefault(int(f), set()).add(i)
+        by_txt.setdefault(s[:40], set()).add(i)
+    assert sorted(map(sorted, by_fp.values())) == sorted(map(sorted, by_txt.values()))
+
+
+def test_langid_on_real_language_samples(ray_session):
+    # the testdata 'lang' column is a synthetic label on English word-soup;
+    # exercise the heuristic on genuinely multilingual text instead
+    import ray
+
+    from georay.ops import text as text_ops
+
+    samples = [
+        ("en", "the quick brown fox jumps over the lazy dog and it was a good day for all of the animals in the forest"),
+        ("de", "der schnelle braune fuchs springt über den faulen hund und das ist ein gutes zeichen für die tiere im wald"),
+        ("fr", "le renard brun rapide saute par dessus le chien paresseux et c'est un bon jour pour les animaux dans la forêt"),
+        ("es", "el rápido zorro marrón salta sobre el perro perezoso y es un buen día para los animales en el bosque"),
+        ("zh", "敏捷的棕色狐狸跳过了懒惰的狗这对森林里的所有动物来说都是美好的一天"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": list(range(len(samples))),
+            "text": [s for _, s in samples],
+        }
+    )
+    pred = text_ops.langid(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert pred["lang_pred"].tolist() == [lang for lang, _ in samples]
+
+
+def test_quality_scores_sane(ray_session, docs_table):
+    import ray
+
+    from georay.ops import text as text_ops
+
+    ds = ray.data.from_arrow(docs_table.select(["doc_id", "text"]))
+    q = text_ops.quality(ds).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    assert q["quality"].nunique() > 10  # discriminative, not constant
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def test_brute_topk_matches_numpy(ray_session, emb_table):
+    import ray
+
+    from georay.ops import similarity as sim
+
+    ids = emb_table["vec_id"].to_numpy()
+    mat = sim.emb_matrix(emb_table["embedding"])
+    qsel = ids % 25 == 0
+    ds = ray.data.from_arrow(emb_table).repartition(4)
+    got = sim.brute_topk(ds, ids[qsel], mat[qsel], k=3).to_pandas()
+    # numpy oracle
+    mn = mat.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    sims = mn[qsel] @ mn.T
+    sims[np.equal.outer(ids[qsel], ids)] = -np.inf
+    for r, q in enumerate(ids[qsel]):
+        order = np.lexsort((ids, -sims[r]))[:3]
+        want = ids[order].tolist()
+        have = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert have == want, f"query {q}"
+
+
+def test_ivf_recall_clustered(ray_session):
+    # IVF's regime is clustered data (uniform-random high-dim vectors have no
+    # bucket structure to exploit): mixture of 20 gaussians, 32-dim
+    import ray
+
+    from georay.ops import similarity as sim
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(20, 32) * 4
+    mat = np.concatenate(
+        [c + rng.randn(50, 32) * 0.5 for c in centers]
+    ).astype(np.float32)
+    ids = np.arange(mat.shape[0], dtype=np.int64)
+    t = pa.table({"vec_id": ids, "embedding": list(mat)})
+    qsel = ids % 40 == 0
+    ds = ray.data.from_arrow(t).repartition(4)
+    brute = sim.brute_topk(ds, ids[qsel], mat[qsel], k=5).to_pandas()
+    ivf = sim.ivf_topk(
+        ds, ids[qsel], mat[qsel], k=5, n_centroids=20, n_probe=4,
+        sample_mat=mat[::3],
+    ).to_pandas()
+    b = set(zip(brute["query_id"], brute["neighbor_id"]))
+    v = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(b & v) / len(b)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_cosine_pairs_brute_exact(ray_session, emb_table):
+    import ray
+
+    from georay.ops import similarity as sim
+
+    ids = emb_table["vec_id"].to_numpy()
+    mat = sim.emb_matrix(emb_table["embedding"]).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    keep = sims[ia, ib] >= 0.45
+    want = set(zip(ids[ia[keep]], ids[ib[keep]]))
+    ds = ray.data.from_arrow(emb_table).repartition(5)
+    got = sim.cosine_pairs_brute(ds, emb_table, threshold=0.45).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == want
