@@ -153,6 +153,120 @@ def decode_invariant(ds, concurrency=None, batch_size: int = 512):
     )
 
 
+def resize_bilinear(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Pure-numpy bilinear resize (no PIL in the sandbox — SURVEY.md §7)."""
+    h, w, c = pixels.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    p = pixels.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return np.clip(top * (1 - wy) + bot * wy + 0.5, 0, 255).astype(np.uint8)
+
+
+class ImageTransform:
+    """Actor-shaped stage: decode → resize to a thumbnail → extract cheap
+    features (mean RGB, luma std, content hash of the thumbnail). Output:
+    image_id, thumb (binary, q6-encoded WxH thumbnail), mean_r/g/b,
+    luma_std, thumb_hash."""
+
+    def __init__(self, thumb_w: int = 16, thumb_h: int = 16):
+        self.tw, self.th = thumb_w, thumb_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        n = len(fmts)
+        thumbs, mr, mg, mb, lstd, thash = [], [], [], [], [], []
+        for k in range(n):
+            px = images.decode_image(blobs[k], fmts[k])
+            th = resize_bilinear(px, self.tw, self.th)
+            thumbs.append(images.encode_image(th, "q6"))
+            mr.append(float(px[:, :, 0].mean()))
+            mg.append(float(px[:, :, 1].mean()))
+            mb.append(float(px[:, :, 2].mean()))
+            luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            lstd.append(float(luma.std()))
+            thash.append(np.uint64(images.content_hash64(th)).astype(np.int64))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "thumb": pa.array(thumbs, pa.binary()),
+                "mean_r": pa.array(mr),
+                "mean_g": pa.array(mg),
+                "mean_b": pa.array(mb),
+                "luma_std": pa.array(lstd),
+                "thumb_hash": pa.array(np.asarray(thash, np.int64)),
+            }
+        )
+
+
+def image_features(ds, thumb: tuple[int, int] = (16, 16), concurrency=None):
+    """Decode → thumbnail → feature columns. Task-based by default (see
+    module docstring); pass ``concurrency`` for a dedicated actor pool."""
+    if concurrency is None:
+
+        def fn(t: pa.Table) -> pa.Table:
+            inst = _TASK_STATE.get("transform")
+            if inst is None:
+                inst = ImageTransform(*thumb)
+                _TASK_STATE["transform"] = inst
+            return inst(t)
+
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
+    return ds.map_batches(
+        ImageTransform,
+        fn_constructor_args=thumb,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+    )
+
+
+def sample_video_frames(ds, every_n: int = 10):
+    """Frame-sampling stage for video payloads (SURVEY.md N7 family).
+
+    STUB: no video container codec exists in this sandbox (no ffmpeg / PIL),
+    so the decode step raises; the Ray-side plumbing — schema contract
+    (``bytes`` binary column + ``fmt``), batch shape, flat-map row explosion
+    (1 video → n frames) — is real and unit-tested against the deterministic
+    fake below ("rawv" fmt: concatenated fixed-size raw RGB frames).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        ids = t["video_id"].to_pylist()
+        out_id, out_frame, out_blob = [], [], []
+        for vid, fmt, blob in zip(ids, fmts, blobs):
+            if fmt != "rawv":
+                raise NotImplementedError(
+                    f"video codec {fmt!r} unavailable in this sandbox (no ffmpeg)"
+                )
+            w, h, nf = np.frombuffer(blob[:6], dtype=np.uint16)
+            frame_bytes = int(w) * int(h) * 3
+            for f in range(0, int(nf), every_n):
+                start = 6 + f * frame_bytes
+                out_id.append(vid)
+                out_frame.append(f)
+                out_blob.append(blob[start : start + frame_bytes])
+        return pa.table(
+            {
+                "video_id": pa.array(out_id, pa.string()),
+                "frame_idx": pa.array(out_frame, pa.int64()),
+                "frame_rgb": pa.array(out_blob, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
 def dedup_by_phash(ds):
     """Exact first-wins dedup on the content hash: only (phash, image_idx)
     pairs shuffle, never the binary payloads (SURVEY.md N8)."""

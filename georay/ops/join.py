@@ -107,3 +107,24 @@ def shuffle_cell_join(
         on=(on,),
         right_suffix="_r",
     )
+
+
+def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
+    """Semi / anti join: the key SET is broadcast once (ray.put) and each
+    batch filters with a sorted-array membership test — no shuffle. At the
+    10^12 scale the set becomes a Bloom filter with the same stage shape."""
+    import numpy as np
+    import ray
+
+    keys_ref = ray.put(np.sort(np.unique(np.asarray(keys))))
+
+    def fn(t: pa.Table) -> pa.Table:
+        kset = ray.get(keys_ref)
+        probe = t[on].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kset, probe)
+        pos = np.clip(pos, 0, kset.size - 1)
+        hit = (kset.size > 0) & (kset[pos] == probe)
+        keep = ~hit if anti else hit
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,105 @@
+"""Stream-shaped windowed aggregates over an event log (ray_guide
+"Streaming-shaped workloads": Ray Data is batch — windows are groupbys over
+(key, window) with per-group pandas for the order-dependent variants).
+
+Ordering assumption: tumbling windows need none (pure bucketing); sliding
+windows need none (each event expands to the windows containing it —
+flat-map style, vectorized); session windows sort by ts WITHIN each key
+group (the shuffle co-locates a key's events, map_groups sorts locally).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+US_PER_DAY = 86_400 * 1_000_000
+
+
+def tumbling(ds, key_col: str, ts_col: str, value_col: str,
+             width_us: int = US_PER_DAY, combine_partitions: int = 8):
+    """(key, window) → n, int-exact value sum. Two-phase partial agg."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // width_us
+        milli = np.floor(t[value_col].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+        df = pd.DataFrame({key_col: t[key_col].to_pandas(), "win": win, "milli": milli})
+        g = df.groupby([key_col, "win"], as_index=False).agg(
+            p_n=("milli", "size"), p_sum=("milli", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby([key_col, "win"])
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_sum", alias_name="sum_val_milli"))
+    )
+
+
+def sliding(ds, key_col: str, ts_col: str, value_col: str,
+            width_us: int, slide_us: int, combine_partitions: int = 8,
+            ts_scale_us: int = 1):
+    """Sliding windows: each event replicated into the ``width/slide``
+    windows covering it (vectorized np.repeat explode — 1 row → w/s rows),
+    then the same two-phase aggregate keyed by window start."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if width_us % slide_us:
+        raise ValueError("width must be a multiple of slide")
+    n_covers = width_us // slide_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // ts_scale_us
+        milli = np.floor(t[value_col].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+        keys = t[key_col].to_pandas().to_numpy()
+        # windows with start w*slide contain ts iff start <= ts < start+width
+        last_start = (us // slide_us) * slide_us
+        offs = (np.arange(n_covers) * slide_us)[None, :]
+        starts = last_start[:, None] - offs  # (n, n_covers)
+        valid = starts >= 0
+        rep = np.repeat(np.arange(us.size), n_covers).reshape(-1)[valid.reshape(-1)]
+        win = starts.reshape(-1)[valid.reshape(-1)]
+        df = pd.DataFrame(
+            {key_col: keys[rep], "win_start": win,
+             "milli": milli[rep]}
+        )
+        g = df.groupby([key_col, "win_start"], as_index=False).agg(
+            p_n=("milli", "size"), p_sum=("milli", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby([key_col, "win_start"])
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_sum", alias_name="sum_val_milli"))
+    )
+
+
+def session(ds, key_col: str, ts_col: str, gap_us: int, ts_scale_us: int = 1):
+    """Session windows: per-key sort by ts, split where the gap exceeds
+    ``gap_us``. One shuffle (groupby key); sessionization is local pandas.
+    Output: key, session_start_us, session_end_us, n."""
+    import pandas as pd
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        us = np.sort(g[ts_col].astype("int64").to_numpy() // ts_scale_us)
+        breaks = np.flatnonzero(np.diff(us) > gap_us) + 1
+        out = []
+        for seg in np.split(us, breaks):
+            out.append((seg[0], seg[-1], seg.size))
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]] * len(out),
+                "session_start_us": [o[0] for o in out],
+                "session_end_us": [o[1] for o in out],
+                "n": [o[2] for o in out],
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

@@ -682,6 +682,33 @@ FROM p GROUP BY 1, 2
 """
 
 
+def q_images_features(sf_dir: str):
+    """Decode → thumbnail resize → feature extraction, aggregated per
+    format (rows-only; feature floats aren't SQL-reproducible)."""
+    from ray.data.aggregate import Count
+
+    from georay import fixtures
+    from georay.ops import images as img_ops
+
+    ds = fixtures.read_images(sf_dir, columns=["image_id", "fmt", "bytes"])
+    feats = img_ops.image_features(ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fmt_idx = pc.cast(
+            pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64()
+        )
+        return pa.table({"bucket": pc.bit_wise_and(fmt_idx, 3)})
+
+    return (
+        feats.map_batches(project, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_images_pip(sf_dir: str):
     """Image points vs the fixture tile-polygon set (non-convex hexagons,
     antimeridian split pair, pole tile) on the PIP actor pool. Rows-only
@@ -890,6 +917,168 @@ def q_compact(sf_dir: str):
     return tiles.count_by(comp, "cell_bits", combine_partitions=4)
 
 
+# ----------------------------------------------------- more windows / reshape
+
+
+def q_events_sliding(sf_dir: str):
+    """7-day sliding windows (1-day slide) per event_type: each event
+    expands to its 7 covering windows (vectorized), then two-phase agg."""
+    from georay.ops import window as win
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    day = 86_400
+    return win.sliding(
+        ev, "event_type", "ts", "value",
+        width_us=7 * day, slide_us=day, ts_scale_us=1_000_000,
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT event_type,
+         (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) * 86400 AS last_start,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS milli
+  FROM events
+), x AS (
+  SELECT event_type, last_start - k * 86400 AS win_start, milli
+  FROM e, (SELECT unnest(range(0, 7)) AS k)
+  WHERE last_start - k * 86400 >= 0
+)
+SELECT event_type, win_start, COUNT(*) AS n,
+       CAST(SUM(milli) AS BIGINT) AS sum_val_milli
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_events_session(sf_dir: str):
+    """Session windows (2-day inactivity gap) per event_type — per-key sort
+    + gap split in map_groups; the SQL twin uses LAG + cumulative breaks."""
+    from georay.ops import window as win
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+    out = win.session(
+        ev, "event_type", "ts", gap_us=2 * 86_400, ts_scale_us=1_000_000,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "session_start_s": t["session_start_us"],
+                "session_end_s": t["session_end_us"],
+                "n": t["n"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_EVENTS_SESSION = """
+WITH o AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events),
+m AS (SELECT event_type, s,
+        CASE WHEN s - LAG(s) OVER (PARTITION BY event_type ORDER BY s) > 172800
+             THEN 1 ELSE 0 END AS brk
+      FROM o),
+g AS (SELECT event_type, s,
+        SUM(brk) OVER (PARTITION BY event_type ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT event_type, MIN(s) AS session_start_s, MAX(s) AS session_end_s,
+       COUNT(*) AS n
+FROM g GROUP BY event_type, sid
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Global sort + limit (distributed range-partitioned sort): top 50
+    customers by account balance, deterministic tie-break on key."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    top = cust.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(50)
+
+    def fin(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"], "acctbal_cents": cents})
+
+    return top.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 50
+"""
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti join: customers with no URGENT orders — the urgent-order key set
+    is broadcast once, each batch filters with a sorted-array membership
+    test (Bloom-filter shape at the 10^12 scale)."""
+    import pyarrow.compute as pc
+
+    orders = _read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    keys = orders.filter(pc.equal(orders["o_orderpriority"], "1-URGENT"))[
+        "o_custkey"
+    ].to_numpy()
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    return join_ops.broadcast_semi_join(cust, keys, on="c_custkey", anti=True)
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_images_hot_salted(sf_dir: str):
+    """Skew-hardened tile counts: detect heavy cells (the 3 dense urban
+    cells of the fixture), salt them into sub-keys, run the skewed groupby
+    on the salted key, unsalt and re-aggregate. Result must equal the plain
+    tile-count oracle exactly (salting is physical, not semantic)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from georay import fixtures, runtime
+
+    ds = fixtures.read_images(sf_dir, columns=["lon", "lat"])
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        cell = codec.encode(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            BITS_TILE,
+        )
+        return pa.table({"cell": cell.astype(np.int64)})
+
+    cells_ds = ds.map_batches(to_cell, batch_format="pyarrow", zero_copy_batch=True)
+    n_total = fixtures.n_images_for(sf_dir)
+    hot = runtime.detect_heavy_keys(cells_ds, "cell", threshold=max(64, n_total // 100))
+    salted = runtime.salt_hot_keys(cells_ds, "cell", hot, n_salt=16)
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cell": [int(g["cell"].iloc[0])], "part_n": [len(g)]}
+        )
+
+    per_salt = (
+        salted.repartition(16)
+        .groupby("cell_salted")
+        .map_groups(count_group, batch_format="pandas")
+    )
+    agg = per_salt.repartition(8).groupby("cell").aggregate(
+        Sum("part_n", alias_name="n")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tile = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(tile, BITS_TILE)
+        return pa.table({"tile_x": x, "tile_y": y, "n": t["n"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- inverted index
 
 IDX_BOX = (-50.0, -30.0, 60.0, 45.0)
@@ -993,4 +1182,10 @@ def registry():
         "raster_assembly": (q_raster, None),
         "compact_cells": (q_compact, None),
         "index_query_box": (q_index_query_box, SQL_INDEX_QUERY_BOX),
+        "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+        "events_session": (q_events_session, SQL_EVENTS_SESSION),
+        "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+        "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+        "images_hot_salted": (q_images_hot_salted, SQL_IMAGES_TILES),
+        "images_features": (q_images_features, None),
     }

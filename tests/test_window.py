@@ -1,0 +1,108 @@
+"""Windowed-aggregate ops vs pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.RandomState(0)
+    n = 3000
+    ts = np.sort(rng.randint(0, 90 * 86_400, n)) * 1_000_000  # 90 days, in us
+    key = rng.choice(["a", "b", "c"], n)
+    val = rng.uniform(0, 100, n)
+    return pa.table(
+        {
+            "k": key,
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "v": val,
+        }
+    )
+
+
+def test_tumbling_matches_pandas(ray_session, events):
+    import ray
+
+    from georay.ops import window as win
+
+    out = win.tumbling(
+        ray.data.from_arrow(events).repartition(5), "k", "ts", "v"
+    ).to_pandas()
+    df = events.to_pandas()
+    df["win"] = df["ts"].astype("int64") // win.US_PER_DAY
+    df["milli"] = np.floor(df["v"] * 1000).astype(np.int64)
+    want = df.groupby(["k", "win"], as_index=False).agg(
+        n=("milli", "size"), sum_val_milli=("milli", "sum")
+    )
+    got = out.sort_values(["k", "win"]).reset_index(drop=True)
+    want = want.sort_values(["k", "win"]).reset_index(drop=True)
+    assert got[["k", "win"]].equals(want[["k", "win"]])
+    assert np.array_equal(got["n"], want["n"])
+    assert np.array_equal(got["sum_val_milli"], want["sum_val_milli"])
+
+
+def test_sliding_matches_brute(ray_session, events):
+    import ray
+
+    from georay.ops import window as win
+
+    width, slide = 5 * 86_400, 86_400
+    out = win.sliding(
+        ray.data.from_arrow(events).repartition(4), "k", "ts", "v",
+        width_us=width, slide_us=slide, ts_scale_us=1_000_000,
+    ).to_pandas()
+    df = events.to_pandas()
+    s = df["ts"].astype("int64") // 1_000_000
+    milli = np.floor(df["v"] * 1000).astype(np.int64)
+    rows = []
+    for start in range(0, int(s.max()) + 1, slide):
+        m = (s >= start) & (s < start + width)
+        if not m.any():
+            continue
+        for k in df.loc[m, "k"].unique():
+            mm = m & (df["k"] == k)
+            rows.append((k, start, int(mm.sum()), int(milli[mm].sum())))
+    want = pd.DataFrame(rows, columns=["k", "win_start", "n", "sum_val_milli"])
+    got = out.sort_values(["k", "win_start"]).reset_index(drop=True)
+    want = want.sort_values(["k", "win_start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert np.array_equal(got["n"], want["n"])
+    assert np.array_equal(got["sum_val_milli"], want["sum_val_milli"])
+
+
+def test_sliding_rejects_bad_slide(ray_session, events):
+    import ray
+
+    from georay.ops import window as win
+
+    with pytest.raises(ValueError):
+        win.sliding(ray.data.from_arrow(events), "k", "ts", "v",
+                    width_us=7, slide_us=3)
+
+
+def test_session_matches_brute(ray_session, events):
+    import ray
+
+    from georay.ops import window as win
+
+    gap = 3600  # 1h in scaled units (seconds)
+    out = win.session(
+        ray.data.from_arrow(events).repartition(4), "k", "ts",
+        gap_us=gap, ts_scale_us=1_000_000,
+    ).to_pandas()
+    df = events.to_pandas()
+    want_rows = []
+    for k, g in df.groupby("k"):
+        s = np.sort(g["ts"].astype("int64").to_numpy() // 1_000_000)
+        breaks = np.flatnonzero(np.diff(s) > gap) + 1
+        for seg in np.split(s, breaks):
+            want_rows.append((k, seg[0], seg[-1], seg.size))
+    want = set(want_rows)
+    got = set(
+        zip(out["k"], out["session_start_us"], out["session_end_us"], out["n"])
+    )
+    assert got == want
