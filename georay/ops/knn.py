@@ -114,6 +114,125 @@ def knn_ring(
     return queries_ds.map_batches(Knn, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def knn_adaptive(
+    queries_ds,
+    refs_table: pa.Table,
+    bits: int,
+    k: int,
+    query_cols: list[str] | None = None,
+    ref_id: str = "ref_id",
+    cell_col: str = "cell",
+):
+    """EXACT global kNN via adaptive ring expansion (SURVEY.md N5's
+    "expand k-ring rings until k found with ring-bound guarantee").
+
+    Per batch, rings double (1, 2, 4, …) until each query holds ≥k
+    candidates whose k-th distance is within the ring bound: any point
+    outside Chebyshev cell ring d is at least ``d·min(lon_err, lat_err)``
+    degrees away, so once ``sqrt(kth_dist2) <= d·min_err`` no outside point
+    can displace the top-k. Distance = squared degrees (no wrap), matching
+    the SQL oracle's cross-join ordering exactly.
+    """
+    import ray
+
+    from georay import codec
+
+    rcell = refs_table[cell_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(rcell, kind="stable")
+    packed = {
+        "cell": rcell[order],
+        "lon": refs_table["lon"].to_numpy(zero_copy_only=False)[order],
+        "lat": refs_table["lat"].to_numpy(zero_copy_only=False)[order],
+        "id": refs_table[ref_id].to_numpy(zero_copy_only=False)[order],
+    }
+    refs_ref = ray.put(packed)
+    nx, ny = codec.split_bits(bits)
+    lon_err, lat_err = codec.error_with_precision(bits)
+    min_err = min(lon_err, lat_err)
+    max_ring = max(1 << nx, 1 << ny)
+
+    class AdaptiveKnn:
+        def __init__(self):
+            self.refs = ray.get(refs_ref)
+
+        def _candidates(self, qcell, d):
+            ring_cells, valid = cells.k_ring(qcell, bits, d)
+            flat_cells = ring_cells.reshape(-1).astype(np.int64)
+            flat_q = np.repeat(np.arange(qcell.shape[0]), ring_cells.shape[1])
+            ok = valid.reshape(-1)
+            flat_cells, flat_q = flat_cells[ok], flat_q[ok]
+            lo = np.searchsorted(self.refs["cell"], flat_cells, side="left")
+            hi = np.searchsorted(self.refs["cell"], flat_cells, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            qidx = np.repeat(flat_q, counts)
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            ridx = np.arange(total) - starts + np.repeat(lo, counts)
+            # large rings alias around the antimeridian wrap (ring wider
+            # than the lon axis) -> the same (query, ref) pair can appear
+            # twice; dedupe or the rank sequence counts duplicates
+            pair = qidx * np.int64(self.refs["id"].size) + ridx
+            uniq = np.unique(pair)
+            return uniq // self.refs["id"].size, uniq % self.refs["id"].size
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            refs = self.refs
+            qcell_all = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            qlon_all = t["lon"].to_numpy(zero_copy_only=False)
+            qlat_all = t["lat"].to_numpy(zero_copy_only=False)
+            n = qcell_all.shape[0]
+            unresolved = np.arange(n)
+            res_q: list[np.ndarray] = []
+            res_r: list[np.ndarray] = []
+            res_rank: list[np.ndarray] = []
+            d = 1
+            while unresolved.size:
+                sub = unresolved
+                qidx_s, ridx = self._candidates(qcell_all[sub], d)
+                if qidx_s.size:
+                    dx = qlon_all[sub][qidx_s] - refs["lon"][ridx]
+                    dy = qlat_all[sub][qidx_s] - refs["lat"][ridx]
+                    dist = dx * dx + dy * dy
+                    sel, rank = _topk_per_query(qidx_s, dist, refs["id"][ridx], k)
+                    sq, sr, sd = qidx_s[sel], ridx[sel], dist[sel]
+                    # per-query candidate count and kth distance
+                    cnt = np.bincount(sq, minlength=sub.size)
+                    kth = np.zeros(sub.size)
+                    is_kth = rank == np.minimum(k, cnt[sq])
+                    kth[sq[is_kth]] = sd[is_kth]
+                    done = (cnt >= min(k, refs["id"].size)) & (
+                        np.sqrt(kth) <= d * min_err
+                    )
+                else:
+                    done = np.zeros(sub.size, dtype=bool)
+                if d >= max_ring:
+                    done = np.ones(sub.size, dtype=bool)
+                if done.any() and qidx_s.size:
+                    keep = done[sq]
+                    res_q.append(sub[sq[keep]])
+                    res_r.append(sr[keep])
+                    res_rank.append(rank[keep])
+                unresolved = sub[~done]
+                d *= 2
+            qf = np.concatenate(res_q) if res_q else np.empty(0, np.int64)
+            rf = np.concatenate(res_r) if res_r else np.empty(0, np.int64)
+            kf = np.concatenate(res_rank) if res_rank else np.empty(0, np.int64)
+            keep_cols = query_cols or list(t.column_names)
+            base = t.select(keep_cols).take(pa.array(qf))
+            cols = {name: base[name] for name in base.column_names}
+            cols[ref_id] = pa.array(refs["id"][rf])
+            dxs = qlon_all[qf] - refs["lon"][rf]
+            dys = qlat_all[qf] - refs["lat"][rf]
+            cols["dist2"] = pa.array(dxs * dxs + dys * dys)
+            cols["rank"] = pa.array(kf.astype(np.int64))
+            return pa.table(cols)
+
+    return queries_ds.map_batches(AdaptiveKnn, batch_format="pyarrow",
+                                  concurrency=(1, 8))
+
+
 def knn_shuffle(
     queries_ds,
     refs_ds,

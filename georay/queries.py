@@ -263,6 +263,36 @@ SELECT c_custkey, s_suppkey, rank FROM (
 """
 
 
+def q_knn_global(sf_dir: str):
+    """EXACT global kNN (not ring-bounded): adaptive ring expansion with the
+    ring-bound stopping guarantee. Oracle: full cross-join ranking."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    supp = _small_points(
+        _read_table(sf_dir, "supplier", columns=["s_suppkey"]), "s_suppkey", BITS_JOIN
+    )
+    out = knn_ops.knn_adaptive(
+        cust, supp, bits=BITS_JOIN, k=KNN_K,
+        query_cols=["c_custkey"], ref_id="s_suppkey",
+    )
+    return out.select_columns(["c_custkey", "s_suppkey", "rank"])
+
+
+SQL_KNN_GLOBAL = f"""
+WITH c AS ({_sql_point_cte('customer', 'c_custkey', BITS_JOIN)}),
+     s AS ({_sql_point_cte('supplier', 's_suppkey', BITS_JOIN)})
+SELECT c_custkey, s_suppkey, rank FROM (
+  SELECT c.c_custkey, s.s_suppkey,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY (c.lon - s.lon) * (c.lon - s.lon)
+                  + (c.lat - s.lat) * (c.lat - s.lat), s.s_suppkey
+         ) AS BIGINT) AS rank
+  FROM c CROSS JOIN s
+) WHERE rank <= {KNN_K}
+"""
+
+
 # ------------------------------------------------------------------------ PIP
 
 PIP_W, PIP_H = 30.0, 20.0
@@ -1188,4 +1218,5 @@ def registry():
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "images_hot_salted": (q_images_hot_salted, SQL_IMAGES_TILES),
         "images_features": (q_images_features, None),
+        "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
     }

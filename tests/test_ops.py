@@ -200,3 +200,68 @@ def test_assemble_raster(ray_session):
     uniq = np.unique(cell)
     assert total == len(uniq) or total == 500  # 500 if no dup cells
     assert (out["h"] * out["w"] >= 1).all()
+
+
+def test_knn_adaptive_exact_global(ray_session, point_tables):
+    import ray
+
+    left, right = point_tables
+    bits, k = 8, 4
+    lt = _with_cells(left.slice(0, 400), "lkey", bits)
+    rt = _with_cells(right, "rkey", bits)
+    out = knn_ops.knn_adaptive(
+        ray.data.from_arrow(lt).repartition(4),
+        rt,
+        bits=bits,
+        k=k,
+        query_cols=["lkey"],
+        ref_id="rkey",
+    ).to_pandas()
+    # brute-force global kNN oracle
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    want = set()
+    for _, q in ldf.iterrows():
+        d2 = (q["lon"] - rdf["lon"]) ** 2 + (q["lat"] - rdf["lat"]) ** 2
+        cand = rdf.assign(d2=d2).sort_values(["d2", "rkey"]).head(k)
+        for rank, (_, row) in enumerate(cand.iterrows(), 1):
+            want.add((q["lkey"], row["rkey"], rank))
+    got = set(zip(out["lkey"], out["rkey"], out["rank"]))
+    assert got == want
+
+
+def test_knn_adaptive_sparse_refs(ray_session):
+    # 3 refs in one corner of the earth, queries everywhere: rings must
+    # expand (and wrap) until the TRUE nearest refs are found
+    import ray
+
+    rng = np.random.RandomState(42)
+    bits, k = 8, 2
+    lkey = np.arange(150, dtype=np.int64)
+    lt = _with_cells(pa.table({"lkey": lkey}), "lkey", bits)
+    rt = pa.table(
+        {
+            "rkey": np.array([0, 1, 2], dtype=np.int64),
+            "lon": np.array([-179.5, -178.0, 179.5]),
+            "lat": np.array([-89.0, -88.5, -89.5]),
+        }
+    )
+    from georay.ops import spatial as sp
+
+    rt = sp.add_cell(rt, bits)
+    out = knn_ops.knn_adaptive(
+        ray.data.from_arrow(lt),
+        rt,
+        bits=bits,
+        k=k,
+        query_cols=["lkey"],
+        ref_id="rkey",
+    ).to_pandas()
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    want = set()
+    for _, q in ldf.iterrows():
+        d2 = (q["lon"] - rdf["lon"]) ** 2 + (q["lat"] - rdf["lat"]) ** 2
+        cand = rdf.assign(d2=d2).sort_values(["d2", "rkey"]).head(k)
+        for rank, (_, row) in enumerate(cand.iterrows(), 1):
+            want.add((q["lkey"], row["rkey"], rank))
+    got = set(zip(out["lkey"], out["rkey"], out["rank"]))
+    assert got == want
