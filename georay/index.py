@@ -107,7 +107,7 @@ class CellIndex:
         for r in roots:
             for f in os.listdir(r):
                 if f.startswith("part-") and f.endswith(".parquet"):
-                    p = int(f[len("part-") : -len(".parquet")])
+                    p = int(f[len("part-") : -len(".parquet")].rsplit("-", 1)[0])
                     if p in prefixes:
                         out.append(os.path.join(r, f))
         return out
@@ -157,7 +157,7 @@ class CellIndex:
         for r in roots:
             for f in os.listdir(r):
                 if f.startswith("part-") and f.endswith(".parquet"):
-                    out.add(int(f[len("part-") : -len(".parquet")]))
+                    out.add(int(f[len("part-") : -len(".parquet")].rsplit("-", 1)[0]))
         return out
 
     def keys(self) -> np.ndarray:

@@ -50,41 +50,61 @@ def broadcast_cell_join(
     right_on: str | None = None,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
+    concurrency=None,
 ):
     """Inner equi-join: big Dataset × small in-memory table, broadcast once.
 
     ``right_table`` is shipped to the object store a single time via
-    ``ray.put``; each task materializes the sorted lookup lazily on first
-    batch (per-process cache), not per batch.
+    ``ray.put``; each worker process materializes the sorted lookup once
+    (per-process cache) — stateless tasks by default, or an actor pool when
+    ``concurrency`` is given.
     """
     import ray
+
+    from georay.runtime import per_process
 
     right_on = right_on or on
     if right_cols is not None:
         keep = list(dict.fromkeys([right_on] + right_cols))
         right_table = right_table.select(keep)
     right_ref = ray.put(right_table)
+    key = right_ref.hex()
+
+    def join_batch(lookup: _SortedLookup, t: pa.Table) -> pa.Table:
+        if left_cols is not None:
+            t = t.select(list(dict.fromkeys([on] + left_cols)))
+        probe = t[on].to_numpy(zero_copy_only=False)
+        li, ri = lookup.match(probe)
+        left_part = t.take(pa.array(li))
+        right_part = lookup.table.take(pa.array(ri))
+        cols = {name: left_part[name] for name in left_part.column_names}
+        for name in right_part.column_names:
+            if name == right_on and right_on == on:
+                continue
+            out_name = name if name not in cols else f"{name}_r"
+            cols[out_name] = right_part[name]
+        return pa.table(cols)
+
+    if concurrency is None:
+
+        def fn(t: pa.Table) -> pa.Table:
+            lookup = per_process(
+                key, lambda: _SortedLookup(ray.get(right_ref), right_on)
+            )
+            return join_batch(lookup, t)
+
+        return left_ds.map_batches(fn, batch_format="pyarrow")
 
     class Joiner:
         def __init__(self):
             self.lookup = _SortedLookup(ray.get(right_ref), right_on)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            if left_cols is not None:
-                t = t.select(list(dict.fromkeys([on] + left_cols)))
-            probe = t[on].to_numpy(zero_copy_only=False)
-            li, ri = self.lookup.match(probe)
-            left_part = t.take(pa.array(li))
-            right_part = self.lookup.table.take(pa.array(ri))
-            cols = {name: left_part[name] for name in left_part.column_names}
-            for name in right_part.column_names:
-                if name == right_on and right_on == on:
-                    continue
-                out_name = name if name not in cols else f"{name}_r"
-                cols[out_name] = right_part[name]
-            return pa.table(cols)
+            return join_batch(self.lookup, t)
 
-    return left_ds.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 8))
+    return left_ds.map_batches(
+        Joiner, batch_format="pyarrow", concurrency=concurrency
+    )
 
 
 def shuffle_cell_join(

@@ -65,6 +65,7 @@ def knn_ring(
         "id": refs_table[ref_id].to_numpy(zero_copy_only=False)[order],
     }
     refs_ref = ray.put(packed)
+    key = refs_ref.hex()
 
     class Knn:
         def __init__(self):
@@ -111,7 +112,13 @@ def knn_ring(
             cols["rank"] = pa.array(rank.astype(np.int64))
             return pa.table(cols)
 
-    return queries_ds.map_batches(Knn, batch_format="pyarrow", concurrency=(1, 8))
+    from georay.runtime import per_process
+
+    def fn(t: pa.Table) -> pa.Table:
+        inst = per_process(key, Knn)
+        return inst(t)
+
+    return queries_ds.map_batches(fn, batch_format="pyarrow")
 
 
 def knn_adaptive(
@@ -146,6 +153,7 @@ def knn_adaptive(
         "id": refs_table[ref_id].to_numpy(zero_copy_only=False)[order],
     }
     refs_ref = ray.put(packed)
+    state_key = refs_ref.hex() + "-adaptive"
     nx, ny = codec.split_bits(bits)
     lon_err, lat_err = codec.error_with_precision(bits)
     min_err = min(lon_err, lat_err)
@@ -229,8 +237,13 @@ def knn_adaptive(
             cols["rank"] = pa.array(kf.astype(np.int64))
             return pa.table(cols)
 
-    return queries_ds.map_batches(AdaptiveKnn, batch_format="pyarrow",
-                                  concurrency=(1, 8))
+    from georay.runtime import per_process
+
+    def fn(t: pa.Table) -> pa.Table:
+        inst = per_process(state_key, AdaptiveKnn)
+        return inst(t)
+
+    return queries_ds.map_batches(fn, batch_format="pyarrow")
 
 
 def knn_shuffle(

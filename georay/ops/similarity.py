@@ -36,6 +36,7 @@ def brute_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
     import ray
 
     q_ref = ray.put((np.asarray(query_ids), _normalize(np.asarray(query_mat))))
+    state_key = q_ref.hex()
 
     class LocalTopK:
         def __init__(self):
@@ -58,7 +59,12 @@ def brute_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
                 }
             )
 
-    local = ds.map_batches(LocalTopK, batch_format="pyarrow", concurrency=concurrency)
+    from georay.runtime import per_process
+
+    def local_fn(t: pa.Table) -> pa.Table:
+        return per_process(state_key, LocalTopK)(t)
+
+    local = ds.map_batches(local_fn, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g[np.isfinite(g["sim"])]
@@ -106,6 +112,7 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
     # buckets each query probes
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
     ref = ray.put((np.asarray(query_ids), qn, cents, probe))
+    state_key = ref.hex()
 
     class BucketTopK:
         def __init__(self):
@@ -149,7 +156,12 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
                 }
             )
 
-    local = ds.map_batches(BucketTopK, batch_format="pyarrow", concurrency=concurrency)
+    from georay.runtime import per_process
+
+    def local_fn(t: pa.Table) -> pa.Table:
+        return per_process(state_key, BucketTopK)(t)
+
+    local = ds.map_batches(local_fn, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g[np.isfinite(g["sim"])]
@@ -175,6 +187,7 @@ def cosine_pairs_brute(ds, all_table: pa.Table, threshold: float,
     all_ids = all_table[id_col].to_numpy()
     all_mat = _normalize(emb_matrix(all_table[emb_col]))
     ref = ray.put((all_ids, all_mat))
+    state_key = ref.hex()
 
     class Pairs:
         def __init__(self):
@@ -194,7 +207,12 @@ def cosine_pairs_brute(ds, all_table: pa.Table, threshold: float,
                 }
             )
 
-    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=concurrency)
+    from georay.runtime import per_process
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        return per_process(state_key, Pairs)(t)
+
+    return ds.map_batches(pairs_fn, batch_format="pyarrow")
 
 
 def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,

@@ -23,6 +23,23 @@ import numpy as np
 import pyarrow as pa
 
 
+_STAGE_STATE: dict = {}
+
+
+def per_process(key: str, factory):
+    """Per-worker-process singleton for broadcast-state stages.
+
+    Ray reuses worker processes across tasks, so state built once per
+    process amortizes exactly like actor state while tasks pack elastically
+    with other stages (no reserved-CPU starvation — see ops/images.py
+    docstring for the measured tradeoff)."""
+    inst = _STAGE_STATE.get(key)
+    if inst is None:
+        inst = factory()
+        _STAGE_STATE[key] = inst
+    return inst
+
+
 def detect_heavy_keys(ds, col: str, threshold: int) -> np.ndarray:
     """Keys with more than ``threshold`` rows, via partial counts (the
     shuffle moves one row per distinct key per batch, never the data)."""
@@ -92,9 +109,12 @@ def write_partitioned(
     """Write one parquet file per partition key with atomic rename + manifest.
 
     On resume, partitions already committed in the manifest are filtered out
-    BEFORE the shuffle, so finished work is skipped entirely. Returns the
-    manifest dict. The partition column should be coarse (e.g. a cell
-    prefix): one file per key."""
+    BEFORE the shuffle, so finished writes are skipped. NOTE: upstream
+    compute still re-runs when the partition column is only derived late in
+    the pipeline — for full input-side skipping, partition by a key
+    derivable at the source (as ``CellIndex.build`` does with the cell
+    prefix). Returns the manifest dict. The partition column should be
+    coarse (e.g. a cell prefix): one file per key."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = load_manifest(out_dir) if resume else {"partitions": {}}
     done = set(manifest["partitions"]) if resume else set()
@@ -111,11 +131,19 @@ def write_partitioned(
     import pandas as pd
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        import re
+
         import pyarrow.parquet as pq
 
         key = str(g[partition_col].iloc[0])
+        # keys may contain path separators (tile ids like "t3/0") — sanitize
+        # for the filename, disambiguate with a short key hash; the manifest
+        # keeps the raw key
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", key)
+        digest = hashlib.sha1(key.encode()).hexdigest()[:8]
         t0 = time.time()
-        final = os.path.join(out_dir, f"part-{key}.parquet")
+        final = os.path.join(out_dir, f"part-{safe}-{digest}.parquet")
         tmp = final + f".tmp{os.getpid()}"
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
         os.replace(tmp, final)  # atomic commit of the partition file

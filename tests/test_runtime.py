@@ -62,15 +62,16 @@ def test_write_partitioned_and_resume(ray_session, tmp_path):
 
     # resume: delete one partition file but keep the manifest entry ->
     # rerun must NOT rewrite it (it is committed)
-    os.remove(os.path.join(out, "part-2.parquet"))
+    part2 = [f for f in os.listdir(out) if f.startswith("part-2-")][0]
+    os.remove(os.path.join(out, part2))
     man2 = runtime.write_partitioned(ds, out, "part", lineage="unit-test-2")
-    assert not os.path.exists(os.path.join(out, "part-2.parquet"))
+    assert not any(f.startswith("part-2-") for f in os.listdir(out))
     assert set(man2["partitions"]) == {"0", "1", "2", "3"}
 
     # fresh rerun after wiping the manifest rewrites everything
     os.remove(os.path.join(out, "_manifest.json"))
     man3 = runtime.write_partitioned(ds, out, "part", lineage="unit-test-3")
-    assert os.path.exists(os.path.join(out, "part-2.parquet"))
+    assert any(f.startswith("part-2-") for f in os.listdir(out))
     assert sum(p["rows"] for p in man3["partitions"].values()) == 100
 
     # data round-trips
