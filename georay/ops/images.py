@@ -229,6 +229,53 @@ def image_features(ds, thumb: tuple[int, int] = (16, 16), concurrency=None):
     )
 
 
+def audio_features(ds, frame_len: int = 1024):
+    """Audio feature extraction for opaque binary audio columns (the
+    multimodal-column pattern, SURVEY.md N7 family).
+
+    ``rawa`` fmt (little-endian header ``<IH``: sample_rate, channels,
+    then int16 PCM) is decoded FOR REAL in numpy — no codec library needed;
+    compressed formats (mp3/flac/...) raise ``NotImplementedError`` (no
+    audio libs in this sandbox). Output per row: duration_ms, rms,
+    peak, zero_crossings, n_frames — all vectorized numpy.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        ids = t["audio_id"].to_pylist()
+        dur, rms, peak, zc, nf = [], [], [], [], []
+        for fmt, blob in zip(fmts, blobs):
+            if fmt != "rawa":
+                raise NotImplementedError(
+                    f"audio codec {fmt!r} unavailable in this sandbox (no audio libs)"
+                )
+            import struct
+
+            rate, chans = struct.unpack_from("<IH", blob, 0)
+            pcm = np.frombuffer(blob, dtype=np.int16, offset=6)
+            if chans > 1:
+                pcm = pcm.reshape(-1, chans).mean(axis=1)
+            x = pcm.astype(np.float64) / 32768.0
+            dur.append(int(x.size / rate * 1000))
+            rms.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+            peak.append(float(np.abs(x).max()) if x.size else 0.0)
+            zc.append(int(np.count_nonzero(np.diff(np.signbit(x)))))
+            nf.append(int(np.ceil(x.size / frame_len)))
+        return pa.table(
+            {
+                "audio_id": pa.array(ids, pa.string()),
+                "duration_ms": pa.array(dur, pa.int64()),
+                "rms": pa.array(rms),
+                "peak": pa.array(peak),
+                "zero_crossings": pa.array(zc, pa.int64()),
+                "n_frames": pa.array(nf, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
 def sample_video_frames(ds, every_n: int = 10):
     """Frame-sampling stage for video payloads (SURVEY.md N7 family).
 

@@ -114,15 +114,18 @@ def shuffle_cell_join(
     num_partitions: int = 32,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
+    join_type: str = "inner",
 ):
-    """Inner equi-join of two large Datasets: Ray Data hash shuffle join."""
+    """Equi-join of two large Datasets: Ray Data hash shuffle join.
+
+    ``join_type``: inner / left_outer / right_outer / full_outer."""
     if left_cols is not None:
         left_ds = left_ds.select_columns(list(dict.fromkeys([on] + left_cols)))
     if right_cols is not None:
         right_ds = right_ds.select_columns(list(dict.fromkeys([on] + right_cols)))
     return left_ds.join(
         right_ds,
-        join_type="inner",
+        join_type=join_type,
         num_partitions=num_partitions,
         on=(on,),
         right_suffix="_r",

@@ -93,3 +93,45 @@ def test_sample_video_unknown_codec_raises(ray_session):
     )
     with pytest.raises(Exception, match="ffmpeg|NotImplemented|video codec"):
         sample_video_frames(ray.data.from_arrow(t)).to_pandas()
+
+
+def _make_raw_audio(freq=440.0, rate=8000, secs=0.5, chans=1) -> bytes:
+    import struct
+
+    t = np.arange(int(rate * secs)) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype(np.int16)
+    if chans == 2:
+        x = np.stack([x, x], axis=1).reshape(-1)
+    return struct.pack("<IH", rate, chans) + x.tobytes()
+
+
+def test_audio_features(ray_session):
+    import ray
+
+    from georay.ops.images import audio_features
+
+    t = pa.table(
+        {
+            "audio_id": ["a1", "a2"],
+            "fmt": ["rawa", "rawa"],
+            "bytes": pa.array([_make_raw_audio(), _make_raw_audio(freq=880, chans=2)], pa.binary()),
+        }
+    )
+    out = audio_features(ray.data.from_arrow(t)).to_pandas().set_index("audio_id")
+    assert out.loc["a1", "duration_ms"] == 500
+    assert abs(out.loc["a1", "rms"] - 0.5 / np.sqrt(2)) < 0.01  # sine RMS
+    # 440 Hz over 0.5 s -> ~440 zero crossings (2 per cycle * 220 cycles)
+    assert 430 <= out.loc["a1", "zero_crossings"] <= 450
+    assert out.loc["a2", "zero_crossings"] > out.loc["a1", "zero_crossings"]
+
+
+def test_audio_unknown_codec_raises(ray_session):
+    import ray
+
+    from georay.ops.images import audio_features
+
+    t = pa.table(
+        {"audio_id": ["x"], "fmt": ["mp3"], "bytes": pa.array([b"\x00" * 50], pa.binary())}
+    )
+    with pytest.raises(Exception, match="audio codec|NotImplemented"):
+        audio_features(ray.data.from_arrow(t)).to_pandas()

@@ -265,3 +265,27 @@ def test_knn_adaptive_sparse_refs(ray_session):
             want.add((q["lkey"], row["rkey"], rank))
     got = set(zip(out["lkey"], out["rkey"], out["rank"]))
     assert got == want
+
+
+def test_shuffle_join_left_outer(ray_session, point_tables):
+    import ray
+
+    left, right = point_tables
+    bits = 12  # sparse -> many unmatched customers
+    lt = _with_cells(left.slice(0, 500), "lkey", bits)
+    rt = _with_cells(right, "rkey", bits)
+    out = join_ops.shuffle_cell_join(
+        ray.data.from_arrow(lt).repartition(3),
+        ray.data.from_arrow(rt),
+        on="cell",
+        num_partitions=4,
+        left_cols=["lkey"],
+        right_cols=["rkey"],
+        join_type="left_outer",
+    ).to_pandas()
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    m = ldf[["lkey", "cell"]].merge(rdf[["rkey", "cell"]], on="cell", how="left")
+    assert len(out) == len(m)
+    got = set(zip(out["lkey"], out["rkey"].fillna(-1)))
+    want = set(zip(m["lkey"], m["rkey"].fillna(-1)))
+    assert got == want
