@@ -24,6 +24,7 @@ import pyarrow as pa
 
 
 _STAGE_STATE: dict = {}
+_STAGE_STATE_MAX = 32  # distinct broadcast states kept per worker process
 
 
 def per_process(key: str, factory):
@@ -32,11 +33,15 @@ def per_process(key: str, factory):
     Ray reuses worker processes across tasks, so state built once per
     process amortizes exactly like actor state while tasks pack elastically
     with other stages (no reserved-CPU starvation — see ops/images.py
-    docstring for the measured tradeoff)."""
-    inst = _STAGE_STATE.get(key)
+    docstring for the measured tradeoff). LRU-capped: long-lived sessions
+    running many pipelines would otherwise accumulate one lookup table per
+    broadcast ref forever."""
+    inst = _STAGE_STATE.pop(key, None)
     if inst is None:
         inst = factory()
-        _STAGE_STATE[key] = inst
+    _STAGE_STATE[key] = inst  # re-insert -> most-recently-used position
+    while len(_STAGE_STATE) > _STAGE_STATE_MAX:
+        _STAGE_STATE.pop(next(iter(_STAGE_STATE)))
     return inst
 
 
