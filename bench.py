@@ -146,9 +146,68 @@ def run_scaling() -> dict:
     }
 
 
+def run_single_process() -> dict:
+    """Single-process, no-Ray reference run of the flagship semantics over
+    the sf-derived image table (the 'single-node reference' comparator of
+    BASELINE.json: identical results, sequential numpy execution)."""
+    import glob
+    import time as _t
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, REPO)
+    from georay import fixtures
+    from georay.geometry import PolygonSet
+    from georay.ops.images import DecodeInvariant
+
+    # table must exist (generate via ray once, untimed, if missing)
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    n_images = fixtures.n_images_for(SF_DIR)
+    path = fixtures.ensure_images_table_n(n_images)
+    ray.shutdown()
+
+    ids, _z, rings = fixtures.make_tiles()
+    polyset = PolygonSet(ids, rings, bits=10)
+    dec = DecodeInvariant()
+    t0 = _t.time()
+    counts: dict = {}
+    n_rows = 0
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        t = pq.read_table(
+            f, columns=["image_id", "fmt", "bytes", "caption", "lon", "lat"]
+        )
+        checked = dec(t)
+        ok = checked.filter(checked["ok"])
+        lon = ok["lon"].to_numpy(zero_copy_only=False)
+        lat = ok["lat"].to_numpy(zero_copy_only=False)
+        p_idx, g_idx = polyset.contains(lon, lat)
+        tids = np.asarray(polyset.poly_ids)[g_idx]
+        u, c = np.unique(tids, return_counts=True)
+        for k, v in zip(u.tolist(), c.tolist()):
+            counts[k] = counts.get(k, 0) + v
+        n_rows += t.num_rows
+    dt = _t.time() - t0
+    return {
+        "metric": "single-process reference flagship (no Ray)",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "images_per_sec": round(n_rows / dt, 1),
+        "n_images": n_rows,
+        "n_tiles": len(counts),
+        "total_pairs": int(sum(counts.values())),
+        "sf": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--single" in sys.argv:
+        print(json.dumps(run_single_process()))
     elif "--only-flagship" in sys.argv:
         print(json.dumps(run_suite(["flagship_images"])))
     else:
