@@ -36,6 +36,10 @@ N_IMAGES = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
 HOT_CITIES = ((-74.006, 40.7128), (2.3522, 48.8566), (139.6917, 35.6895))
 PIXEL_PERIOD = 768  # lcm of all i-periodicities in synth_pixels + dims
 
+# bump whenever row synthesis changes: stale /tmp caches from an older
+# synthesis would otherwise silently break the range()-arithmetic oracles
+FIXTURE_VERSION = 1
+
 
 def n_images_for(sf_dir: str) -> int:
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -104,7 +108,12 @@ def ensure_images_table_n(n: int, cache_root: str = CACHE_ROOT) -> str:
     out = os.path.join(cache_root, f"images_{n}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read().strip() == f"v{FIXTURE_VERSION} n{n}":
+                return out
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)  # stale synthesis version
     import ray.data
 
     def gen(t: pa.Table) -> pa.Table:
@@ -122,7 +131,7 @@ def ensure_images_table_n(n: int, cache_root: str = CACHE_ROOT) -> str:
     )
     os.replace(tmp, out)
     with open(marker, "w") as f:
-        f.write(str(n))
+        f.write(f"v{FIXTURE_VERSION} n{n}")
     return out
 
 
