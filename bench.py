@@ -146,6 +146,74 @@ def run_scaling() -> dict:
     }
 
 
+def run_micro() -> dict:
+    """Micro-benchmark of the reference's hot path (SURVEY.md §3 E1):
+    vectorized int64/string geohash encode + decode throughput, single
+    thread (pure numpy) and through a Ray Data pipeline."""
+    import time as _t
+
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from georay import codec
+
+    rng = np.random.RandomState(0)
+    n = 10_000_000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+
+    def best_of(fn, count, reps=3):  # best-of-N: page-fault/writeback noise
+        best = 0.0
+        for _ in range(reps):
+            t0 = _t.time(); fn(); dt = _t.time() - t0
+            best = max(best, count / dt / 1e6)
+        return round(best, 2)
+
+    out = {}
+    code = codec.encode(lon, lat, 60)
+    out["encode_int64_mpts_per_s"] = best_of(lambda: codec.encode(lon, lat, 60), n)
+    out["decode_int64_mpts_per_s"] = best_of(lambda: codec.decode(code, 60), n)
+    m = 2_000_000
+    s12 = codec.encode_str(lon[:m], lat[:m], 12)
+    out["encode_str12_mpts_per_s"] = best_of(lambda: codec.encode_str(lon[:m], lat[:m], 12), m)
+    out["decode_str12_mpts_per_s"] = best_of(lambda: codec.decode_str(s12), m)
+
+    # distributed: the same encode inside a Dataset pipeline
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    def gen(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy(zero_copy_only=False)
+        glon = ((i * 2654435761) % 360000) / 1000.0 - 180.0
+        glat = ((i * 40503) % 180000) / 1000.0 - 90.0
+        cell = codec.encode(glon, glat, 60)
+        u, c = np.unique(cell >> np.uint64(50), return_counts=True)
+        return pa.table({"p": u.astype(np.int64), "n": c.astype(np.int64)})
+
+    n_dist = 200_000_000
+    t0 = _t.time()
+    total = (
+        ray.data.range(n_dist, override_num_blocks=NUM_CPUS * 4)
+        .map_batches(gen, batch_format="pyarrow")
+        .to_pandas()["n"].sum()
+    )
+    dt = _t.time() - t0
+    assert total == n_dist
+    out["encode_int64_distributed_mpts_per_s"] = round(n_dist / dt / 1e6, 1)
+    ray.shutdown()
+    return {
+        "metric": "cell-codec micro-benchmark",
+        "num_cpus": NUM_CPUS,
+        **out,
+    }
+
+
 def run_single_process() -> dict:
     """Single-process, no-Ray reference run of the flagship semantics over
     the sf-derived image table (the 'single-node reference' comparator of
@@ -206,6 +274,8 @@ def run_single_process() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--micro" in sys.argv:
+        print(json.dumps(run_micro()))
     elif "--single" in sys.argv:
         print(json.dumps(run_single_process()))
     elif "--only-flagship" in sys.argv:

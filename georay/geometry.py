@@ -134,3 +134,59 @@ def make_box_ring(
     rx = np.array([lon0, lon0 + width, lon0 + width, lon0, lon0])
     ry = np.array([lat0, lat0, lat0 + height, lat0 + height, lat0])
     return rx, ry
+
+
+def split_antimeridian_ring(
+    ring_lon: np.ndarray, ring_lat: np.ndarray
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Split an antimeridian-crossing ring into PIP-safe sub-rings.
+
+    Input contract: the ring uses CONTINUOUS longitudes — a ring crossing
+    the antimeridian is expressed with lons beyond ±180 (e.g. 170…195),
+    never with a ±360 jump between consecutive vertices. Output: 1 or 2
+    rings whose lons all lie in [-180, 180], sharing the caller's id
+    (the convention ``PolygonSet`` consumes — SURVEY.md §7 "antimeridian
+    edges").
+
+    Implementation: clip the polygon against the lon=180 (or −180) plane
+    with Sutherland–Hodgman, shifting the overflow part by ∓360.
+    """
+    rx = np.asarray(ring_lon, dtype=np.float64)
+    ry = np.asarray(ring_lat, dtype=np.float64)
+    if np.abs(np.diff(rx)).max(initial=0.0) > 180.0:
+        raise ValueError(
+            "ring has a >180° lon jump — express antimeridian crossings with "
+            "continuous lons beyond ±180 instead"
+        )
+    if rx.max() <= 180.0 and rx.min() >= -180.0:
+        return [(rx, ry)]
+    cut = 180.0 if rx.max() > 180.0 else -180.0
+
+    def clip(keep_ge: bool) -> tuple[np.ndarray, np.ndarray]:
+        # Sutherland–Hodgman against the vertical line lon == cut
+        out_x: list[float] = []
+        out_y: list[float] = []
+        n = rx.size - 1 if (rx[0] == rx[-1] and ry[0] == ry[-1]) else rx.size
+        for j in range(n):
+            x1, y1 = rx[j], ry[j]
+            x2, y2 = rx[(j + 1) % n], ry[(j + 1) % n]
+            in1 = (x1 >= cut) if keep_ge else (x1 <= cut)
+            in2 = (x2 >= cut) if keep_ge else (x2 <= cut)
+            if in1:
+                out_x.append(x1)
+                out_y.append(y1)
+            if in1 != in2:
+                t = (cut - x1) / (x2 - x1)
+                out_x.append(cut)
+                out_y.append(y1 + t * (y2 - y1))
+        return np.array(out_x), np.array(out_y)
+
+    shift = -360.0 if cut == 180.0 else 360.0
+    inside_x, inside_y = clip(keep_ge=(cut == -180.0))
+    over_x, over_y = clip(keep_ge=(cut == 180.0))
+    out = []
+    if inside_x.size >= 3:
+        out.append((inside_x, inside_y))
+    if over_x.size >= 3:
+        out.append((over_x + shift, over_y))
+    return out

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from georay.geometry import PolygonSet, make_box_ring, points_in_ring
 
@@ -75,3 +76,57 @@ def test_polygonset_matches_per_ring():
         inside = points_in_ring(lon, lat, rx, ry)
         want |= {(int(i), g) for i in np.flatnonzero(inside)}
     assert got == want
+
+
+def test_split_antimeridian_ring():
+    from georay.geometry import split_antimeridian_ring
+
+    # box 170..195 (crosses +180), lat 0..10, continuous lons
+    rx = np.array([170.0, 195.0, 195.0, 170.0, 170.0])
+    ry = np.array([0.0, 0.0, 10.0, 10.0, 0.0])
+    parts = split_antimeridian_ring(rx, ry)
+    assert len(parts) == 2
+    for px, py in parts:
+        assert px.max() <= 180.0 and px.min() >= -180.0
+    # combined containment == original (tested at shifted coordinates)
+    test_pts = [(175.0, 5.0, True), (-175.0, 5.0, True), (-160.0, 5.0, False),
+                (160.0, 5.0, False), (175.0, 15.0, False)]
+    for lon, lat, want in test_pts:
+        got = any(
+            points_in_ring(np.array([lon]), np.array([lat]), px, py)[0]
+            for px, py in parts
+        )
+        assert got == want, (lon, lat)
+
+
+def test_split_no_crossing_passthrough():
+    from georay.geometry import split_antimeridian_ring
+
+    rx, ry = make_box_ring(-10, 0, 20, 10)
+    parts = split_antimeridian_ring(rx, ry)
+    assert len(parts) == 1
+    assert np.array_equal(parts[0][0], rx)
+
+
+def test_split_rejects_jump():
+    from georay.geometry import split_antimeridian_ring
+
+    rx = np.array([170.0, -170.0, -170.0, 170.0, 170.0])  # ±360-style jump
+    ry = np.array([0.0, 0.0, 10.0, 10.0, 0.0])
+    with pytest.raises(ValueError):
+        split_antimeridian_ring(rx, ry)
+
+
+def test_split_west_crossing():
+    from georay.geometry import split_antimeridian_ring
+
+    rx = np.array([-195.0, -170.0, -170.0, -195.0, -195.0])
+    ry = np.array([-5.0, -5.0, 5.0, 5.0, -5.0])
+    parts = split_antimeridian_ring(rx, ry)
+    assert len(parts) == 2
+    for lon, lat, want in [(-175.0, 0.0, True), (170.0, 0.0, True), (160.0, 0.0, False)]:
+        got = any(
+            points_in_ring(np.array([lon]), np.array([lat]), px, py)[0]
+            for px, py in parts
+        )
+        assert got == want, (lon, lat)
