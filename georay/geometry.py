@@ -44,6 +44,97 @@ def points_in_ring(
     return inside
 
 
+class STRtree:
+    """Static STR-packed R-tree over boxes, pure numpy (SURVEY.md §7.4 N3).
+
+    Sort-Tile-Recursive bulk load: boxes sorted by center-x into vertical
+    slices, each slice sorted by center-y, packed ``node_cap`` per leaf;
+    parents built bottom-up the same way. Queries walk level arrays with
+    vectorized bbox-overlap tests (no per-node Python objects).
+
+    The cell-cover index in :class:`PolygonSet` beats this when covers are
+    cheap (few, axis-aligned-ish polygons); the R-tree wins for many small
+    or skinny polygons where covers explode.
+    """
+
+    def __init__(self, boxes: np.ndarray, node_cap: int = 8):
+        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+        self.n = boxes.shape[0]
+        self.node_cap = node_cap
+        order = self._str_order(boxes)
+        self.leaf_order = order  # position -> original box index
+        self.sorted_boxes = boxes[order]  # leaf-position -> box bbox
+        self.levels: list[np.ndarray] = []  # each: (m, 4) node bboxes
+        cur = boxes[order]
+        while True:
+            m = cur.shape[0]
+            n_nodes = (m + node_cap - 1) // node_cap
+            nodes = np.empty((n_nodes, 4))
+            for j in range(n_nodes):
+                seg = cur[j * node_cap : (j + 1) * node_cap]
+                nodes[j] = (seg[:, 0].min(), seg[:, 1].min(),
+                            seg[:, 2].max(), seg[:, 3].max())
+            self.levels.append(nodes)
+            if n_nodes == 1:
+                break
+            cur = nodes
+        self.levels.reverse()  # root first
+
+    @staticmethod
+    def _str_order(boxes: np.ndarray) -> np.ndarray:
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2
+        n = boxes.shape[0]
+        n_slices = max(1, int(np.ceil(np.sqrt(n / 8))))
+        by_x = np.argsort(cx, kind="stable")
+        slice_size = (n + n_slices - 1) // n_slices
+        out = []
+        for s in range(n_slices):
+            sl = by_x[s * slice_size : (s + 1) * slice_size]
+            out.append(sl[np.argsort(cy[sl], kind="stable")])
+        return np.concatenate(out) if out else np.empty(0, np.int64)
+
+    def query_point(self, lon: float, lat: float) -> np.ndarray:
+        """Original indices of boxes containing the point."""
+        if self.n == 0:
+            return np.empty(0, dtype=np.int64)
+        frontier = np.array([0])
+        for lvl, nodes in enumerate(self.levels):
+            b = nodes[frontier]
+            hit = frontier[
+                (b[:, 0] <= lon) & (b[:, 2] >= lon)
+                & (b[:, 1] <= lat) & (b[:, 3] >= lat)
+            ]
+            if lvl == len(self.levels) - 1:
+                # leaf-level nodes -> expand to box positions, then test
+                # the actual boxes (node bboxes are aggregates)
+                pos = np.concatenate(
+                    [
+                        np.arange(j * self.node_cap,
+                                  min((j + 1) * self.node_cap, self.n))
+                        for j in hit
+                    ]
+                ).astype(np.int64) if hit.size else np.empty(0, np.int64)
+                bb = self.sorted_boxes[pos]
+                inside = (
+                    (bb[:, 0] <= lon) & (bb[:, 2] >= lon)
+                    & (bb[:, 1] <= lat) & (bb[:, 3] >= lat)
+                )
+                return self.leaf_order[pos[inside]]
+            # expand to children at the next level
+            nxt = []
+            for j in hit:
+                lo = j * self.node_cap
+                hi = min((j + 1) * self.node_cap, self.levels[lvl + 1].shape[0])
+                nxt.append(np.arange(lo, hi))
+            frontier = (
+                np.concatenate(nxt).astype(np.int64) if nxt else np.empty(0, np.int64)
+            )
+            if frontier.size == 0:
+                return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64)
+
+
 class PolygonSet:
     """A broadcastable, immutable set of polygons with a cell-cover index.
 
@@ -53,10 +144,12 @@ class PolygonSet:
     point only ray-casts against polygons whose cover contains its cell.
     """
 
-    def __init__(self, poly_ids: list, rings: list, bits: int = 12):
+    def __init__(self, poly_ids: list, rings: list, bits: int = 12,
+                 backend: str = "cells"):
         if len(poly_ids) != len(rings):
             raise ValueError("poly_ids and rings must align")
         self.bits = bits
+        self.backend = backend
         self.poly_ids = np.asarray(poly_ids)
         self.rings = [
             (np.asarray(r[0], dtype=np.float64), np.asarray(r[1], dtype=np.float64))
@@ -65,6 +158,11 @@ class PolygonSet:
         self.bbox = np.array(
             [(rx.min(), ry.min(), rx.max(), ry.max()) for rx, ry in self.rings]
         )
+        if backend == "rtree":
+            self._tree = STRtree(self.bbox)
+            self._cells = None
+            self._polys = None
+            return
         # cell -> candidate polygon indices (CSR layout for numpy lookup)
         cover_cells = []
         cover_polys = []
@@ -101,8 +199,17 @@ class PolygonSet:
         one ray-cast per (polygon, its candidate points) subset."""
         lon = np.asarray(lon, dtype=np.float64)
         lat = np.asarray(lat, dtype=np.float64)
-        cell = codec.encode(lon, lat, self.bits)
-        p_idx, g_idx = self.candidates(cell)
+        if self.backend == "rtree":
+            pi, gi = [], []
+            for i in range(lon.shape[0]):  # per-point tree walk
+                hits = self._tree.query_point(float(lon[i]), float(lat[i]))
+                pi.append(np.full(hits.size, i, dtype=np.int64))
+                gi.append(hits)
+            p_idx = np.concatenate(pi) if pi else np.empty(0, np.int64)
+            g_idx = (np.concatenate(gi) if gi else np.empty(0, np.int64)).astype(np.int64)
+        else:
+            cell = codec.encode(lon, lat, self.bits)
+            p_idx, g_idx = self.candidates(cell)
         if p_idx.size == 0:
             return p_idx, g_idx
         bb = self.bbox[g_idx]

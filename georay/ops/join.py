@@ -132,6 +132,76 @@ def shuffle_cell_join(
     )
 
 
+def salted_shuffle_join(
+    left_ds,
+    right_ds,
+    hot_keys,
+    on: str = "cell",
+    n_salt: int = 8,
+    num_partitions: int = 32,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+):
+    """Skew-hardened hash join (SURVEY.md §4 skew row): hot join keys are
+    salted on the LEFT (rows spread over ``key*n_salt + salt`` sub-keys) and
+    REPLICATED ``n_salt``× on the RIGHT, so a dense cell's rows land on
+    ``n_salt`` reducers instead of one. Cold keys map to ``key*n_salt``
+    unchanged. Output rows carry the original (unsalted) key — row counts
+    are exactly those of the plain join.
+    """
+    import numpy as np
+
+    hot = np.sort(np.unique(np.asarray(hot_keys)))
+
+    if left_cols is not None:
+        left_ds = left_ds.select_columns(list(dict.fromkeys([on] + left_cols)))
+    if right_cols is not None:
+        right_ds = right_ds.select_columns(list(dict.fromkeys([on] + right_cols)))
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        key = t[on].to_numpy(zero_copy_only=False)
+        rid = np.arange(key.shape[0], dtype=np.int64)
+        salt = ((key ^ (rid * 0x9E3779B9)) % n_salt).astype(np.int64)
+        salted = key * n_salt + np.where(np.isin(key, hot), salt, 0)
+        return t.append_column("_sk", pa.array(salted))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        key = t[on].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(key, hot)
+        # cold rows once at salt 0; hot rows replicated across all salts
+        reps = np.where(is_hot, n_salt, 1)
+        idx = np.repeat(np.arange(key.shape[0]), reps)
+        base = t.take(pa.array(idx))
+        salts = np.concatenate(
+            [np.arange(r, dtype=np.int64) for r in reps]
+        ) if key.size else np.empty(0, np.int64)
+        salted = key[idx] * n_salt + salts
+        return base.append_column("_sk", pa.array(salted))
+
+    joined = (
+        left_ds.map_batches(salt_left, batch_format="pyarrow")
+        .join(
+            right_ds.map_batches(replicate_right, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("_sk",),
+            left_suffix="_l",
+            right_suffix="_r",
+        )
+    )
+
+    def unsalt(t: pa.Table) -> pa.Table:
+        drop = [c for c in ("_sk", f"{on}_r") if c in t.column_names]
+        out = t.drop_columns(drop)
+        if f"{on}_l" in out.column_names:
+            out = out.rename_columns(
+                [on if c == f"{on}_l" else c for c in out.column_names]
+            )
+        return out
+
+    return joined.map_batches(unsalt, batch_format="pyarrow")
+
+
 def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
     """Semi / anti join: the key SET is broadcast once (ray.put) and each
     batch filters with a sorted-array membership test — no shuffle. At the

@@ -130,3 +130,37 @@ def test_split_west_crossing():
             for px, py in parts
         )
         assert got == want, (lon, lat)
+
+
+def test_strtree_matches_brute_bbox():
+    from georay.geometry import STRtree
+
+    rng = np.random.RandomState(7)
+    n = 500
+    x0 = rng.uniform(-170, 150, n); y0 = rng.uniform(-80, 60, n)
+    boxes = np.stack([x0, y0, x0 + rng.uniform(1, 20, n), y0 + rng.uniform(1, 15, n)], 1)
+    tree = STRtree(boxes)
+    for _ in range(200):
+        lon, lat = rng.uniform(-180, 180), rng.uniform(-90, 90)
+        got = set(tree.query_point(lon, lat).tolist())
+        want = set(np.flatnonzero(
+            (boxes[:, 0] <= lon) & (boxes[:, 2] >= lon)
+            & (boxes[:, 1] <= lat) & (boxes[:, 3] >= lat)
+        ).tolist())
+        assert got == want
+
+
+def test_polygonset_rtree_backend_matches_cells():
+    rng = np.random.RandomState(8)
+    ids, rings = [], []
+    for i in range(30):
+        rings.append(make_box_ring(rng.uniform(-170, 140), rng.uniform(-80, 60),
+                                   rng.uniform(2, 25), rng.uniform(2, 18)))
+        ids.append(i)
+    a = PolygonSet(ids, rings, bits=12, backend="cells")
+    b = PolygonSet(ids, rings, bits=12, backend="rtree")
+    lon = rng.uniform(-180, 180, 1500)
+    lat = rng.uniform(-90, 90, 1500)
+    pa_, ga = a.contains(lon, lat)
+    pb, gb = b.contains(lon, lat)
+    assert set(zip(pa_.tolist(), ga.tolist())) == set(zip(pb.tolist(), gb.tolist()))

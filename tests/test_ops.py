@@ -289,3 +289,31 @@ def test_shuffle_join_left_outer(ray_session, point_tables):
     got = set(zip(out["lkey"], out["rkey"].fillna(-1)))
     want = set(zip(m["lkey"], m["rkey"].fillna(-1)))
     assert got == want
+
+
+def test_salted_shuffle_join_matches_plain(ray_session):
+    import ray
+
+    from georay import runtime
+
+    rng = np.random.RandomState(3)
+    # heavy skew: half of left and a third of right in one hot cell
+    lkey = np.where(np.arange(4000) % 2 == 0, 99, rng.randint(0, 50, 4000))
+    rkey = np.where(np.arange(600) % 3 == 0, 99, rng.randint(0, 50, 600))
+    lt = pa.table({"cell": lkey.astype(np.int64), "lid": np.arange(4000, dtype=np.int64)})
+    rt = pa.table({"cell": rkey.astype(np.int64), "rid": np.arange(600, dtype=np.int64)})
+    lds = ray.data.from_arrow(lt).repartition(6)
+    rds = ray.data.from_arrow(rt).repartition(3)
+    hot = runtime.detect_heavy_keys(lds, "cell", threshold=500)
+    assert 99 in hot.tolist()
+    out = join_ops.salted_shuffle_join(
+        lds, rds, hot, on="cell", n_salt=8, num_partitions=8,
+        left_cols=["lid"], right_cols=["rid"],
+    ).to_pandas()
+    plain = lt.to_pandas().merge(rt.to_pandas(), on="cell")
+    assert len(out) == len(plain)
+    assert set(zip(out["lid"], out["rid"])) == set(zip(plain["lid"], plain["rid"]))
+    # unsalted key column restored
+    assert set(out.columns) >= {"cell", "lid", "rid"}
+    m = out.merge(lt.to_pandas(), on="lid", suffixes=("", "_orig"))
+    assert (m["cell"] == m["cell_orig"]).all()
