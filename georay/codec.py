@@ -327,7 +327,8 @@ def where_zones(codes_2d: np.ndarray) -> dict:
     sorted_codes = flat[order]
     r = rows.reshape(-1)[order]
     c = cols.reshape(-1)[order]
-    bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+    # != comparison, not np.diff: code rasters may be string/bytes dtype
+    bounds = np.flatnonzero(sorted_codes[1:] != sorted_codes[:-1]) + 1
     out = {}
     for seg in np.split(np.arange(flat.size), bounds):
         code = sorted_codes[seg[0]]

@@ -61,6 +61,11 @@ class STRtree:
         boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
         self.n = boxes.shape[0]
         self.node_cap = node_cap
+        if self.n == 0:  # (0+cap-1)//cap == 0 would never reach n_nodes==1
+            self.leaf_order = np.empty(0, dtype=np.int64)
+            self.sorted_boxes = boxes
+            self.levels = []
+            return
         order = self._str_order(boxes)
         self.leaf_order = order  # position -> original box index
         self.sorted_boxes = boxes[order]  # leaf-position -> box bbox

@@ -117,8 +117,6 @@ class CellIndex:
 
         files = self._files_for_prefixes(prefixes)
         if not files:
-            import pyarrow.parquet as pq
-
             return None
         return ray.data.read_parquet(files, columns=columns)
 
@@ -128,6 +126,10 @@ class CellIndex:
         cells = np.unique(np.asarray(cells, dtype=np.uint64))
         shift = self.bits - self.prefix_bits
         prefixes = set((cells >> np.uint64(shift)).astype(np.int64).tolist())
+        if columns is not None:
+            # the refine step needs the cell column; _prefix is dropped there
+            columns = list(dict.fromkeys(list(columns) + [self.cell_col]))
+            columns = [c for c in columns if c != "_prefix"]
         ds = self._read_pruned(prefixes, columns)
         if ds is None:
             return None
@@ -137,7 +139,10 @@ class CellIndex:
         def refine(t: pa.Table) -> pa.Table:
             got = t[cell_col].to_numpy(zero_copy_only=False)
             keep = np.isin(got, wanted)
-            return t.filter(pa.array(keep)).drop_columns(["_prefix"])
+            out = t.filter(pa.array(keep))
+            if "_prefix" in out.column_names:
+                out = out.drop_columns(["_prefix"])
+            return out
 
         return ds.map_batches(refine, batch_format="pyarrow")
 

@@ -9,7 +9,7 @@ Two physical strategies, chosen by side size:
   point×polygon-table joins.
 - :func:`shuffle_cell_join` — both sides large: Ray Data's hash-partitioned
   ``Dataset.join`` (all-to-all exchange on the cell key). Use
-  ``georay.runtime.salt_hot_cells`` first when the key distribution is
+  ``georay.runtime.salt_hot_keys`` first when the key distribution is
   skewed (dense urban cells).
 """
 
@@ -172,9 +172,10 @@ def salted_shuffle_join(
         reps = np.where(is_hot, n_salt, 1)
         idx = np.repeat(np.arange(key.shape[0]), reps)
         base = t.take(pa.array(idx))
-        salts = np.concatenate(
-            [np.arange(r, dtype=np.int64) for r in reps]
-        ) if key.size else np.empty(0, np.int64)
+        # vectorized 0..r-1 per row (range-expand idiom, no Python loop)
+        total = int(reps.sum())
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        salts = np.arange(total, dtype=np.int64) - starts
         salted = key[idx] * n_salt + salts
         return base.append_column("_sk", pa.array(salted))
 
@@ -214,9 +215,11 @@ def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
     def fn(t: pa.Table) -> pa.Table:
         kset = ray.get(keys_ref)
         probe = t[on].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(kset, probe)
-        pos = np.clip(pos, 0, kset.size - 1)
-        hit = (kset.size > 0) & (kset[pos] == probe)
+        if kset.size == 0:  # empty key set: semi -> nothing, anti -> all
+            hit = np.zeros(probe.shape[0], dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(kset, probe), 0, kset.size - 1)
+            hit = kset[pos] == probe
         keep = ~hit if anti else hit
         return t.filter(pa.array(keep))
 

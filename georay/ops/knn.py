@@ -21,6 +21,12 @@ import pyarrow as pa
 from georay import cells
 
 
+def codec_split_nx(bits: int) -> int:
+    from georay import codec
+
+    return codec.split_bits(bits)[0]
+
+
 def _topk_per_query(
     qidx: np.ndarray, dist: np.ndarray, tiebreak: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -82,6 +88,17 @@ def knn_ring(
             flat_q = np.repeat(np.arange(n), ring_cells.shape[1])
             flat_ok = valid.reshape(-1)
             flat_cells, flat_q = flat_cells[flat_ok], flat_q[flat_ok]
+            # dedupe ring cells per query: rings wider than the lon grid
+            # alias around the wrap and would duplicate candidates (only
+            # possible on tiny grids, so the int64 combo below cannot
+            # overflow)
+            uniqmask = np.ones(flat_cells.size, dtype=bool)
+            if (2 * ring + 1) > (1 << codec_split_nx(bits)):
+                combo = flat_q.astype(np.int64) * np.int64(1 << bits) + flat_cells
+                _, first = np.unique(combo, return_index=True)
+                uniqmask = np.zeros(flat_cells.size, dtype=bool)
+                uniqmask[first] = True
+            flat_cells, flat_q = flat_cells[uniqmask], flat_q[uniqmask]
             lo = np.searchsorted(refs["cell"], flat_cells, side="left")
             hi = np.searchsorted(refs["cell"], flat_cells, side="right")
             counts = hi - lo
@@ -164,6 +181,17 @@ def knn_adaptive(
             self.refs = ray.get(refs_ref)
 
         def _candidates(self, qcell, d):
+            # (2d+1)^2 cell enumeration explodes at large d (sparse refs at
+            # fine precisions): past a threshold, fall back to brute force
+            # against ALL refs — they are broadcast and bounded here, and
+            # every ref is trivially inside a whole-grid ring
+            if (2 * d + 1) ** 2 > 4096:
+                nq, nr = qcell.shape[0], self.refs["id"].size
+                return (
+                    np.repeat(np.arange(nq), nr),
+                    np.tile(np.arange(nr), nq),
+                    True,  # brute force: result is globally exact already
+                )
             ring_cells, valid = cells.k_ring(qcell, bits, d)
             flat_cells = ring_cells.reshape(-1).astype(np.int64)
             flat_q = np.repeat(np.arange(qcell.shape[0]), ring_cells.shape[1])
@@ -174,7 +202,7 @@ def knn_adaptive(
             counts = hi - lo
             total = int(counts.sum())
             if total == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
+                return np.empty(0, np.int64), np.empty(0, np.int64), False
             qidx = np.repeat(flat_q, counts)
             starts = np.repeat(np.cumsum(counts) - counts, counts)
             ridx = np.arange(total) - starts + np.repeat(lo, counts)
@@ -183,7 +211,7 @@ def knn_adaptive(
             # twice; dedupe or the rank sequence counts duplicates
             pair = qidx * np.int64(self.refs["id"].size) + ridx
             uniq = np.unique(pair)
-            return uniq // self.refs["id"].size, uniq % self.refs["id"].size
+            return uniq // self.refs["id"].size, uniq % self.refs["id"].size, False
 
         def __call__(self, t: pa.Table) -> pa.Table:
             refs = self.refs
@@ -198,7 +226,7 @@ def knn_adaptive(
             d = 1
             while unresolved.size:
                 sub = unresolved
-                qidx_s, ridx = self._candidates(qcell_all[sub], d)
+                qidx_s, ridx, exact = self._candidates(qcell_all[sub], d)
                 if qidx_s.size:
                     dx = qlon_all[sub][qidx_s] - refs["lon"][ridx]
                     dy = qlat_all[sub][qidx_s] - refs["lat"][ridx]
@@ -215,7 +243,7 @@ def knn_adaptive(
                     )
                 else:
                     done = np.zeros(sub.size, dtype=bool)
-                if d >= max_ring:
+                if exact or d >= max_ring:
                     done = np.ones(sub.size, dtype=bool)
                 if done.any() and qidx_s.size:
                     keep = done[sq]
@@ -268,10 +296,16 @@ def knn_shuffle(
         m = ring_cells.shape[1]
         idx = np.repeat(np.arange(qcell.shape[0]), m)
         flat_ok = valid.reshape(-1)
-        base = t.drop_columns([cell_col]).take(pa.array(idx[flat_ok]))
-        return base.append_column(
-            cell_col, pa.array(ring_cells.reshape(-1)[flat_ok].astype(np.int64))
-        )
+        idx = idx[flat_ok]
+        flat_cells = ring_cells.reshape(-1)[flat_ok].astype(np.int64)
+        # wrap-aliasing dedup (ring wider than the lon grid -> duplicate
+        # (query, cell) probes -> duplicated join candidates)
+        if (2 * ring + 1) > (1 << codec_split_nx(bits)):
+            combo = idx.astype(np.int64) * np.int64(1 << bits) + flat_cells
+            _, first = np.unique(combo, return_index=True)
+            idx, flat_cells = idx[first], flat_cells[first]
+        base = t.drop_columns([cell_col]).take(pa.array(idx))
+        return base.append_column(cell_col, pa.array(flat_cells))
 
     exploded = queries_ds.map_batches(explode, batch_format="pyarrow")
     joined = exploded.join(

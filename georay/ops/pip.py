@@ -14,8 +14,6 @@ import pyarrow as pa
 
 from georay.geometry import PolygonSet
 
-_PIP_STATE: dict = {}
-
 
 def pip_assign(
     points_ds,
@@ -47,12 +45,11 @@ def pip_assign(
         return base.append_column(poly_id_col, pa.array(ids))
 
     if concurrency is None:
+        from georay.runtime import per_process
 
         def fn(t: pa.Table) -> pa.Table:
-            polyset = _PIP_STATE.get(key)
-            if polyset is None:
-                polyset = ray.get(polyset_ref)  # once per worker process
-                _PIP_STATE[key] = polyset
+            # LRU-capped per-process cache (one entry per broadcast ref)
+            polyset = per_process(key, lambda: ray.get(polyset_ref))
             return assign(polyset, t)
 
         return points_ds.map_batches(fn, batch_format="pyarrow")

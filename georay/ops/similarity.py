@@ -246,8 +246,6 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
         sims = mat @ mat.T
         ia, ib = np.triu_indices(ids.size, k=1)
         keep = sims[ia, ib] >= threshold
-        order = np.argsort(ids)
-        del order
         a, b = ids[ia[keep]], ids[ib[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[ia, ib][keep]})

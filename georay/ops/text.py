@@ -126,24 +126,40 @@ _FP_BASE = np.uint64(1099511628211)
 _FP_SEED = np.uint64(0xCBF29CE484222325)
 
 
+_FP_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    """Cached [BASE^0 .. BASE^n] table (mod 2^64) — grown on demand."""
+    cached = _FP_POW_CACHE.get(0)
+    if cached is None or cached.size < n + 1:
+        size = max(n + 1, 1024)
+        with np.errstate(over="ignore"):
+            p = np.empty(size, dtype=np.uint64)
+            acc = np.uint64(1)
+            for j in range(size):
+                p[j] = acc
+                acc *= _FP_BASE
+        _FP_POW_CACHE[0] = p
+        cached = p
+    return cached
+
+
 def fingerprint64(texts: np.ndarray, prefix: int | None = None) -> np.ndarray:
-    """Vectorized rolling polynomial hash over UTF-8 bytes (one uint64 per
-    doc). ``prefix`` hashes only the first N chars (dedup-by-prefix key).
-    Grouping by this fingerprint ≡ grouping by the (prefix of the) text, up
-    to 2^-64 collisions — the SQL oracle groups by the text itself."""
+    """Rolling polynomial hash over UTF-8 bytes (one uint64 per doc), with a
+    shared cached powers table (no per-doc table rebuild). ``prefix`` hashes
+    only the first N chars (dedup-by-prefix key). Grouping by this
+    fingerprint ≡ grouping by the (prefix of the) text, up to 2^-64
+    collisions — the SQL oracle groups by the text itself."""
     out = np.empty(texts.shape[0], dtype=np.uint64)
+    max_len = max((len(s[:prefix] if prefix else s) for s in texts), default=0)
+    powers = _fp_powers(max_len * 4 + 8)  # utf-8 can be up to 4 B/char
     with np.errstate(over="ignore"):
         for i, s in enumerate(texts):
             b = s[:prefix].encode() if prefix else s.encode()
             arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
             n = arr.size
-            # horner via cumprod-free dot: sum(byte[j] * BASE^(n-1-j))
-            powers = np.empty(n, dtype=np.uint64)
-            acc = np.uint64(1)
-            for j in range(n):
-                powers[j] = acc
-                acc *= _FP_BASE
-            out[i] = (arr * powers[::-1]).sum(dtype=np.uint64) + _FP_SEED * acc
+            out[i] = (arr * powers[n - 1 :: -1][:n]).sum(dtype=np.uint64)                 + _FP_SEED * powers[n]
     return out
 
 

@@ -548,51 +548,18 @@ def _emb_matrix(col) -> np.ndarray:
 
 
 def q_ann_topk(sf_dir: str):
-    """Brute-force cosine top-k per query against a broadcast query matrix:
-    per-batch numpy matmul + local top-k, then a tiny per-query merge."""
-    import pandas as pd
-    import ray
+    """Brute-force cosine top-k per query against a broadcast query matrix
+    (ops.similarity.brute_topk — per-batch matmul + local top-k, tiny
+    per-query merge)."""
+    from georay.ops import similarity as sim
 
     q_table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     mask = (q_table["vec_id"].to_numpy() % 10) == 0
     q_ids = q_table["vec_id"].to_numpy()[mask]
-    q_mat = _emb_matrix(q_table["embedding"])[mask].astype(np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_ref = ray.put((q_ids, q_mat))
-
+    q_mat = sim.emb_matrix(q_table["embedding"])[mask]
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    class LocalTopK:
-        def __init__(self):
-            self.q_ids, self.q_mat = ray.get(q_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            mat = _emb_matrix(t["embedding"]).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = self.q_mat @ mat.T  # Q x B
-            sims[self.q_ids[:, None] == ids[None, :]] = -np.inf  # exclude self
-            k = min(ANN_K, ids.size)
-            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-            qidx = np.repeat(np.arange(self.q_ids.size), k)
-            nidx = part.reshape(-1)
-            return pa.table(
-                {
-                    "query_id": self.q_ids[qidx],
-                    "neighbor_id": ids[nidx],
-                    "sim": sims[qidx, nidx],
-                }
-            )
-
-    local = emb.map_batches(LocalTopK, batch_format="pyarrow", concurrency=(1, 4))
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[np.isfinite(g["sim"])]
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(ANN_K)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    out = sim.brute_topk(emb, q_ids, q_mat, k=ANN_K)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
 SQL_ANN_TOPK = f"""

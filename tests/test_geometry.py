@@ -164,3 +164,16 @@ def test_polygonset_rtree_backend_matches_cells():
     pa_, ga = a.contains(lon, lat)
     pb, gb = b.contains(lon, lat)
     assert set(zip(pa_.tolist(), ga.tolist())) == set(zip(pb.tolist(), gb.tolist()))
+
+
+def test_strtree_empty():
+    from georay.geometry import STRtree
+
+    tree = STRtree(np.empty((0, 4)))
+    assert tree.query_point(0.0, 0.0).size == 0
+
+
+def test_polygonset_empty_rtree():
+    ps = PolygonSet([], [], backend="rtree")
+    p, g = ps.contains(np.array([1.0]), np.array([2.0]))
+    assert p.size == 0 and g.size == 0

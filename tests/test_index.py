@@ -91,3 +91,25 @@ def test_where_zones():
     assert zones[7] == ((0, 2), (2, 2))
     assert zones[8] == ((1, 2), (1, 1))
     assert zones[9] == ((2, 2), (0, 0))
+
+
+def test_where_zones_string_raster():
+    raster = np.array([[b"ezs42", b"ezs42"], [b"u4pru", b"ezs42"]], dtype="S5")
+    zones = codec.where_zones(raster)
+    assert zones[b"ezs42"] == ((0, 1), (0, 1))
+    assert zones[b"u4pru"] == ((1, 1), (0, 0))
+
+
+def test_query_cells_with_explicit_columns(ray_session, tmp_path):
+    import ray
+
+    t = _points(500, seed=9)
+    idx = CellIndex.build(
+        ray.data.from_arrow(t), str(tmp_path / "ixc"), bits=16, prefix_bits=6
+    )
+    some = np.unique(t["cell"].to_numpy())[:10]
+    # caller asks for a narrow column list without _prefix or cell
+    out = idx.query_cells(some, columns=["rec_id"]).to_pandas()
+    df = t.to_pandas()
+    want = df[df["cell"].isin(some)]
+    assert sorted(out["rec_id"]) == sorted(want["rec_id"])

@@ -317,3 +317,30 @@ def test_salted_shuffle_join_matches_plain(ray_session):
     assert set(out.columns) >= {"cell", "lid", "rid"}
     m = out.merge(lt.to_pandas(), on="lid", suffixes=("", "_orig"))
     assert (m["cell"] == m["cell_orig"]).all()
+
+
+def test_semi_join_empty_keys(ray_session):
+    import ray
+
+    t = pa.table({"k": np.arange(50, dtype=np.int64)})
+    ds = ray.data.from_arrow(t)
+    semi = join_ops.broadcast_semi_join(ds, np.array([], dtype=np.int64), on="k").to_pandas()
+    anti = join_ops.broadcast_semi_join(ds, np.array([], dtype=np.int64), on="k", anti=True).to_pandas()
+    assert len(semi) == 0 and len(anti) == 50
+
+
+def test_knn_ring_tiny_grid_wrap_dedup(ray_session):
+    # bits=4 -> 4-column lon grid; ring=2 -> 5-wide ring aliases the wrap;
+    # without dedup the same ref appears at multiple ranks
+    import ray
+
+    from georay.ops import spatial as sp
+
+    lt = sp.add_cell(sp.add_synth_points(pa.table({"lkey": np.arange(40, dtype=np.int64)}), "lkey"), 4)
+    rt = sp.add_cell(sp.add_synth_points(pa.table({"rkey": np.arange(10, dtype=np.int64) + 500}), "rkey"), 4)
+    out = knn_ops.knn_ring(
+        ray.data.from_arrow(lt), rt, bits=4, k=5, ring=2,
+        query_cols=["lkey"], ref_id="rkey",
+    ).to_pandas()
+    dup = out.groupby(["lkey", "rkey"]).size()
+    assert (dup == 1).all(), "duplicate (query, ref) pairs in top-k"
