@@ -1144,6 +1144,68 @@ def flagship(sf_dir: str, n_images: int | None = None):
     return tiles.count_by(pairs, "tile_id")
 
 
+def flagship_resumable(sf_dir: str, out_dir: str, n_images: int | None = None):
+    """Flagship with INPUT-side checkpointing: each row carries its source
+    parquet file (``_src``), output is partitioned by it, and a rerun skips
+    committed input files BEFORE the read — no decode, PIP, or shuffle for
+    finished shards (the strong form of "resumable from per-partition
+    checkpoints with lineage", BASELINE.json north_rule).
+
+    Returns the manifest dict (per-shard rows/bytes/seconds/lineage)."""
+    import glob
+    import os
+
+    import ray.data
+
+    from georay import fixtures, runtime
+    from georay.ops import images as img_ops
+    from georay.ops import pip as pip_ops
+
+    if n_images is not None:
+        path = fixtures.ensure_images_table_n(n_images)
+    else:
+        path = fixtures.ensure_images_table(sf_dir)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    todo = runtime.files_to_process(files, out_dir)
+    if not todo:
+        return runtime.load_manifest(out_dir)
+
+    cols = ["image_id", "fmt", "bytes", "caption", "lon", "lat"]
+
+    def readf(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tabs = []
+        for p in t["path"].to_pylist():
+            tab = pq.read_table(p, columns=cols)
+            tabs.append(
+                tab.append_column(
+                    "_src", pa.array([os.path.basename(p)] * tab.num_rows)
+                )
+            )
+        return pa.concat_tables(tabs)
+
+    ds = (
+        ray.data.from_arrow(pa.table({"path": todo}))
+        .repartition(len(todo))
+        .map_batches(readf, batch_format="pyarrow", batch_size=1, num_cpus=1.01)
+    )
+    checked = img_ops.decode_invariant(ds)
+
+    def keep_ok(t: pa.Table) -> pa.Table:
+        return t.filter(t["ok"]).select(["image_id", "lon", "lat", "_src"])
+
+    ok = checked.map_batches(keep_ok, batch_format="pyarrow")
+    ids, _zooms, rings = fixtures.make_tiles()
+    pairs = pip_ops.pip_assign(
+        ok, ids, rings, bits=10, keep_cols=["image_id", "_src"],
+        poly_id_col="tile_id",
+    )
+    return runtime.write_partitioned(
+        pairs, out_dir, "_src", lineage=f"flagship-resumable {sf_dir}"
+    )
+
+
 # ------------------------------------------------------------------- registry
 
 

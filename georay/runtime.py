@@ -85,6 +85,18 @@ def salt_hot_keys(ds, col: str, hot_keys: np.ndarray, n_salt: int = 16,
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def files_to_process(files: list[str], out_dir: str) -> list[str]:
+    """Input-side resume: the subset of input files whose output partition is
+    NOT yet committed in ``out_dir``'s manifest. Pairs with
+    ``write_partitioned(..., partition_col="_src")`` where the reader stamps
+    each row with its source-file basename — unlike output-side resume, the
+    skipped files are never read, decoded, or shuffled at all."""
+    import os as _os
+
+    done = committed_partitions(out_dir)
+    return [f for f in files if _os.path.basename(f) not in done]
+
+
 # ------------------------------------------------------------- checkpointing
 
 

@@ -1,0 +1,47 @@
+"""Input-side resumable flagship: committed shards are never re-read."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+
+
+def test_flagship_resumable_skips_committed_shards(ray_session, tmp_path):
+    from georay import queries as q
+    from georay import runtime
+
+    out = str(tmp_path / "pairs")
+    man1 = q.flagship_resumable("/root/testdata/sf0.001", out)
+    shards = sorted(man1["partitions"])
+    assert len(shards) >= 2
+    total1 = sum(p["rows"] for p in man1["partitions"].values())
+    assert total1 > 0
+
+    # simulate a crash after only the first shard committed
+    man_path = os.path.join(out, "_manifest.json")
+    m = json.load(open(man_path))
+    keep = shards[0]
+    m["partitions"] = {keep: m["partitions"][keep]}
+    json.dump(m, open(man_path, "w"))
+    for f in os.listdir(out):
+        if f.startswith("part-") and not f.startswith(f"part-{keep.split('.')[0]}"):
+            os.remove(os.path.join(out, f))
+
+    man2 = q.flagship_resumable("/root/testdata/sf0.001", out)
+    # shard 0 kept its original lineage (never reprocessed); others redone
+    assert man2["partitions"][keep]["lineage"] == man1["partitions"][keep]["lineage"]
+    redone = [s for s in shards if s != keep]
+    for s in redone:
+        assert s in man2["partitions"]
+    assert sum(p["rows"] for p in man2["partitions"].values()) == total1
+
+    # fully committed -> instant no-op (no pipeline at all)
+    import time
+
+    t0 = time.time()
+    man3 = q.flagship_resumable("/root/testdata/sf0.001", out)
+    assert time.time() - t0 < 0.5
+    assert sorted(man3["partitions"]) == shards
