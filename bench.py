@@ -68,9 +68,7 @@ def run_suite(only: list[str] | None = None) -> dict:
     # cluster; this sandbox has ONE disk, and a cold 9.6 GB read would
     # measure that disk, not CPU scaling)
     n_images = int(FLAGSHIP_IMAGES) if FLAGSHIP_IMAGES else fixtures.n_images_for(SF_DIR)
-    fixtures.read_images_n(
-        n_images, columns=["image_id", "bytes"]
-    ).map_batches(
+    fixtures.read_images_n(n_images, columns=None).map_batches(
         lambda t: {"n": [t.num_rows]}, batch_format="pyarrow"
     ).count()
 
