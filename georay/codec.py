@@ -225,6 +225,12 @@ def grid_properties(
     if box is None:
         box = (-180.0, -90.0, 180.0, 90.0)
     min_lon, min_lat, max_lon, max_lat = box
+    if min_lon > max_lon or min_lat > max_lat:
+        raise ValueError(
+            "inverted box (antimeridian-crossing?): split it into two "
+            "non-crossing boxes, as georay.geometry.split_antimeridian_ring "
+            "does for rings"
+        )
     # scalar path, mirroring xy_from_lonlat exactly
     xs, ys = xy_from_lonlat(np.array([min_lon, max_lon]), np.array([min_lat, max_lat]), bits)
     x0, x1 = int(xs[0]), int(xs[1])
@@ -239,12 +245,17 @@ def bounding_boxes(
     """Enumerate all cells of a precision intersecting ``box`` (S4/I4).
 
     In-memory variant — caller must keep covers small (drive-side scalars,
-    polygon covers). The streaming variant for huge covers is
-    ``georay.stages.cover_dataset`` (a ``ray.data.range`` generator)."""
+    polygon covers). For huge covers, stream the enumeration as a Dataset
+    (``ray.data.range`` over the grid shape + interleave in ``map_batches`` —
+    the pattern in ``georay.queries.q_cover_grid``)."""
     _, lon_boxes, lat_boxes, x0, y0 = grid_properties(box, bits)
     n = lon_boxes * lat_boxes
     if n > 50_000_000:
-        raise ValueError(f"cover of {n} cells: use stages.cover_dataset (streaming)")
+        raise ValueError(
+            f"cover of {n} cells: enumerate it as a streamed Dataset instead "
+            "(ray.data.range over the grid shape -> interleave in map_batches; "
+            "see georay.queries.q_cover_grid for the pattern)"
+        )
     idx = np.arange(n, dtype=np.int64)
     nx, _ = split_bits(bits)
     x = (x0 + idx % lon_boxes) & ((1 << nx) - 1)
@@ -321,6 +332,8 @@ def where_zones(codes_2d: np.ndarray) -> dict:
     codes_2d = np.asarray(codes_2d)
     if codes_2d.ndim != 2:
         raise ValueError("where_zones expects a 2-D code raster")
+    if codes_2d.size == 0:
+        return {}
     rows, cols = np.indices(codes_2d.shape)
     flat = codes_2d.reshape(-1)
     order = np.argsort(flat, kind="stable")

@@ -158,12 +158,6 @@ def salted_shuffle_join(
     if right_cols is not None:
         right_ds = right_ds.select_columns(list(dict.fromkeys([on] + right_cols)))
 
-    def salt_left(t: pa.Table) -> pa.Table:
-        key = t[on].to_numpy(zero_copy_only=False)
-        rid = np.arange(key.shape[0], dtype=np.int64)
-        salt = ((key ^ (rid * 0x9E3779B9)) % n_salt).astype(np.int64)
-        salted = key * n_salt + np.where(np.isin(key, hot), salt, 0)
-        return t.append_column("_sk", pa.array(salted))
 
     def replicate_right(t: pa.Table) -> pa.Table:
         key = t[on].to_numpy(zero_copy_only=False)
@@ -179,8 +173,10 @@ def salted_shuffle_join(
         salted = key[idx] * n_salt + salts
         return base.append_column("_sk", pa.array(salted))
 
+    from georay.runtime import salt_hot_keys
+
     joined = (
-        left_ds.map_batches(salt_left, batch_format="pyarrow")
+        salt_hot_keys(left_ds, on, hot, n_salt=n_salt, salted_col="_sk")
         .join(
             right_ds.map_batches(replicate_right, batch_format="pyarrow"),
             join_type="inner",

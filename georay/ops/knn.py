@@ -238,8 +238,10 @@ def knn_adaptive(
                     kth = np.zeros(sub.size)
                     is_kth = rank == np.minimum(k, cnt[sq])
                     kth[sq[is_kth]] = sd[is_kth]
+                    # STRICT inequality: a ref just outside ring d can sit
+                    # at exactly d*min_err and win the oracle's id tie-break
                     done = (cnt >= min(k, refs["id"].size)) & (
-                        np.sqrt(kth) <= d * min_err
+                        np.sqrt(kth) < d * min_err
                     )
                 else:
                     done = np.zeros(sub.size, dtype=bool)

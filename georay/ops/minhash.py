@@ -19,8 +19,12 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Rolling polynomial hashes of the char k-grams of a doc (uint64)."""
-    b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+    """Rolling polynomial hashes of the CHARACTER k-grams of a doc (uint64).
+
+    Windows slide over Unicode code points (utf-32 view), matching the SQL
+    oracle's ``substr(text, j, 5)`` character semantics — byte windows would
+    silently diverge on any non-ASCII text."""
+    b = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     if b.size < k:
         b = np.pad(b, (0, k - b.size), constant_values=32)
     with np.errstate(over="ignore"):

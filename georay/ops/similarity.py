@@ -44,11 +44,16 @@ def brute_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t[id_col].to_numpy(zero_copy_only=False)
-            mat = _normalize(emb_matrix(t[emb_col]))
+            # candidates pre-sorted by id so the STABLE argsort below breaks
+            # similarity ties by ascending id — matching the final merge and
+            # the SQL oracle's ORDER BY sim DESC, id
+            id_order = np.argsort(ids, kind="stable")
+            ids = ids[id_order]
+            mat = _normalize(emb_matrix(t[emb_col]))[id_order]
             sims = self.q_mat @ mat.T
             sims[self.q_ids[:, None] == ids[None, :]] = -np.inf
             kk = min(k, ids.size)
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             qidx = np.repeat(np.arange(self.q_ids.size), kk)
             nidx = part.reshape(-1)
             return pa.table(
@@ -125,7 +130,9 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t[id_col].to_numpy(zero_copy_only=False)
-            mat = _normalize(emb_matrix(t[emb_col]))
+            id_order = np.argsort(ids, kind="stable")  # tie-break by id (see brute_topk)
+            ids = ids[id_order]
+            mat = _normalize(emb_matrix(t[emb_col]))[id_order]
             assign = (mat @ self.cents.T).argmax(axis=1)
             out_q, out_n, out_s = [], [], []
             for b in np.unique(assign):
@@ -136,7 +143,7 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
                 sims = self.q_mat[qs] @ mat[rows].T
                 sims[self.q_ids[qs][:, None] == ids[rows][None, :]] = -np.inf
                 kk = min(k, rows.size)
-                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
                 qidx = np.repeat(qs, kk)
                 nidx = part.reshape(-1)
                 out_q.append(self.q_ids[qidx])

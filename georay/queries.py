@@ -540,13 +540,6 @@ FROM documents
 # -------------------------------------------------------------------- ANN topk
 
 
-def _emb_matrix(col) -> np.ndarray:
-    """Arrow list<float> column → (N, dim) matrix, zero Python row loops."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False)
-    return flat.reshape(len(arr), -1)
-
-
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k per query against a broadcast query matrix
     (ops.similarity.brute_topk — per-batch matmul + local top-k, tiny
@@ -1144,7 +1137,8 @@ def flagship(sf_dir: str, n_images: int | None = None):
     return tiles.count_by(pairs, "tile_id")
 
 
-def flagship_resumable(sf_dir: str, out_dir: str, n_images: int | None = None):
+def flagship_resumable(sf_dir: str, out_dir: str, n_images: int | None = None,
+                       lineage: str | None = None):
     """Flagship with INPUT-side checkpointing: each row carries its source
     parquet file (``_src``), output is partitioned by it, and a rerun skips
     committed input files BEFORE the read — no decode, PIP, or shuffle for
@@ -1202,7 +1196,13 @@ def flagship_resumable(sf_dir: str, out_dir: str, n_images: int | None = None):
         poly_id_col="tile_id",
     )
     return runtime.write_partitioned(
-        pairs, out_dir, "_src", lineage=f"flagship-resumable {sf_dir}"
+        pairs,
+        out_dir,
+        "_src",
+        lineage=lineage or f"flagship-resumable {sf_dir}",
+        # shards whose rows all fail the invariant (or hit no polygon) emit
+        # zero pairs; commit them too or they re-process on every rerun
+        expected_partitions=[os.path.basename(f) for f in todo],
     )
 
 

@@ -122,6 +122,7 @@ def write_partitioned(
     partition_col: str,
     resume: bool = True,
     lineage: str | None = None,
+    expected_partitions: list | None = None,
 ):
     """Write one parquet file per partition key with atomic rename + manifest.
 
@@ -181,6 +182,13 @@ def write_partitioned(
             "seconds": float(row["seconds"]),
             "lineage": lineage,
         }
+    if expected_partitions is not None:
+        # partitions that produced ZERO rows never reach write_group; commit
+        # them too or resumable callers re-process them on every rerun
+        for key in expected_partitions:
+            manifest["partitions"].setdefault(
+                str(key), {"rows": 0, "bytes": 0, "seconds": 0.0, "lineage": lineage}
+            )
     manifest["committed_at"] = time.time()
     tmp = _manifest_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:

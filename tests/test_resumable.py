@@ -14,7 +14,7 @@ def test_flagship_resumable_skips_committed_shards(ray_session, tmp_path):
     from georay import runtime
 
     out = str(tmp_path / "pairs")
-    man1 = q.flagship_resumable("/root/testdata/sf0.001", out)
+    man1 = q.flagship_resumable("/root/testdata/sf0.001", out, lineage="run-1")
     shards = sorted(man1["partitions"])
     assert len(shards) >= 2
     total1 = sum(p["rows"] for p in man1["partitions"].values())
@@ -30,12 +30,12 @@ def test_flagship_resumable_skips_committed_shards(ray_session, tmp_path):
         if f.startswith("part-") and not f.startswith(f"part-{keep.split('.')[0]}"):
             os.remove(os.path.join(out, f))
 
-    man2 = q.flagship_resumable("/root/testdata/sf0.001", out)
-    # shard 0 kept its original lineage (never reprocessed); others redone
-    assert man2["partitions"][keep]["lineage"] == man1["partitions"][keep]["lineage"]
+    man2 = q.flagship_resumable("/root/testdata/sf0.001", out, lineage="run-2")
+    # shard 0 kept run-1's lineage (never reprocessed); others carry run-2's
+    assert man2["partitions"][keep]["lineage"] == "run-1"
     redone = [s for s in shards if s != keep]
     for s in redone:
-        assert s in man2["partitions"]
+        assert man2["partitions"][s]["lineage"] == "run-2"
     assert sum(p["rows"] for p in man2["partitions"].values()) == total1
 
     # fully committed -> instant no-op (no pipeline at all)
