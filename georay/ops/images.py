@@ -320,10 +320,11 @@ def dedup_by_phash(ds):
     from ray.data.aggregate import Count, Min
 
     def project(t: pa.Table) -> pa.Table:
-        idx = np.array(
-            [int(s[3:]) for s in t["image_id"].to_pylist()], dtype=np.int64
-        )
-        return pa.table({"phash": t["phash"], "idx": pa.array(idx)})
+        import pyarrow.compute as pc
+
+        # vectorized "img%012d" -> int (no Python string loop)
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+        return pa.table({"phash": t["phash"], "idx": idx})
 
     return (
         ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

@@ -29,37 +29,43 @@ _STOPWORDS = {
 
 class LangId:
     """Heuristic language ID: CJK script ratio first, then stopword-profile
-    argmax. Output column ``lang_pred`` (one of en/de/fr/es/zh/unk)."""
+    argmax. Output column ``lang_pred`` (one of en/de/fr/es/zh/unk).
+
+    Semantics are INTEGER-EXACT on purpose (SQL-oracle parity):
+    ``zh`` iff ``20*cjk_chars > max(len, 1)``; else the first language (in
+    en/de/fr/es order) with the maximal stopword-occurrence count wins iff
+    ``50*count > n_tokens``; else ``unk``. Fully vectorized: one
+    explode→isin pass per language profile, no per-row Python loop."""
 
     def __init__(self):
         import re
 
         self.word_re = re.compile(r"[\w']+", re.UNICODE)
         self.cjk_re = re.compile(r"[一-鿿]")
-        self.profiles = {k: v for k, v in _STOPWORDS.items() if v}
+        self.profiles = {k: sorted(v) for k, v in _STOPWORDS.items() if v}
+        self.langs = list(self.profiles)
 
     def __call__(self, df):
         import pandas as pd
 
+        df = df.reset_index(drop=True)
         texts = df["text"]
-        cjk_counts = texts.str.count(self.cjk_re)
-        lens = texts.str.len().clip(lower=1)
-        preds = []
-        for text, cjk, ln in zip(texts, cjk_counts, lens):
-            if cjk / ln > 0.05:
-                preds.append("zh")
-                continue
-            words = [w.lower() for w in self.word_re.findall(text)]
-            if not words:
-                preds.append("unk")
-                continue
-            best, best_score = "unk", 0.0
-            for lang, stops in self.profiles.items():
-                score = sum(w in stops for w in words) / len(words)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best if best_score > 0.02 else "unk")
-        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
+        n = len(df)
+        cjk = texts.str.count(self.cjk_re).to_numpy()
+        ln = texts.str.len().clip(lower=1).to_numpy()
+        toks = texts.str.findall(self.word_re).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        n_words = np.bincount(row, minlength=n)
+        counts = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            hit = toks.isin(self.profiles[lang]).to_numpy()
+            np.add.at(counts[:, j], row[hit], 1)
+        best_j = counts.argmax(axis=1)  # first max wins, like the CASE chain
+        best_c = counts[np.arange(n), best_j] if n else np.zeros(0, np.int64)
+        lang_arr = np.asarray(self.langs, dtype=object)
+        pred = np.where(best_c * 50 > n_words, lang_arr[best_j], "unk")
+        pred = np.where(cjk * 20 > ln, "zh", pred)
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred})
 
 
 def langid(ds, concurrency=(1, 8)):
@@ -71,41 +77,60 @@ def langid(ds, concurrency=(1, 8)):
 class QualityScore:
     """Heuristic quality features + a composite score in [0, 1]:
     length band, alpha ratio, stopword ratio, mean word length band,
-    repetition (unique-token ratio). Vectorized pandas string kernels."""
+    repetition (unique-token ratio).
+
+    The base features are INTEGER counts (n_chars_q, n_tokens_q, n_uniq_tok,
+    n_stop_tok, n_alpha) so the harness query has an exact relational SQL
+    twin; float ratios/score derive from them. Vectorized: pandas string
+    kernels + one explode pass for the token-level counts (no per-row
+    lambda)."""
 
     def __init__(self):
         import re
 
         self.word_re = re.compile(r"[\w']+", re.UNICODE)
-        self.stops = _STOPWORDS["en"]
+        self.stops = sorted(_STOPWORDS["en"])
 
     def __call__(self, df):
         import pandas as pd
 
+        df = df.reset_index(drop=True)
         texts = df["text"]
+        n = len(df)
         n_chars = texts.str.len()
-        tokens = texts.str.findall(self.word_re)
-        n_tok = tokens.map(len).clip(lower=1)
-        uniq_ratio = tokens.map(lambda ws: len(set(ws)) / max(1, len(ws)))
-        stop_ratio = tokens.map(
-            lambda ws: sum(w.lower() in self.stops for w in ws) / max(1, len(ws))
-        )
-        mean_wlen = (n_chars / n_tok).clip(0, 20)
-        alpha_ratio = texts.str.count(r"[A-Za-z]") / n_chars.clip(lower=1)
+        n_tok_raw = texts.str.count(self.word_re)
+        ex = texts.str.findall(self.word_re).explode().dropna()
+        row = ex.index.to_numpy().astype(np.int64)
+        n_uniq = np.zeros(n, dtype=np.int64)
+        if len(ex):
+            nun = ex.groupby(level=0).nunique()
+            n_uniq[nun.index.to_numpy().astype(np.int64)] = nun.to_numpy()
+        hit = ex.str.lower().isin(self.stops).to_numpy()
+        n_stop = np.zeros(n, dtype=np.int64)
+        np.add.at(n_stop, row[hit], 1)
+        n_alpha = texts.str.count(r"[A-Za-z]")
+        n_tok = n_tok_raw.clip(lower=1).to_numpy()
+        uniq_ratio = n_uniq / n_tok
+        stop_ratio = n_stop / n_tok
+        mean_wlen = (n_chars.to_numpy() / n_tok).clip(0, 20)
+        alpha_ratio = n_alpha / n_chars.clip(lower=1)
         len_score = ((n_chars.clip(50, 2000) - 50) / 1950.0).astype(float)
-        wlen_score = 1.0 - (mean_wlen - 5.5).abs().clip(0, 5) / 5.0
+        wlen_score = 1.0 - np.clip(np.abs(mean_wlen - 5.5), 0, 5) / 5.0
         score = (
             0.25 * len_score
             + 0.25 * alpha_ratio
-            + 0.2 * stop_ratio.clip(0, 0.5) * 2
+            + 0.2 * np.clip(stop_ratio, 0, 0.5) * 2
             + 0.15 * uniq_ratio
             + 0.15 * wlen_score
         )
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "n_chars_q": n_chars,
-                "n_tokens_q": n_tok,
+                "n_chars_q": n_chars.astype(np.int64),
+                "n_tokens_q": n_tok_raw.astype(np.int64),
+                "n_uniq_tok": n_uniq,
+                "n_stop_tok": n_stop,
+                "n_alpha": n_alpha.astype(np.int64),
                 "uniq_ratio": uniq_ratio,
                 "stop_ratio": stop_ratio,
                 "alpha_ratio": alpha_ratio,

@@ -573,14 +573,23 @@ SELECT query_id, neighbor_id, rank FROM (
 # The synthetic image+caption table (input_hint schema) is generated
 # distributed + cached by georay.fixtures. Its rows are pure functions of the
 # row index, so DuckDB oracles reconstruct the relevant columns from
-# ``range(N)`` arithmetic. N is baked for sf0.01 (=10_000) — the scale the
-# driver runs oracles at. Pixel content has period 768 in the pixel index
-# (georay.fixtures.PIXEL_PERIOD), which makes CONTENT-hash dedup exactly
-# SQL-checkable without hashing a single pixel in SQL.
+# ``range(N)`` arithmetic. N is a parameter of ``registry(n_images=...)``;
+# the driver contract (sf0.01) uses the default 10_000, while
+# tools/check_oracle.py passes ``fixtures.n_images_for(sf_dir)`` so the
+# image oracles stay valid at every scale. Pixel content has period 768 in
+# the pixel index (georay.fixtures.PIXEL_PERIOD), which makes CONTENT-hash
+# dedup exactly SQL-checkable without hashing a single pixel in SQL.
 
-_SQL_IMG = "SELECT i, CASE WHEN i % 64 = 63 THEN i - 1 ELSE i END AS pix FROM range(0, 10000) t(i)"
 
-_SQL_IMG_COORDS = """
+def _sql_img(n: int) -> str:
+    return (
+        "SELECT i, CASE WHEN i % 64 = 63 THEN i - 1 ELSE i END AS pix "
+        f"FROM range(0, {n}) t(i)"
+    )
+
+
+def _sql_img_coords(n: int) -> str:
+    return f"""
 SELECT i,
   CASE WHEN i % 10 = 0 THEN
     (CASE i % 3 WHEN 0 THEN -74.006 WHEN 1 THEN 2.3522 ELSE 139.6917 END)
@@ -588,7 +597,7 @@ SELECT i,
   CASE WHEN i % 10 = 0 THEN
     (CASE i % 3 WHEN 0 THEN 40.7128 WHEN 1 THEN 48.8566 ELSE 35.6895 END)
   ELSE ((i * 40503) % 180000) / 1000.0 - 90.0 END AS lat
-FROM range(0, 10000) t(i)
+FROM range(0, {n}) t(i)
 """
 
 
@@ -601,8 +610,9 @@ def q_images_dedup(sf_dir: str):
     return img_ops.dedup_by_phash(ds)
 
 
-SQL_IMAGES_DEDUP = f"""
-WITH img AS ({_SQL_IMG})
+def sql_images_dedup(n: int) -> str:
+    return f"""
+WITH img AS ({_sql_img(n)})
 SELECT CAST(MIN(i) AS BIGINT) AS first_id, COUNT(*) AS n_copies
 FROM img GROUP BY pix % 768
 """
@@ -638,8 +648,9 @@ def q_images_decode(sf_dir: str):
     )
 
 
-SQL_IMAGES_DECODE = f"""
-WITH img AS ({_SQL_IMG})
+def sql_images_decode(n: int) -> str:
+    return f"""
+WITH img AS ({_sql_img(n)})
 SELECT CASE pix % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'q6' END AS fmt,
        COUNT(*) AS n, COUNT(*) AS n_ok
 FROM img GROUP BY 1
@@ -665,8 +676,9 @@ def q_images_tiles(sf_dir: str):
     )
 
 
-SQL_IMAGES_TILES = f"""
-WITH p AS ({_SQL_IMG_COORDS})
+def sql_images_tiles(n: int) -> str:
+    return f"""
+WITH p AS ({_sql_img_coords(n)})
 SELECT {sql_x('lon', 5)} AS tile_x, {sql_y('lat', 5)} AS tile_y, COUNT(*) AS n
 FROM p GROUP BY 1, 2
 """
@@ -806,8 +818,9 @@ def q_knn_shuffle(sf_dir: str):
 
 
 def q_langid(sf_dir: str):
-    """Heuristic language-ID confusion counts vs the stored labels
-    (rows-only: detections aren't SQL-reproducible)."""
+    """Heuristic language-ID confusion counts vs the stored labels.
+    LangId uses integer-exact thresholds (ops/text.py), so the whole
+    confusion matrix has a relational SQL twin."""
     from georay.ops import text as text_ops
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
@@ -816,25 +829,96 @@ def q_langid(sf_dir: str):
     joined = join_ops.broadcast_cell_join(
         pred, truth, on="doc_id", right_cols=["lang"]
     )
+
+    def pair(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"pair": pc.binary_join_element_wise(
+                t["lang"], t["lang_pred"], "->"
+            )}
+        )
+
     return tiles.count_by(
-        joined.map_batches(
-            lambda t: pa.table({"pair": pa.array(
-                [f"{a}->{b}" for a, b in zip(t["lang"].to_pylist(),
-                                             t["lang_pred"].to_pylist())]
-            )}),
-            batch_format="pyarrow",
-        ),
+        joined.map_batches(pair, batch_format="pyarrow"),
         "pair",
         combine_partitions=4,
     )
 
 
+def _sql_stoplist(lang: str) -> str:
+    from georay.ops.text import _STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+
+def _sql_langid() -> str:
+    """SQL twin of ops.text.LangId: per-doc stopword-occurrence counts per
+    profile, first-max-wins CASE chain, integer thresholds (50*c > n_tokens;
+    zh iff 20*cjk > max(len,1))."""
+    cases = []
+    langs = ["en", "de", "fr", "es"]
+    for i, lang in enumerate(langs):
+        rest = [f"c_{lang} >= c_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_chain = "\n            ".join(cases)
+    counts = ",\n         ".join(
+        f"count(*) FILTER (WHERE w IN ({_sql_stoplist(lang)})) AS c_{lang}"
+        for lang in langs
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\w'']+')) AS w
+  FROM documents
+),
+a AS (SELECT doc_id, count(*) AS nw,
+         {counts}
+      FROM toks GROUP BY doc_id),
+d AS (SELECT doc_id, lang,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+         GREATEST(length(text), 1) AS ln
+      FROM documents),
+p AS (SELECT d.lang,
+        CASE WHEN 20 * cjk > ln THEN 'zh'
+             WHEN a.doc_id IS NULL OR nw = 0
+               OR 50 * GREATEST(c_en, c_de, c_fr, c_es) <= nw THEN 'unk'
+             {case_chain}
+        END AS pred
+      FROM d LEFT JOIN a USING (doc_id))
+SELECT lang || '->' || pred AS pair, COUNT(*) AS n FROM p GROUP BY 1
+"""
+
+
+SQL_LANGID = _sql_langid()
+
+
 def q_quality(sf_dir: str):
-    """Quality-score features per doc (rows-only)."""
+    """Quality-score features per doc: the harness output is the INTEGER
+    base features (exact SQL twin); the float ratios/score stay on the
+    library op and are unit-tested."""
     from georay.ops import text as text_ops
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return text_ops.quality(docs)
+    return text_ops.quality(docs).select_columns(
+        ["doc_id", "n_chars_q", "n_tokens_q", "n_uniq_tok", "n_stop_tok",
+         "n_alpha"]
+    )
+
+
+SQL_QUALITY = f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(text, '[\\w'']+') AS toks
+           FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_q,
+  CAST(len(toks) AS BIGINT) AS n_tokens_q,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tok,
+  CAST(len(list_filter(toks, x -> lower(x) IN ({_sql_stoplist('en')})))
+       AS BIGINT) AS n_stop_tok,
+  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+FROM t
+"""
 
 
 def q_simhash_neardup(sf_dir: str):
@@ -846,8 +930,12 @@ def q_simhash_neardup(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF-bucketed approximate ANN (rows-only; recall vs brute is
-    unit-tested)."""
+    """IVF-bucketed ANN run in its EXACT mode (n_probe == n_centroids →
+    every inverted list scored → mathematically identical to brute force),
+    so the full IVF machinery (centroid assignment, per-list scoring, merge)
+    is hard-checked against the brute-force SQL oracle. The pruned
+    approximate mode (n_probe < n_centroids) is unit-tested for recall ≥ 0.9
+    (tests/test_textops.py::test_ivf_recall_clustered)."""
     from georay.ops import similarity as sim
 
     table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -857,7 +945,7 @@ def q_ann_ivf(sf_dir: str):
     all_mat = sim.emb_matrix(table["embedding"])
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = sim.ivf_topk(
-        emb, q_ids, q_mat, k=ANN_K, n_centroids=16, n_probe=4,
+        emb, q_ids, q_mat, k=ANN_K, n_centroids=16, n_probe=16,
         sample_mat=all_mat[:: max(1, all_mat.shape[0] // 256)],
     )
     return out.select_columns(["query_id", "neighbor_id", "rank"])
@@ -1209,8 +1297,12 @@ def flagship_resumable(sf_dir: str, out_dir: str, n_images: int | None = None,
 # ------------------------------------------------------------------- registry
 
 
-def registry():
-    """name -> (pipeline callable, oracle SQL or None)."""
+def registry(n_images: int = 10_000):
+    """name -> (pipeline callable, oracle SQL or None).
+
+    ``n_images`` parameterizes the image-table oracles (the synthetic image
+    table has ``fixtures.n_images_for(sf_dir)`` rows); the default matches
+    the driver's sf0.01 contract."""
     return {
         "cell_encode": (q_cell_encode, SQL_CELL_ENCODE),
         "cell_roundtrip": (q_cell_roundtrip, SQL_CELL_ROUNDTRIP),
@@ -1226,18 +1318,18 @@ def registry():
         "dedup_docs": (q_dedup_docs, SQL_DEDUP_DOCS),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-        "images_dedup": (q_images_dedup, SQL_IMAGES_DEDUP),
-        "images_decode": (q_images_decode, SQL_IMAGES_DECODE),
-        "images_tiles": (q_images_tiles, SQL_IMAGES_TILES),
+        "images_dedup": (q_images_dedup, sql_images_dedup(n_images)),
+        "images_decode": (q_images_decode, sql_images_decode(n_images)),
+        "images_tiles": (q_images_tiles, sql_images_tiles(n_images)),
         "images_pip": (q_images_pip, None),
         "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
         "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
         "fingerprint_dedup": (q_fingerprint_dedup, SQL_FINGERPRINT_DEDUP),
         "knn_shuffle": (q_knn_shuffle, SQL_KNN),
-        "langid_confusion": (q_langid, None),
-        "quality_scores": (q_quality, None),
+        "langid_confusion": (q_langid, SQL_LANGID),
+        "quality_scores": (q_quality, SQL_QUALITY),
         "simhash_neardup": (q_simhash_neardup, None),
-        "ann_ivf": (q_ann_ivf, None),
+        "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
         "raster_assembly": (q_raster, None),
         "compact_cells": (q_compact, None),
         "index_query_box": (q_index_query_box, SQL_INDEX_QUERY_BOX),
@@ -1245,7 +1337,7 @@ def registry():
         "events_session": (q_events_session, SQL_EVENTS_SESSION),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
-        "images_hot_salted": (q_images_hot_salted, SQL_IMAGES_TILES),
+        "images_hot_salted": (q_images_hot_salted, sql_images_tiles(n_images)),
         "images_features": (q_images_features, None),
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
     }

@@ -87,7 +87,8 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    import __ray_entry__ as entrymod
+    from georay import fixtures
+    from georay import queries as q
 
     con = duckdb.connect()
     for t in TABLES:
@@ -95,8 +96,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # image-table oracles are parameterized by the table size at this scale
+    # (the driver's own harness runs registry() defaults at sf0.01)
+    reg = q.registry(n_images=fixtures.n_images_for(sf_dir))
+    qs = {name: fn for name, (fn, _sql) in reg.items()}
+    oracles = {name: sql for name, (_fn, sql) in reg.items() if sql is not None}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
