@@ -75,9 +75,42 @@ def minhash_signatures(ds, n_hashes: int = 64, shingle_k: int = 5,
     )
 
 
-def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8):
+def _bucket_pairs(ids: np.ndarray, max_bucket: int | None,
+                  label: str) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered pairs within a bucket, with an anti-explosion cap: a
+    bucket larger than ``max_bucket`` is split into sorted chunks and only
+    in-chunk pairs are emitted (O(b·max_bucket) instead of O(b²)). Never
+    silent: every capped bucket logs its size and how many cross-chunk
+    pairs were skipped (worker log)."""
+    ids = np.sort(ids)
+    if max_bucket is not None and ids.size > max_bucket:
+        full = ids.size * (ids.size - 1) // 2
+        chunks = [ids[i : i + max_bucket] for i in range(0, ids.size, max_bucket)]
+        kept = sum(c.size * (c.size - 1) // 2 for c in chunks)
+        print(
+            f"georay.minhash: capped oversized LSH bucket {label} "
+            f"(size {ids.size} > max_bucket {max_bucket}); emitting {kept} "
+            f"in-chunk pairs, skipping {full - kept} cross-chunk pairs"
+        )
+        outs_a, outs_b = [], []
+        for c in chunks:
+            ia, ib = np.triu_indices(c.size, k=1)
+            outs_a.append(c[ia])
+            outs_b.append(c[ib])
+        return np.concatenate(outs_a), np.concatenate(outs_b)
+    ia, ib = np.triu_indices(ids.size, k=1)
+    return ids[ia], ids[ib]
+
+
+def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
+                        max_bucket: int | None = 4096):
     """Explode signatures to (band, band_hash, doc_id), bucket by band
-    groupby, emit unique candidate pairs (id_a < id_b)."""
+    groupby, emit unique candidate pairs (id_a < id_b).
+
+    ``max_bucket`` caps the per-bucket pair explosion: one degenerate band
+    value (e.g. near-empty docs all hashing alike) would otherwise put an
+    O(b²) group on a single reducer. Capped buckets are logged, never
+    silent; pass ``None`` for exact all-pairs semantics."""
     import pandas as pd
 
     def explode(t: pa.Table) -> pa.Table:
@@ -103,11 +136,14 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8):
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()
         if ids.size < 2:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        a, b = _bucket_pairs(
+            ids, max_bucket,
+            f"(band={int(g['band'].iloc[0])}, bh={int(g['bh'].iloc[0])})",
+        )
+        return pd.DataFrame({"id_a": a, "id_b": b})
 
     cand = (
         sig_ds.map_batches(explode, batch_format="pyarrow")
@@ -173,14 +209,96 @@ def jaccard_verify(pairs_ds, docs_table: pa.Table, shingle_k: int = 5,
     )
 
 
-def near_dup_pairs(ds, docs_table: pa.Table, n_hashes: int = 64,
+def shingle_sets(docs_ds, shingle_k: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text", out_id: str | None = None,
+                 out_col: str = "sh"):
+    """doc_id + packed unique shingle hashes per doc (the join side of the
+    shuffle verify path — text is hashed once and never re-shipped). The
+    hash set is packed as a little-endian uint64 BINARY blob because Arrow's
+    hash join rejects nested (list) payload columns."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        sh = [_shingle_hashes(s, shingle_k).tobytes() for s in texts]
+        return pa.table(
+            {
+                out_id or id_col: t[id_col],
+                out_col: pa.array(sh, type=pa.binary()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def jaccard_verify_shuffle(pairs_ds, docs_ds, shingle_k: int = 5,
+                           threshold: float = 0.7, id_col: str = "doc_id",
+                           text_col: str = "text", num_partitions: int = 16):
+    """Big-big exact-Jaccard verification: candidate pairs are hash-joined
+    back to per-doc shingle sets TWICE (id_a side, then id_b side) — no
+    corpus broadcast, no driver materialization. Each doc's text is
+    shingled exactly once; only (id, shingle-hash-list) rows shuffle.
+
+    This is the 100 TB path; :func:`jaccard_verify` (broadcast) is the
+    small-corpus fast path."""
+    sh_a = shingle_sets(docs_ds, shingle_k, id_col, text_col,
+                        out_id="id_a", out_col="sh_a")
+    sh_b = shingle_sets(docs_ds, shingle_k, id_col, text_col,
+                        out_id="id_b", out_col="sh_b")
+    pairs = pairs_ds.select_columns(["id_a", "id_b"])
+    joined = pairs.join(
+        sh_a, join_type="inner", num_partitions=num_partitions, on=("id_a",)
+    ).join(
+        sh_b, join_type="inner", num_partitions=num_partitions, on=("id_b",)
+    )
+
+    def jac(t: pa.Table) -> pa.Table:
+        a = t["sh_a"].to_pylist()
+        b = t["sh_b"].to_pylist()
+        n = len(t)
+        jacv = np.empty(n, dtype=np.float64)
+        for k in range(n):
+            sa = np.frombuffer(a[k], dtype=np.uint64)
+            sb = np.frombuffer(b[k], dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jacv[k] = inter / (sa.size + sb.size - inter)
+        keep = jacv >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"].filter(pa.array(keep)),
+                "id_b": t["id_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jacv[keep]),
+            }
+        )
+
+    return joined.map_batches(jac, batch_format="pyarrow")
+
+
+def near_dup_pairs(ds, docs_table: pa.Table | None = None, n_hashes: int = 64,
                    n_bands: int = 8, shingle_k: int = 5,
-                   threshold: float = 0.7):
+                   threshold: float = 0.7, verify: str = "broadcast",
+                   max_bucket: int | None = 4096, num_partitions: int = 16):
     """Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
-    pairs → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    pairs → exact-Jaccard verify. Returns (id_a, id_b, jaccard).
+
+    ``verify="broadcast"`` ships the corpus once via ``ray.put`` (requires
+    ``docs_table``; right choice when the corpus fits a worker heap);
+    ``verify="shuffle"`` hash-joins candidates back to per-doc shingle sets
+    computed from ``ds`` itself — the big-big path with no broadcast."""
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by n_bands ({n_bands})"
+        )
     sigs = minhash_signatures(ds, n_hashes=n_hashes, shingle_k=shingle_k)
     cand = lsh_candidate_pairs(sigs, n_bands=n_bands,
-                               rows_per_band=n_hashes // n_bands)
+                               rows_per_band=n_hashes // n_bands,
+                               max_bucket=max_bucket)
+    if verify == "shuffle":
+        return jaccard_verify_shuffle(
+            cand, ds, shingle_k=shingle_k, threshold=threshold,
+            num_partitions=num_partitions,
+        )
+    if docs_table is None:
+        raise ValueError("verify='broadcast' requires docs_table")
     return jaccard_verify(
         cand, docs_table, shingle_k=shingle_k, threshold=threshold
     )
@@ -239,14 +357,15 @@ def simhash_signatures(ds, concurrency=(1, 8)):
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 6, n_blocks: int = 8,
-                           concurrency=(1, 8)):
+                           concurrency=(1, 8), max_bucket: int | None = 4096):
     """Near-dup pairs by SimHash block-LSH: split the 64-bit hash into
     ``n_blocks`` equal blocks and bucket by (block_idx, block_value); pairs
     within a bucket are verified by exact Hamming distance.
 
     EXACT for ``max_hamming < n_blocks`` (pigeonhole: fewer flipped bits
     than blocks → some block is untouched on both sides); approximate
-    beyond that."""
+    beyond that. ``max_bucket`` caps degenerate-bucket pair explosion
+    (logged, in-chunk pairs only — pass ``None`` for strict exactness)."""
     if max_hamming >= n_blocks:
         import warnings
 
@@ -284,7 +403,23 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 6, n_blocks: int = 8,
         sig = g["sig"].to_numpy().astype(np.uint64)
         if ids.size < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
-        ia, ib = np.triu_indices(ids.size, k=1)
+        if max_bucket is not None and ids.size > max_bucket:
+            # same anti-explosion cap as lsh_candidate_pairs (logged there);
+            # index-space chunking so the sig lookup stays aligned
+            print(
+                f"georay.simhash: capped oversized bucket (blk="
+                f"{int(g['blk'].iloc[0])}, val={int(g['val'].iloc[0])}, "
+                f"size {ids.size} > {max_bucket}); in-chunk pairs only"
+            )
+            ia_l, ib_l = [], []
+            for s in range(0, ids.size, max_bucket):
+                e = min(s + max_bucket, ids.size)
+                ca, cb = np.triu_indices(e - s, k=1)
+                ia_l.append(ca + s)
+                ib_l.append(cb + s)
+            ia, ib = np.concatenate(ia_l), np.concatenate(ib_l)
+        else:
+            ia, ib = np.triu_indices(ids.size, k=1)
         x = sig[ia] ^ sig[ib]
         ham = np.zeros(x.size, dtype=np.int64)
         for _ in range(64):

@@ -763,6 +763,19 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
 """
 
 
+def q_minhash_neardup_shuffle(sf_dir: str):
+    """Same MinHash+LSH pipeline via the big-big ``verify="shuffle"`` path:
+    candidate pairs hash-join back to per-doc shingle sets (no corpus
+    broadcast) — must match the identical relational Jaccard oracle."""
+    from georay.ops import minhash as mh
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return mh.near_dup_pairs(
+        docs, n_hashes=64, n_bands=16, shingle_k=5, threshold=0.7,
+        verify="shuffle", num_partitions=4,  # tiny corpus; 100 TB uses more
+    )
+
+
 def q_embed_neardup(sf_dir: str):
     """Exact embedding near-dup pairs at cosine ≥ 0.45 (brute broadcast
     path; the LSH-bucketed variant is the rows-only scale path below)."""
@@ -1323,6 +1336,7 @@ def registry(n_images: int = 10_000):
         "images_tiles": (q_images_tiles, sql_images_tiles(n_images)),
         "images_pip": (q_images_pip, None),
         "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
+        "minhash_neardup_shuffle": (q_minhash_neardup_shuffle, SQL_MINHASH_NEARDUP),
         "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
         "fingerprint_dedup": (q_fingerprint_dedup, SQL_FINGERPRINT_DEDUP),
         "knn_shuffle": (q_knn_shuffle, SQL_KNN),

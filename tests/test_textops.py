@@ -43,6 +43,60 @@ def test_minhash_lsh_finds_all_pairs(ray_session, docs_table):
     assert (got["jaccard"] >= 0.7).all()
 
 
+def test_minhash_shuffle_verify_matches_broadcast(ray_session, docs_table):
+    import ray
+
+    from georay.ops import minhash as mh
+
+    ds = ray.data.from_arrow(docs_table.select(["doc_id", "text"])).repartition(4)
+    got = mh.near_dup_pairs(
+        ds, n_hashes=64, n_bands=16, shingle_k=5, threshold=0.7,
+        verify="shuffle", num_partitions=4,
+    ).to_pandas()
+    want = _brute_jaccard_pairs(docs_table)
+    assert set(zip(got["id_a"], got["id_b"])) == want
+    assert (got["jaccard"] >= 0.7).all()
+
+
+def test_minhash_validates_band_divisibility(ray_session, docs_table):
+    import ray
+
+    from georay.ops import minhash as mh
+
+    ds = ray.data.from_arrow(docs_table.select(["doc_id", "text"]))
+    with pytest.raises(ValueError, match="divisible"):
+        mh.near_dup_pairs(ds, docs_table, n_hashes=64, n_bands=7)
+    with pytest.raises(ValueError, match="docs_table"):
+        mh.near_dup_pairs(ds, None, verify="broadcast")
+
+
+def test_lsh_bucket_cap_bounds_pair_explosion(ray_session):
+    # adversarial corpus: 64 identical docs -> every band collides into ONE
+    # bucket; uncapped that is C(64,2)=2016 pairs per band on one reducer
+    import ray
+
+    from georay.ops import minhash as mh
+
+    n = 64
+    t = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["the same exact document body repeated verbatim"] * n,
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    sigs = mh.minhash_signatures(ds, n_hashes=16, shingle_k=5)
+    capped = mh.lsh_candidate_pairs(
+        sigs, n_bands=4, rows_per_band=4, max_bucket=8
+    ).to_pandas()
+    # 8 chunks of 8 docs -> 8*C(8,2)=224 distinct in-chunk pairs max
+    assert len(capped) <= 8 * 28
+    uncapped = mh.lsh_candidate_pairs(
+        sigs, n_bands=4, rows_per_band=4, max_bucket=None
+    ).to_pandas()
+    assert len(uncapped) == n * (n - 1) // 2
+
+
 def test_simhash_deterministic_across_runs(ray_session, docs_table):
     import ray
 
