@@ -18,12 +18,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from georay import cells
+from georay import cells, codec
 
 
 def codec_split_nx(bits: int) -> int:
-    from georay import codec
-
+    # codec imported at MODULE level: this runs inside worker tasks, where a
+    # lazy import dies on foreign-cwd drivers (CLAUDE.md invariant)
     return codec.split_bits(bits)[0]
 
 
@@ -288,8 +288,13 @@ def knn_shuffle(
     num_partitions: int = 32,
 ):
     """Big×big kNN: explode each query to its ring cells (vectorized, 1 row →
-    ≤(2r+1)² rows), hash-join against refs on cell, then per-query top-k
-    reduce. Shuffle keys: cell (join), query_id (reduce)."""
+    ≤(2r+1)² rows), hash-join against refs on cell, then a TWO-PHASE top-k
+    reduce: per-batch vectorized local top-k (``_topk_per_query`` lexsort)
+    cuts each query to ≤k candidates per batch, and the global merge groups
+    by ``query_id % num_partitions`` — O(num_partitions) pandas groups, each
+    merging MANY queries in one vectorized lexsort, never O(queries) tiny
+    groups. Shuffle keys: cell (join), query-hash bucket (reduce).
+    ``query_id`` must be integer-valued (the bucket key is ``id % P``)."""
     import pandas as pd
 
     def explode(t: pa.Table) -> pa.Table:
@@ -319,12 +324,44 @@ def knn_shuffle(
         right_suffix="_r",
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        dx = g["lon_q"].to_numpy() - g["lon_r"].to_numpy()
-        dy = g["lat_q"].to_numpy() - g["lat_r"].to_numpy()
-        g = g.assign(dist2=dx * dx + dy * dy)
-        g = g.sort_values(["dist2", ref_id]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1)
-        return g[[query_id, ref_id, "dist2", "rank"]]
+    def local_topk(t: pa.Table) -> pa.Table:
+        dx = t["lon_q"].to_numpy(zero_copy_only=False) - t["lon_r"].to_numpy(
+            zero_copy_only=False
+        )
+        dy = t["lat_q"].to_numpy(zero_copy_only=False) - t["lat_r"].to_numpy(
+            zero_copy_only=False
+        )
+        dist = dx * dx + dy * dy
+        q = t[query_id].to_numpy(zero_copy_only=False)
+        r = t[ref_id].to_numpy(zero_copy_only=False)
+        sel, _rank = _topk_per_query(q, dist, r, k)
+        return pa.table(
+            {
+                query_id: pa.array(q[sel]),
+                ref_id: pa.array(r[sel]),
+                "dist2": pa.array(dist[sel]),
+                "part": pa.array(
+                    (q[sel].astype(np.int64) % num_partitions).astype(np.int64)
+                ),
+            }
+        )
 
-    return joined.groupby(query_id).map_groups(topk, batch_format="pandas")
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[query_id].to_numpy()
+        d = g["dist2"].to_numpy()
+        r = g[ref_id].to_numpy()
+        sel, rank = _topk_per_query(q, d, r, k)
+        return pd.DataFrame(
+            {
+                query_id: q[sel],
+                ref_id: r[sel],
+                "dist2": d[sel],
+                "rank": rank.astype(np.int64),
+            }
+        )
+
+    return (
+        joined.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
+    )

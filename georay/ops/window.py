@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from georay.runtime import table_from_pandas
+
 US_PER_DAY = 86_400 * 1_000_000
 
 
@@ -30,7 +32,7 @@ def tumbling(ds, key_col: str, ts_col: str, value_col: str,
         g = df.groupby([key_col, "win"], as_index=False).agg(
             p_n=("milli", "size"), p_sum=("milli", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -71,7 +73,7 @@ def sliding(ds, key_col: str, ts_col: str, value_col: str,
         g = df.groupby([key_col, "win_start"], as_index=False).agg(
             p_n=("milli", "size"), p_sum=("milli", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

@@ -20,6 +20,7 @@ from georay.ops import knn as knn_ops
 from georay.ops import pip as pip_ops
 from georay.ops import spatial, tiles
 from georay.ops.spatial import HASH_LON, sql_lat, sql_lon, sql_x, sql_y
+from georay import runtime
 
 BITS_ENC = 24  # 4096 x 4096 grid
 BITS_PARENT_FINE = 20
@@ -35,7 +36,13 @@ ANN_K = 5
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # strip the files' pandas schema metadata right at the read (fuses with
+    # it): unhashable metadata defeats Ray's block-schema dedup downstream
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns
+    ).map_batches(
+        runtime.strip_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _read_table(sf_dir: str, table: str, columns=None) -> pa.Table:
@@ -406,11 +413,21 @@ def q1_lineitem(sf_dir: str):
             df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
             .agg(p_qty=("qty", "sum"), p_cents=("cents", "sum"), p_n=("qty", "size"))
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return runtime.table_from_pandas(
+            g,
+            pa.schema(
+                [("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                 ("p_qty", pa.int64()), ("p_cents", pa.int64()),
+                 ("p_n", pa.int64())]
+            ),
+        )
 
     agg = (
         li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(8)  # partial rows are tiny; shuffle cost is per-block
+        # partial rows are tiny and there are only 6 groups: a single
+        # combine partition avoids schema-less EMPTY aggregate outputs
+        # (sort-aggregate emits one empty block per group-free partition)
+        .repartition(1)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("p_qty", alias_name="sum_qty"),
@@ -455,7 +472,13 @@ def q_events_window(sf_dir: str):
         g = df.groupby(["event_type", "day"], as_index=False).agg(
             p_n=("milli", "size"), p_milli=("milli", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return runtime.table_from_pandas(
+            g,
+            pa.schema(
+                [("event_type", pa.string()), ("day", pa.int64()),
+                 ("p_n", pa.int64()), ("p_milli", pa.int64())]
+            ),
+        )
 
     return (
         ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -642,7 +665,7 @@ def q_images_decode(sf_dir: str):
 
     return (
         checked.map_batches(project, batch_format="pyarrow")
-        .repartition(8)
+        .repartition(1)  # 3 groups: see q1_lineitem combine note
         .groupby("fmt")
         .aggregate(Count(alias_name="n"), Sum("ok_int", alias_name="n_ok"))
     )
@@ -855,7 +878,7 @@ def q_langid(sf_dir: str):
     return tiles.count_by(
         joined.map_batches(pair, batch_format="pyarrow"),
         "pair",
-        combine_partitions=4,
+        combine_partitions=1,  # ~10 confusion pairs: see q1 combine note
     )
 
 
@@ -1005,7 +1028,7 @@ def q_compact(sf_dir: str):
     comp = cells.compact_dataset(
         pts.select_columns(["cell"]), "cell", bits=20, step=2, anchor_bits=10
     )
-    return tiles.count_by(comp, "cell_bits", combine_partitions=4)
+    return tiles.count_by(comp, "cell_bits", combine_partitions=1)
 
 
 # ----------------------------------------------------- more windows / reshape

@@ -45,6 +45,26 @@ def per_process(key: str, factory):
     return inst
 
 
+def strip_metadata(t: pa.Table) -> pa.Table:
+    """Zero-copy drop of schema metadata (e.g. the ``b'pandas'`` blob that
+    parquet files written via pandas carry) — dict-valued metadata makes
+    schemas unhashable and defeats Ray's block-schema dedup."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def table_from_pandas(df, schema: "pa.Schema | None" = None) -> pa.Table:
+    """``pa.Table.from_pandas`` minus the ``b'pandas'`` schema metadata.
+
+    The metadata holds a dict, which makes the Arrow schema UNHASHABLE —
+    Ray's block-schema dedup then falls back to full unification on every
+    reduce ("Failed to hash the schemas" warnings). Pass ``schema`` so
+    EMPTY partials keep explicit column types (empty object columns
+    otherwise degrade to null type, and schema-unstable empty blocks are
+    what breaks ``Dataset.to_pandas`` on sparse data)."""
+    t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    return t.replace_schema_metadata(None)
+
+
 def detect_heavy_keys(ds, col: str, threshold: int) -> np.ndarray:
     """Keys with more than ``threshold`` rows, via partial counts (the
     shuffle moves one row per distinct key per batch, never the data)."""
