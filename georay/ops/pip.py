@@ -23,6 +23,7 @@ def pip_assign(
     keep_cols: list[str] | None = None,
     poly_id_col: str = "poly_id",
     concurrency=None,
+    backend: str = "cells",
 ):
     """Inner-join points to the polygons strictly containing them.
 
@@ -32,7 +33,7 @@ def pip_assign(
     """
     import ray
 
-    polyset_ref = ray.put(PolygonSet(poly_ids, rings, bits=bits))
+    polyset_ref = ray.put(PolygonSet(poly_ids, rings, bits=bits, backend=backend))
     key = polyset_ref.hex()
 
     def assign(polyset, t: pa.Table) -> pa.Table:

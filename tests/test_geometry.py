@@ -166,6 +166,42 @@ def test_polygonset_rtree_backend_matches_cells():
     assert set(zip(pa_.tolist(), ga.tolist())) == set(zip(pb.tolist(), gb.tolist()))
 
 
+def test_strtree_query_points_matches_per_point():
+    from georay.geometry import STRtree
+
+    rng = np.random.RandomState(11)
+    n = 800
+    x0 = rng.uniform(-170, 150, n); y0 = rng.uniform(-80, 60, n)
+    boxes = np.stack([x0, y0, x0 + rng.uniform(0.5, 10, n), y0 + rng.uniform(0.5, 8, n)], 1)
+    tree = STRtree(boxes)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-90, 90, 2000)
+    pi, bi = tree.query_points(lon, lat)
+    got = set(zip(pi.tolist(), bi.tolist()))
+    want = set()
+    for i in range(lon.size):
+        for b in tree.query_point(float(lon[i]), float(lat[i])).tolist():
+            want.add((i, b))
+    assert got == want
+
+
+def test_pip_fixture_tiles_backend_parity(ray_session):
+    # the images_pip polygon fixture (non-convex hexes, antimeridian pair,
+    # pole tile) must give identical pairs through both PolygonSet backends
+    from georay import fixtures
+
+    ids, _zooms, rings = fixtures.make_tiles()
+    rng = np.random.RandomState(12)
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-90, 90, 5000)
+    a = PolygonSet(ids, rings, bits=10, backend="cells")
+    b = PolygonSet(ids, rings, bits=10, backend="rtree")
+    pa_, ga = a.contains(lon, lat)
+    pb, gb = b.contains(lon, lat)
+    assert set(zip(pa_.tolist(), ga.tolist())) == set(zip(pb.tolist(), gb.tolist()))
+    assert pa_.size > 0
+
+
 def test_strtree_empty():
     from georay.geometry import STRtree
 
