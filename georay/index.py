@@ -21,6 +21,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from georay import cells as cells_mod
 from georay import codec, runtime
 
 _PROPS = "_index.json"
@@ -95,6 +96,47 @@ class CellIndex:
             lineage="extend",
         )
 
+    def compact(self) -> None:
+        """Merge ``extend()`` fragments back into the base partition layout
+        (one file per prefix again — repeated extends otherwise degrade
+        reads with one extra file per prefix per extend).
+
+        Full union scan → fresh partitioned write into a sibling dir →
+        directory swap. Readers racing the swap see either the old or the
+        new complete layout (the rename pair is the commit point)."""
+        import shutil
+
+        frags = [d for d in os.listdir(self.root) if d.startswith("frag-")]
+        if not frags:
+            return
+        shift = self.bits - self.prefix_bits
+        cell_col = self.cell_col
+
+        def add_prefix(t: pa.Table) -> pa.Table:
+            cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return t.append_column(
+                "_prefix", pa.array((cell >> np.uint64(shift)).astype(np.int64))
+            )
+
+        tmp = self.root.rstrip("/") + ".compact-tmp"
+        old = self.root.rstrip("/") + ".compact-old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        runtime.write_partitioned(
+            self.scan().map_batches(add_prefix, batch_format="pyarrow"),
+            tmp,
+            "_prefix",
+            resume=False,
+            lineage=f"compact of {len(frags)} fragments",
+        )
+        props = {"bits": self.bits, "prefix_bits": self.prefix_bits,
+                 "cell_col": self.cell_col}
+        with open(os.path.join(tmp, _PROPS), "w") as f:
+            json.dump(props, f)
+        os.rename(self.root, old)
+        os.rename(tmp, self.root)
+        shutil.rmtree(old)
+
     # -------------------------------------------------------------- querying
 
     def _files_for_prefixes(self, prefixes: set[int]) -> list[str]:
@@ -120,10 +162,19 @@ class CellIndex:
             return None
         return ray.data.read_parquet(files, columns=columns)
 
-    def query_cells(self, cells: np.ndarray, columns=None):
+    def query_cells(self, cells: np.ndarray, columns=None,
+                    expand_neighbors: bool = False, ring: int = 1):
         """X5 parity: records of exactly these cells — partition-pruned read
-        + exact cell filter (vectorized isin per batch)."""
+        + exact cell filter (vectorized isin per batch).
+
+        ``expand_neighbors=True`` widens the request by the Chebyshev
+        ``ring`` of surrounding cells first (the reference's border-
+        tolerance query expansion, SURVEY.md X5 MUST-VERIFY: points near a
+        cell edge live in a neighboring cell)."""
         cells = np.unique(np.asarray(cells, dtype=np.uint64))
+        if expand_neighbors and cells.size:
+            ring_cells, valid = cells_mod.k_ring(cells, self.bits, ring)
+            cells = np.unique(ring_cells.reshape(-1)[valid.reshape(-1)])
         shift = self.bits - self.prefix_bits
         prefixes = set((cells >> np.uint64(shift)).astype(np.int64).tolist())
         if columns is not None:

@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from georay.runtime import check_saltable
+
 
 class _SortedLookup:
     """Immutable sorted-key multimap over a pyarrow table, built once."""
@@ -161,6 +163,7 @@ def salted_shuffle_join(
 
     def replicate_right(t: pa.Table) -> pa.Table:
         key = t[on].to_numpy(zero_copy_only=False)
+        check_saltable(key, n_salt)
         is_hot = np.isin(key, hot)
         # cold rows once at salt 0; hot rows replicated across all salts
         reps = np.where(is_hot, n_salt, 1)

@@ -85,16 +85,30 @@ def detect_heavy_keys(ds, col: str, threshold: int) -> np.ndarray:
     return out.loc[out["n"] > threshold, col].to_numpy()
 
 
+def check_saltable(key: np.ndarray, n_salt: int) -> None:
+    """Refuse keys whose ``key * n_salt`` would wrap int64: the salted key
+    must stay injective or distinct keys silently collide (fine-precision
+    cell codes can reach 2^60 — ADVICE r1)."""
+    if key.size and int(np.abs(key).max()) >= (1 << 62) // n_salt:
+        raise ValueError(
+            f"salting overflow: |key| max {int(np.abs(key).max())} * n_salt "
+            f"{n_salt} exceeds the int64-safe bound 2^62; coarsen the key or "
+            "reduce n_salt"
+        )
+
+
 def salt_hot_keys(ds, col: str, hot_keys: np.ndarray, n_salt: int = 16,
                   salted_col: str | None = None):
     """Add a salted shuffle key: hot rows get ``key*n_salt + (row_hash %
     n_salt)``, cold rows ``key*n_salt``. Group by the salted column, then
-    unsalt with ``key // n_salt``."""
+    unsalt with ``key // n_salt``. Raises if ``key*n_salt`` could wrap
+    int64 (collision-safety guard)."""
     salted_col = salted_col or f"{col}_salted"
     hot = np.sort(np.asarray(hot_keys))
 
     def fn(t: pa.Table) -> pa.Table:
         key = t[col].to_numpy(zero_copy_only=False)
+        check_saltable(key, n_salt)
         is_hot = np.isin(key, hot)
         # cheap deterministic per-row hash for salt assignment
         rid = np.arange(key.shape[0], dtype=np.int64)
@@ -132,8 +146,29 @@ def load_manifest(out_dir: str) -> dict:
         return json.load(f)
 
 
+def _sidecar_entries(out_dir: str) -> dict:
+    """Per-partition ``.done`` sidecar markers written as each partition
+    file commits — they make single partitions durable MID-RUN, so a crash
+    between the first partition write and the final manifest commit does
+    not force a full reprocess."""
+    out = {}
+    if os.path.isdir(out_dir):
+        for f in os.listdir(out_dir):
+            if f.endswith(".done"):
+                try:
+                    with open(os.path.join(out_dir, f)) as fh:
+                        e = json.load(fh)
+                    out[e["partition"]] = e
+                except Exception:
+                    continue  # truncated marker from a crash: not committed
+    return out
+
+
 def committed_partitions(out_dir: str) -> set:
-    return set(load_manifest(out_dir)["partitions"])
+    """Partitions durable in the manifest OR via a per-partition sidecar."""
+    return set(load_manifest(out_dir)["partitions"]) | set(
+        _sidecar_entries(out_dir)
+    )
 
 
 def write_partitioned(
@@ -146,16 +181,19 @@ def write_partitioned(
 ):
     """Write one parquet file per partition key with atomic rename + manifest.
 
-    On resume, partitions already committed in the manifest are filtered out
-    BEFORE the shuffle, so finished writes are skipped. NOTE: upstream
-    compute still re-runs when the partition column is only derived late in
-    the pipeline — for full input-side skipping, partition by a key
-    derivable at the source (as ``CellIndex.build`` does with the cell
-    prefix). Returns the manifest dict. The partition column should be
-    coarse (e.g. a cell prefix): one file per key."""
+    Each partition commits INDIVIDUALLY the moment its file lands (atomic
+    rename + a ``.done`` sidecar marker), then the manifest summarizes the
+    run — so resume works across BOTH completed runs and mid-run crashes:
+    on resume, partitions committed in the manifest or via sidecars are
+    filtered out BEFORE the shuffle. NOTE: upstream compute still re-runs
+    when the partition column is only derived late in the pipeline — for
+    full input-side skipping, partition by a key derivable at the source
+    (as ``CellIndex.build`` does with the cell prefix). Returns the
+    manifest dict. The partition column should be coarse (e.g. a cell
+    prefix): one file per key."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = load_manifest(out_dir) if resume else {"partitions": {}}
-    done = set(manifest["partitions"]) if resume else set()
+    done = committed_partitions(out_dir) if resume else set()
 
     if done:
 
@@ -183,8 +221,19 @@ def write_partitioned(
         t0 = time.time()
         final = os.path.join(out_dir, f"part-{safe}-{digest}.parquet")
         tmp = final + f".tmp{os.getpid()}"
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        pq.write_table(table_from_pandas(g), tmp)  # metadata-free schema
         os.replace(tmp, final)  # atomic commit of the partition file
+        # per-partition durability: sidecar marker so a crash before the
+        # final manifest write still skips this partition on rerun
+        marker = final + ".done"
+        mtmp = marker + f".tmp{os.getpid()}"
+        with open(mtmp, "w") as fh:
+            json.dump(
+                {"partition": key, "rows": len(g),
+                 "bytes": os.path.getsize(final),
+                 "seconds": round(time.time() - t0, 4)}, fh,
+            )
+        os.replace(mtmp, marker)
         return pd.DataFrame(
             {
                 "partition": [key],
@@ -202,6 +251,14 @@ def write_partitioned(
             "seconds": float(row["seconds"]),
             "lineage": lineage,
         }
+    # absorb partitions committed via sidecars by earlier (crashed) runs so
+    # the manifest stays the single complete record
+    for key, e in _sidecar_entries(out_dir).items():
+        manifest["partitions"].setdefault(
+            key,
+            {"rows": int(e.get("rows", 0)), "bytes": int(e.get("bytes", 0)),
+             "seconds": float(e.get("seconds", 0.0)), "lineage": lineage},
+        )
     if expected_partitions is not None:
         # partitions that produced ZERO rows never reach write_group; commit
         # them too or resumable callers re-process them on every rerun

@@ -84,6 +84,56 @@ def test_extend_and_keys(ray_session, tmp_path):
     assert sorted(out["rec_id"]) == sorted(want)
 
 
+def test_extend_compact_query_equivalence(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    t1 = _points(1000, seed=4)
+    t2 = _points(500, seed=5)
+    root = str(tmp_path / "ix4")
+    idx = CellIndex.build(ray.data.from_arrow(t1), root, bits=16, prefix_bits=6)
+    idx.extend(ray.data.from_arrow(t2))
+    before = sorted(idx.scan().to_pandas()["rec_id"])
+    keys_before = idx.keys().tolist()
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(root))
+    idx.compact()
+    assert not [d for d in os.listdir(root) if d.startswith("frag-")]
+    assert sorted(idx.scan().to_pandas()["rec_id"]) == before
+    assert idx.keys().tolist() == keys_before
+    assert sum(len(fs) for _, _, fs in os.walk(root)) < n_files_before
+    # query parity after compaction
+    c = int(t2["cell"][0].as_py())
+    out = idx.query_cells(np.array([c])).to_pandas()
+    df1, df2 = t1.to_pandas(), t2.to_pandas()
+    want = list(df1[df1.cell == c]["rec_id"]) + list(df2[df2.cell == c]["rec_id"])
+    assert sorted(out["rec_id"]) == sorted(want)
+    # compact with no fragments is a no-op
+    idx.compact()
+    assert sorted(idx.scan().to_pandas()["rec_id"]) == before
+
+
+def test_query_cells_expand_neighbors(ray_session, tmp_path):
+    import ray
+
+    from georay import cells as cells_mod
+
+    t = _points(2000, seed=6)
+    idx = CellIndex.build(
+        ray.data.from_arrow(t), str(tmp_path / "ix5"), bits=16, prefix_bits=6
+    )
+    seed_cells = np.unique(t["cell"].to_numpy())[:5].astype(np.uint64)
+    out = idx.query_cells(seed_cells, expand_neighbors=True).to_pandas()
+    ring, valid = cells_mod.k_ring(seed_cells, 16, 1)
+    expanded = np.unique(ring.reshape(-1)[valid.reshape(-1)]).astype(np.int64)
+    df = t.to_pandas()
+    want = df[df["cell"].isin(expanded)]
+    assert sorted(out["rec_id"]) == sorted(want["rec_id"])
+    # strictly wider than the unexpanded query on this data
+    plain = idx.query_cells(seed_cells).to_pandas()
+    assert len(out) >= len(plain)
+
+
 def test_where_zones():
     raster = np.array([[5, 5, 7], [5, 8, 7], [9, 8, 7]])
     zones = codec.where_zones(raster)

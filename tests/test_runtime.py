@@ -60,18 +60,29 @@ def test_write_partitioned_and_resume(ray_session, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == 4
 
-    # resume: delete one partition file but keep the manifest entry ->
-    # rerun must NOT rewrite it (it is committed)
-    part2 = [f for f in os.listdir(out) if f.startswith("part-2-")][0]
+    # resume: delete one partition file (and its sidecar) but keep the
+    # manifest entry -> rerun must NOT rewrite it (it is committed)
+    part2 = [f for f in os.listdir(out)
+             if f.startswith("part-2-") and f.endswith(".parquet")][0]
     os.remove(os.path.join(out, part2))
+    os.remove(os.path.join(out, part2 + ".done"))
     man2 = runtime.write_partitioned(ds, out, "part", lineage="unit-test-2")
-    assert not any(f.startswith("part-2-") for f in os.listdir(out))
+    assert not any(
+        f.startswith("part-2-") and f.endswith(".parquet")
+        for f in os.listdir(out)
+    )
     assert set(man2["partitions"]) == {"0", "1", "2", "3"}
 
-    # fresh rerun after wiping the manifest rewrites everything
+    # fresh rerun after wiping the manifest AND sidecars rewrites everything
     os.remove(os.path.join(out, "_manifest.json"))
+    for f in list(os.listdir(out)):
+        if f.endswith(".done"):
+            os.remove(os.path.join(out, f))
     man3 = runtime.write_partitioned(ds, out, "part", lineage="unit-test-3")
-    assert any(f.startswith("part-2-") for f in os.listdir(out))
+    assert any(
+        f.startswith("part-2-") and f.endswith(".parquet")
+        for f in os.listdir(out)
+    )
     assert sum(p["rows"] for p in man3["partitions"].values()) == 100
 
     # data round-trips
@@ -82,3 +93,44 @@ def test_write_partitioned_and_resume(ray_session, tmp_path):
     ).read()
     assert back.num_rows == 100
     assert sorted(back["v"].to_pylist()) == list(range(100))
+
+
+def test_write_partitioned_mid_run_crash_resume(ray_session, tmp_path):
+    # simulate a crash AFTER two partitions committed (files + sidecars on
+    # disk) but BEFORE the final manifest write: the rerun must skip the
+    # sidecar-committed partitions and absorb them into the manifest
+    import ray
+
+    out = str(tmp_path / "crash")
+    t = pa.table(
+        {
+            "part": np.repeat(np.arange(4), 25).astype(np.int64),
+            "v": np.arange(100, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    runtime.write_partitioned(ds, out, "part", lineage="full")
+    # forge the crash state: drop the manifest and two of the partitions
+    os.remove(os.path.join(out, "_manifest.json"))
+    for f in list(os.listdir(out)):
+        if f.startswith(("part-0-", "part-1-")):
+            os.remove(os.path.join(out, f))
+    kept = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in kept}
+    man = runtime.write_partitioned(ds, out, "part", lineage="rerun")
+    # committed partitions 2/3 were not rewritten (mtimes unchanged)
+    for f in kept:
+        assert os.path.getmtime(os.path.join(out, f)) == mtimes[f]
+    # 0/1 were reprocessed; manifest covers all four with full row counts
+    assert set(man["partitions"]) == {"0", "1", "2", "3"}
+    assert sum(p["rows"] for p in man["partitions"].values()) == 100
+
+
+def test_salt_overflow_guard(ray_session):
+    import pytest
+    import ray
+
+    big = pa.table({"cell": np.array([1 << 61], dtype=np.int64)})
+    ds = ray.data.from_arrow(big)
+    with pytest.raises(Exception, match="salting overflow"):
+        runtime.salt_hot_keys(ds, "cell", np.array([1 << 61]), n_salt=8).to_pandas()
