@@ -708,10 +708,12 @@ FROM p GROUP BY 1, 2
 
 
 def q_images_features(sf_dir: str):
-    """Decode → thumbnail resize → feature extraction, aggregated per
-    format (rows-only; feature floats aren't SQL-reproducible)."""
-    from ray.data.aggregate import Count
-
+    """Decode → thumbnail resize → feature extraction, hard-checked per
+    image: thumb_hash is deterministic and periodic in the pixel index
+    (period 768), so the SQL twin joins ``range(N)`` against a 768-entry
+    literal table of expected hashes (computed once, driver-side, through
+    the same decode→resize→hash path — a fixture-derived oracle that nails
+    sharding/dedup/join placement errors)."""
     from georay import fixtures
     from georay.ops import images as img_ops
 
@@ -721,25 +723,62 @@ def q_images_features(sf_dir: str):
     def project(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        fmt_idx = pc.cast(
-            pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64()
-        )
-        return pa.table({"bucket": pc.bit_wise_and(fmt_idx, 3)})
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+        return pa.table({"img_idx": idx, "thumb_hash": t["thumb_hash"]})
 
-    return (
-        feats.map_batches(project, batch_format="pyarrow")
-        .repartition(8)
-        .groupby("bucket")
-        .aggregate(Count(alias_name="n"))
-    )
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+_THUMB_TABLE_CACHE: dict[int, str] = {}
+
+
+def _sql_thumb_values() -> str:
+    """(pmod, thumb_hash) literal rows for one pixel period, via the same
+    numpy decode→bilinear-resize→hash path ImageTransform runs."""
+    cached = _THUMB_TABLE_CACHE.get(0)
+    if cached is None:
+        from georay import images
+        from georay.fixtures import PIXEL_PERIOD
+        from georay.ops.images import ImageTransform
+
+        rows = []
+        tr = ImageTransform()
+        for p in range(PIXEL_PERIOD):
+            w, h = images.image_dims(p)
+            fmt = images.image_fmt(p)
+            blob = images.encode_image(images.synth_pixels(p, w, h), fmt)
+            t = pa.table(
+                {
+                    "image_id": pa.array([f"img{p:012d}"]),
+                    "fmt": pa.array([fmt]),
+                    "bytes": pa.array([blob], pa.binary()),
+                }
+            )
+            th = tr(t)["thumb_hash"][0].as_py()
+            rows.append(f"({p}, {th})")
+        cached = ",\n  ".join(rows)
+        _THUMB_TABLE_CACHE[0] = cached
+    return cached
+
+
+def sql_images_features(n: int) -> str:
+    return f"""
+WITH img AS ({_sql_img(n)}),
+th(pmod, thumb_hash) AS (VALUES
+  {_sql_thumb_values()}
+)
+SELECT CAST(img.i AS BIGINT) AS img_idx,
+       CAST(th.thumb_hash AS BIGINT) AS thumb_hash
+FROM img JOIN th ON th.pmod = img.pix % 768
+"""
 
 
 def q_images_pip(sf_dir: str):
     """Image points vs the fixture tile-polygon set (non-convex hexagons,
-    antimeridian split pair, pole tile) on the PIP actor pool. Rows-only
-    check (polygons are seeded-random, not SQL-reconstructible)."""
-    from ray.data.aggregate import Count
-
+    antimeridian split pair, pole tile) on the PIP stage. Hard-checked: the
+    fixture rings are all axis-aligned boxes or notched boxes, so the SQL
+    twin reconstructs each ring's ray-cast interior as half-open rectangle
+    predicates with the ring coordinates embedded as exact float literals."""
     from georay import fixtures
     from georay.ops import pip as pip_ops
 
@@ -748,7 +787,44 @@ def q_images_pip(sf_dir: str):
     pairs = pip_ops.pip_assign(
         ds, ids, rings, bits=10, keep_cols=["image_id"], poly_id_col="tile_id"
     )
-    return pairs.groupby("tile_id").aggregate(Count(alias_name="n_points"))
+    return tiles.count_by(pairs, "tile_id", out_col="n_points",
+                          combine_partitions=1)
+
+
+def sql_images_pip(n: int) -> str:
+    """SQL twin of q_images_pip: every fixture ring is a box (5-pt closed
+    ring) or a notched box ("hexagon", 6 vertices); the strict ray-cast
+    interior of both is the union of two half-open rectangles
+    [x0,x1) × [y0,ym) ∪ [xm,x1) × [ym,y1)  (a plain box has xm=x0, ym=y1).
+    Ring coordinates are embedded as repr() float literals — bit-exact
+    round-trip into DuckDB doubles."""
+    from georay import fixtures
+
+    ids, _zooms, rings = fixtures.make_tiles()
+    rows = []
+    for tid, (rx, ry) in zip(ids, rings):
+        if rx.size == 6:  # notched box: (x0,y0)(x1,y0)(x1,y1)(xm,y1)(xm,ym)(x0,ym)
+            x0, x1, xm = rx[0], rx[1], rx[3]
+            y0, y1, ym = ry[0], ry[2], ry[4]
+        else:  # closed box ring
+            x0, x1 = rx[0], rx[1]
+            y0, y1 = ry[0], ry[2]
+            xm, ym = x0, y1
+        rows.append(
+            f"('{tid}', {x0!r}, {x1!r}, {y0!r}, {y1!r}, {xm!r}, {ym!r})"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+WITH p AS ({_sql_img_coords(n)}),
+t(tile_id, x0, x1, y0, y1, xm, ym) AS (VALUES
+  {values}
+)
+SELECT tile_id, COUNT(*) AS n_points
+FROM p JOIN t
+  ON (p.lat >= t.y0 AND p.lat < t.ym AND p.lon >= t.x0 AND p.lon < t.x1)
+  OR (p.lat >= t.ym AND p.lat < t.y1 AND p.lon >= t.xm AND p.lon < t.x1)
+GROUP BY tile_id
+"""
 
 
 # ------------------------------------------------------ near-dup / text suite
@@ -958,11 +1034,54 @@ FROM t
 
 
 def q_simhash_neardup(sf_dir: str):
-    """SimHash block-LSH near-dup (rows-only; deterministic FNV hashing)."""
+    """SimHash block-LSH near-dup, hard-checked: with max_hamming=6 <
+    n_blocks=8 the blocking is EXACT (pigeonhole), so the result equals the
+    full O(n²) hamming self-join — which the SQL twin computes after
+    replaying the 64-bit word-level FNV-1a + majority-vote simhash with a
+    recursive CTE (HUGEINT modular arithmetic)."""
     from georay.ops import minhash as mh
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return mh.simhash_near_dup_pairs(docs, max_hamming=6, n_blocks=8)
+
+
+# NOTE: valid for ASCII corpora (ord(char) == utf-8 byte); the Python side
+# hashes utf-8 bytes. The testdata documents are pure ASCII.
+SQL_SIMHASH = r"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+         FROM documents),
+words AS (SELECT DISTINCT w FROM toks),
+fnv AS (
+  SELECT w, 1 AS i, CAST(14695981039346656037 AS UBIGINT) AS h FROM words
+  UNION ALL
+  SELECT w, i + 1,
+    CAST(CAST((CAST(xor(h, CAST(ord(substr(w, i, 1)) AS UBIGINT)) AS HUGEINT)
+         * 1099511628211) % 18446744073709551616 AS HUGEINT) AS UBIGINT)
+  FROM fnv WHERE i <= length(w)
+),
+wh AS (SELECT w, h FROM fnv WHERE i = length(w) + 1),
+bits AS (
+  SELECT t.doc_id, r.b,
+         SUM(CAST(CAST(wh.h >> CAST(r.b AS UBIGINT) AS UBIGINT) & 1 AS BIGINT)) AS c,
+         COUNT(*) AS nw
+  FROM toks t JOIN wh ON wh.w = t.w
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN 2 * c > nw THEN
+           CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                ELSE CAST(1 AS HUGEINT) << CAST(b AS INTEGER) END
+         ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS sim
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 6
+"""
 
 
 def q_ann_ivf(sf_dir: str):
@@ -987,9 +1106,15 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+RASTER_TILE_BITS = 4
+
+
 def q_raster(sf_dir: str):
-    """Dense raster assembly of per-cell image counts (to_xarray parity,
-    rows-only: tensors aren't SQL-comparable)."""
+    """Dense raster assembly of per-cell image counts (to_xarray parity).
+    Hard-checked: each assembled grid is summarized by an integer
+    position-weighted checksum Σ values[i,j]·(i·w+j+1) computed FROM THE
+    ASSEMBLED TENSOR, which the SQL twin reproduces from per-cell counts —
+    any misplacement, dimension, or origin error breaks the hash."""
     from georay import fixtures
 
     ds = fixtures.read_images(sf_dir, columns=["lon", "lat"])
@@ -1013,22 +1138,115 @@ def q_raster(sf_dir: str):
         agg.map_batches(rename, batch_format="pyarrow"),
         bits=BITS_TILE,
         value_col="n",
-        tile_bits=4,
+        tile_bits=RASTER_TILE_BITS,
     )
-    return out.map_batches(
-        lambda t: t.drop_columns(["values"]), batch_format="pyarrow"
-    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        tile = t["tile"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tx, ty = codec.deinterleave(tile, RASTER_TILE_BITS)
+        # the grids arrive as Ray's ArrowTensorArray extension — per-row
+        # python access is fine here (one row per TILE, not per record)
+        arrs = t["values"].to_pylist()
+        n_rows = len(t)
+        total = np.empty(n_rows, dtype=np.int64)
+        checksum = np.empty(n_rows, dtype=np.int64)
+        for k in range(n_rows):
+            v = np.asarray(arrs[k]).ravel().astype(np.int64)
+            total[k] = v.sum()
+            checksum[k] = (v * (np.arange(v.size, dtype=np.int64) + 1)).sum()
+        return pa.table(
+            {
+                "tile_x": pa.array(tx.astype(np.int64)),
+                "tile_y": pa.array(ty.astype(np.int64)),
+                "x0": t["x0"].cast(pa.int64()),
+                "y0": t["y0"].cast(pa.int64()),
+                "h": t["h"].cast(pa.int64()),
+                "w": t["w"].cast(pa.int64()),
+                "total_n": pa.array(total),
+                "checksum": pa.array(checksum),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def sql_raster(n: int) -> str:
+    """SQL twin of q_raster: per-cell counts → per-tile bounds → the same
+    position-weighted checksum Σ n·((y−y0)·w + (x−x0) + 1) (missing cells
+    contribute 0 on both sides)."""
+    return f"""
+WITH p AS ({_sql_img_coords(n)}),
+c AS (SELECT {sql_x('lon', 5)} AS x, {sql_y('lat', 5)} AS y, COUNT(*) AS n
+      FROM p GROUP BY 1, 2),
+t AS (SELECT x // 8 AS tile_x, y // 8 AS tile_y, x, y, n FROM c),
+b AS (SELECT tile_x, tile_y, MIN(x) AS x0, MIN(y) AS y0,
+             MAX(y) - MIN(y) + 1 AS h, MAX(x) - MIN(x) + 1 AS w
+      FROM t GROUP BY 1, 2)
+SELECT t.tile_x, t.tile_y, b.x0, b.y0, b.h, b.w,
+       CAST(SUM(t.n) AS BIGINT) AS total_n,
+       CAST(SUM(t.n * ((t.y - b.y0) * b.w + (t.x - b.x0) + 1)) AS BIGINT)
+         AS checksum
+FROM t JOIN b USING (tile_x, tile_y)
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
 
 
 def q_compact(sf_dir: str):
-    """Distributed H3-style compact of customer cells at 20 bits
-    (rows-only; in-memory compact is oracle-tested in unit tests)."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    pts = spatial.points_with_cells(cust, "c_custkey", 20, xy=False)
+    """Distributed H3-style compact of customer cells at 20 bits,
+    hard-checked: the quadtree promotion (complete sibling sets replaced by
+    their parent, floored at the 10-bit anchor) is replayed relationally in
+    (x, y) space by the SQL twin — output is the per-precision cell count."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    pts = spatial.points_with_cells(orders, "o_orderkey", 12, xy=False)
     comp = cells.compact_dataset(
-        pts.select_columns(["cell"]), "cell", bits=20, step=2, anchor_bits=10
+        pts.select_columns(["cell"]), "cell", bits=12, step=2, anchor_bits=6
     )
-    return tiles.count_by(comp, "cell_bits", combine_partitions=1)
+    out = tiles.count_by(comp, "cell_bits", combine_partitions=1)
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cell_bits": t["cell_bits"].cast(pa.int64()), "n": t["n"]}
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def _sql_compact() -> str:
+    """SQL twin of q_compact: parent-of-(x,y) is (x//2, y//2); a level-L
+    cell is promoted iff all 4 children exist at level L+2. Three promotion
+    rounds take 12 bits down to the 6-bit anchor floor (compact_dataset's
+    anchor prevents promotion past it; relationally the chain just stops).
+    The dense orders table gives a real mix of promoted and kept cells at
+    every level."""
+    parts = [
+        f"l12 AS (SELECT DISTINCT x, y FROM "
+        f"(SELECT {sql_x(sql_lon('o_orderkey'), 6)} AS x, "
+        f"{sql_y(sql_lat('o_orderkey'), 6)} AS y FROM orders))"
+    ]
+    levels = [12, 10, 8, 6]
+    for parent, child in zip(levels[1:], levels[:-1]):
+        parts.append(
+            f"p{parent} AS (SELECT x // 2 AS x, y // 2 AS y FROM l{child} "
+            f"GROUP BY 1, 2 HAVING COUNT(*) = 4)"
+        )
+        parts.append(
+            f"k{child} AS (SELECT l.x, l.y FROM l{child} l LEFT JOIN p{parent} p "
+            f"ON p.x = l.x // 2 AND p.y = l.y // 2 WHERE p.x IS NULL)"
+        )
+        if parent > levels[-1]:
+            parts.append(f"l{parent} AS (SELECT x, y FROM p{parent})")
+    unions = "\nUNION ALL ".join(
+        [f"SELECT {b} AS cell_bits, COUNT(*) AS n FROM k{b}" for b in levels[:-1]]
+        + [f"SELECT {levels[-1]} AS cell_bits, COUNT(*) AS n FROM p{levels[-1]}"]
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(cell_bits AS BIGINT) AS cell_bits, n FROM ({unions}) "
+        "WHERE n > 0"
+    )
+
+
+SQL_COMPACT = _sql_compact()
 
 
 # ----------------------------------------------------- more windows / reshape
@@ -1357,7 +1575,7 @@ def registry(n_images: int = 10_000):
         "images_dedup": (q_images_dedup, sql_images_dedup(n_images)),
         "images_decode": (q_images_decode, sql_images_decode(n_images)),
         "images_tiles": (q_images_tiles, sql_images_tiles(n_images)),
-        "images_pip": (q_images_pip, None),
+        "images_pip": (q_images_pip, sql_images_pip(n_images)),
         "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
         "minhash_neardup_shuffle": (q_minhash_neardup_shuffle, SQL_MINHASH_NEARDUP),
         "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
@@ -1365,16 +1583,16 @@ def registry(n_images: int = 10_000):
         "knn_shuffle": (q_knn_shuffle, SQL_KNN),
         "langid_confusion": (q_langid, SQL_LANGID),
         "quality_scores": (q_quality, SQL_QUALITY),
-        "simhash_neardup": (q_simhash_neardup, None),
+        "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
-        "raster_assembly": (q_raster, None),
-        "compact_cells": (q_compact, None),
+        "raster_assembly": (q_raster, sql_raster(n_images)),
+        "compact_cells": (q_compact, SQL_COMPACT),
         "index_query_box": (q_index_query_box, SQL_INDEX_QUERY_BOX),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_session": (q_events_session, SQL_EVENTS_SESSION),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "images_hot_salted": (q_images_hot_salted, sql_images_tiles(n_images)),
-        "images_features": (q_images_features, None),
+        "images_features": (q_images_features, sql_images_features(n_images)),
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
     }
