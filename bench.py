@@ -105,6 +105,73 @@ def run_suite(only: list[str] | None = None) -> dict:
     }
 
 
+# sized so the 8-cpu run is fully CPU-bound (~60-90 s) and fixed overhead
+# (~2.5 s) is amortized at 32 cpus, while staying clear of the single-node
+# hash-shuffle IPC-thrash regime (4M x 1M measured pathological). Density
+# (refs per cell) held constant via bits=17.
+SHUFFLE_QUERIES = int(os.environ.get("GRAFT_SHUFFLE_QUERIES", "1200000"))
+SHUFFLE_REFS = int(os.environ.get("GRAFT_SHUFFLE_REFS", "300000"))
+
+
+def run_shuffle_job() -> dict:
+    """Shuffle-heavy scaling probe: big×big kNN (ring flat-map → hash join
+    on the cell key → two-phase top-k reduce) over synthetic point tables.
+    Unlike the flagship (map-dominated), wall time here is dominated by the
+    all-to-all exchange + grouped reduce — the path whose scaling the
+    north_rule cares about separately."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from georay import codec
+    from georay.ops import knn as knn_ops
+    from georay.ops.spatial import synth_lonlat
+
+    bits = 17
+
+    def gen(id_name):
+        def fn(t: pa.Table) -> pa.Table:
+            i = t["id"].to_numpy(zero_copy_only=False)
+            lon, lat = synth_lonlat(i)
+            cell = codec.encode(lon, lat, bits)
+            return pa.table(
+                {id_name: i, "lon": lon, "lat": lat,
+                 "cell": cell.astype(np.int64)}
+            )
+        return fn
+
+    q = ray.data.range(
+        SHUFFLE_QUERIES, override_num_blocks=max(NUM_CPUS * 2, 16)
+    ).map_batches(gen("query_id"), batch_format="pyarrow")
+    r = ray.data.range(
+        SHUFFLE_REFS, override_num_blocks=max(NUM_CPUS * 2, 16)
+    ).map_batches(gen("ref_id"), batch_format="pyarrow")
+    t0 = time.time()
+    out = knn_ops.knn_shuffle(
+        q, r, bits=bits, k=3, ring=1, query_id="query_id", ref_id="ref_id",
+        num_partitions=32,  # fixed across CPU levels: same physical plan
+    )
+    n = out.count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {
+        "metric": "big-big knn_shuffle (ring explode + hash join + top-k reduce)",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "rows_out": n,
+        "queries_per_sec": round(SHUFFLE_QUERIES / dt, 1),
+        "n_queries": SHUFFLE_QUERIES,
+        "n_refs": SHUFFLE_REFS,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -132,14 +199,40 @@ def run_scaling() -> dict:
     hi = one(32)
     thr_lo = lo["images_per_sec"]
     thr_hi = hi["images_per_sec"]
+
+    def one_shuffle(ncpu: int) -> dict:
+        # best-of-3: this VM shows >2x run-to-run steal-time noise, which
+        # would swamp a single-run efficiency estimate
+        best = None
+        for _ in range(3):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--only-shuffle"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
+    sh_lo = one_shuffle(8)
+    sh_hi = one_shuffle(32)
     return {
-        "metric": "scaling efficiency (flagship images/sec, 8 -> 32 cpus)",
+        "metric": "scaling efficiency (flagship images/sec + knn_shuffle, 8 -> 32 cpus)",
         "sec_8": lo["queries"]["flagship_images"],
         "sec_32": hi["queries"]["flagship_images"],
         "images_per_sec_8": thr_lo,
         "images_per_sec_32": thr_hi,
         "scaling_efficiency": round((thr_hi / thr_lo) / 4.0, 3),
         "n_images": SCALING_IMAGES,
+        "shuffle_sec_8": sh_lo["value"],
+        "shuffle_sec_32": sh_hi["value"],
+        "shuffle_queries_per_sec_8": sh_lo["queries_per_sec"],
+        "shuffle_queries_per_sec_32": sh_hi["queries_per_sec"],
+        "shuffle_scaling_efficiency": round(
+            (sh_hi["queries_per_sec"] / sh_lo["queries_per_sec"]) / 4.0, 3
+        ),
         "sf": SF_DIR,
     }
 
@@ -278,5 +371,7 @@ if __name__ == "__main__":
         print(json.dumps(run_single_process()))
     elif "--only-flagship" in sys.argv:
         print(json.dumps(run_suite(["flagship_images"])))
+    elif "--only-shuffle" in sys.argv:
+        print(json.dumps(run_shuffle_job()))
     else:
         print(json.dumps(run_suite()))

@@ -276,6 +276,29 @@ def knn_adaptive(
     return queries_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _merge_topk_stage(local_ds, query_id: str, ref_id: str, k: int):
+    """Global top-k merge over per-batch local top-k rows: grouped by the
+    ``part`` bucket column — O(buckets) pandas groups, each merging many
+    queries in one vectorized lexsort."""
+    import pandas as pd
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[query_id].to_numpy()
+        d = g["dist2"].to_numpy()
+        r = g[ref_id].to_numpy()
+        sel, rank = _topk_per_query(q, d, r, k)
+        return pd.DataFrame(
+            {
+                query_id: q[sel],
+                ref_id: r[sel],
+                "dist2": d[sel],
+                "rank": rank.astype(np.int64),
+            }
+        )
+
+    return local_ds.groupby("part").map_groups(merge_part, batch_format="pandas")
+
+
 def knn_shuffle(
     queries_ds,
     refs_ds,
@@ -346,22 +369,129 @@ def knn_shuffle(
             }
         )
 
-    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
-        q = g[query_id].to_numpy()
-        d = g["dist2"].to_numpy()
-        r = g[ref_id].to_numpy()
-        sel, rank = _topk_per_query(q, d, r, k)
-        return pd.DataFrame(
+    return _merge_topk_stage(
+        joined.map_batches(local_topk, batch_format="pyarrow"),
+        query_id, ref_id, k,
+    )
+
+
+def knn_cogroup(
+    queries_ds,
+    refs_ds,
+    bits: int,
+    k: int,
+    ring: int = 1,
+    query_id: str = "query_id",
+    ref_id: str = "ref_id",
+    cell_col: str = "cell",
+    num_buckets: int = 64,
+    num_partitions: int = 32,
+):
+    """Big×big kNN via a SORT-shuffle cogroup join (no hash-aggregator
+    actors): both sides are tagged, keyed by a cell-hash bucket, unioned,
+    and co-grouped with ``groupby(bucket)`` — one vectorized searchsorted
+    join + local top-k per bucket, then the shared bucketed top-k merge.
+
+    Same semantics (and SQL twin) as :func:`knn_shuffle`; different
+    physical plan: Ray's task-based sort shuffle instead of the actor-based
+    hash join. MEASURED on this sandbox (600k×150k points, 32 cpus): the
+    hash-join plan is ~3× faster — keep :func:`knn_shuffle` as the default
+    and reach for this plan only where hash-aggregator actors are the
+    bottleneck (e.g. actor-count-capped clusters). ``query_id`` /
+    ``ref_id`` must be integer-valued."""
+    import pandas as pd
+
+    def prep_queries(t: pa.Table) -> pa.Table:
+        qcell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ring_cells, valid = cells.k_ring(qcell, bits, ring)
+        m = ring_cells.shape[1]
+        idx = np.repeat(np.arange(qcell.shape[0]), m)
+        flat_ok = valid.reshape(-1)
+        idx = idx[flat_ok]
+        flat_cells = ring_cells.reshape(-1)[flat_ok].astype(np.int64)
+        if (2 * ring + 1) > (1 << codec_split_nx(bits)):
+            combo = idx.astype(np.int64) * np.int64(1 << bits) + flat_cells
+            _, first = np.unique(combo, return_index=True)
+            idx, flat_cells = idx[first], flat_cells[first]
+        return pa.table(
             {
-                query_id: q[sel],
-                ref_id: r[sel],
-                "dist2": d[sel],
-                "rank": rank.astype(np.int64),
+                "role": pa.array(np.zeros(idx.size, dtype=np.int8)),
+                "rid": pa.array(
+                    t[query_id].to_numpy(zero_copy_only=False)[idx]
+                ),
+                "lon": pa.array(t["lon"].to_numpy(zero_copy_only=False)[idx]),
+                "lat": pa.array(t["lat"].to_numpy(zero_copy_only=False)[idx]),
+                cell_col: pa.array(flat_cells),
+                "bucket": pa.array(
+                    ((flat_cells * 0x9E3779B1) % num_buckets).astype(np.int64)
+                ),
             }
         )
 
-    return (
-        joined.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(merge_part, batch_format="pandas")
+    def prep_refs(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = cell.shape[0]
+        return pa.table(
+            {
+                "role": pa.array(np.ones(n, dtype=np.int8)),
+                "rid": pa.array(t[ref_id].to_numpy(zero_copy_only=False)),
+                "lon": pa.array(t["lon"].to_numpy(zero_copy_only=False)),
+                "lat": pa.array(t["lat"].to_numpy(zero_copy_only=False)),
+                cell_col: pa.array(cell),
+                "bucket": pa.array(
+                    ((cell * 0x9E3779B1) % num_buckets).astype(np.int64)
+                ),
+            }
+        )
+
+    u = queries_ds.map_batches(prep_queries, batch_format="pyarrow").union(
+        refs_ds.map_batches(prep_refs, batch_format="pyarrow")
     )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        role = g["role"].to_numpy()
+        empty = pd.DataFrame(
+            {query_id: pd.Series([], dtype=np.int64),
+             ref_id: pd.Series([], dtype=np.int64),
+             "dist2": pd.Series([], dtype=np.float64),
+             "part": pd.Series([], dtype=np.int64)}
+        )
+        is_ref = role == 1
+        if not is_ref.any() or is_ref.all():
+            return empty
+        rcell = g[cell_col].to_numpy()[is_ref]
+        order = np.argsort(rcell, kind="stable")
+        rcell = rcell[order]
+        rlon = g["lon"].to_numpy()[is_ref][order]
+        rlat = g["lat"].to_numpy()[is_ref][order]
+        rid_v = g["rid"].to_numpy()[is_ref][order]
+        qsel = ~is_ref
+        qcell = g[cell_col].to_numpy()[qsel]
+        qlon = g["lon"].to_numpy()[qsel]
+        qlat = g["lat"].to_numpy()[qsel]
+        qid_v = g["rid"].to_numpy()[qsel]
+        lo = np.searchsorted(rcell, qcell, side="left")
+        hi = np.searchsorted(rcell, qcell, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        qidx = np.repeat(np.arange(qcell.shape[0]), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        ridx = np.arange(total) - starts + np.repeat(lo, counts)
+        dx = qlon[qidx] - rlon[ridx]
+        dy = qlat[qidx] - rlat[ridx]
+        dist = dx * dx + dy * dy
+        sel, _rank = _topk_per_query(qid_v[qidx], dist, rid_v[ridx], k)
+        qf = qid_v[qidx][sel]
+        return pd.DataFrame(
+            {
+                query_id: qf,
+                ref_id: rid_v[ridx][sel],
+                "dist2": dist[sel],
+                "part": (qf.astype(np.int64) % num_partitions),
+            }
+        )
+
+    local = u.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return _merge_topk_stage(local, query_id, ref_id, k)

@@ -929,6 +929,28 @@ def q_knn_shuffle(sf_dir: str):
     return out.select_columns(["c_custkey", "s_suppkey", "rank"])
 
 
+def q_knn_cogroup(sf_dir: str):
+    """Big×big kNN via the sort-shuffle cogroup plan (tag → union →
+    groupby(cell-bucket) → vectorized per-bucket join + top-k). Same SQL
+    twin as the hash-join path."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey"])
+    supp = spatial.points_with_cells(supp, "s_suppkey", BITS_JOIN, xy=False)
+    out = knn_ops.knn_cogroup(
+        cust,
+        supp,
+        bits=BITS_JOIN,
+        k=KNN_K,
+        ring=1,
+        query_id="c_custkey",
+        ref_id="s_suppkey",
+        num_buckets=8,
+        num_partitions=4,
+    )
+    return out.select_columns(["c_custkey", "s_suppkey", "rank"])
+
+
 def q_langid(sf_dir: str):
     """Heuristic language-ID confusion counts vs the stored labels.
     LangId uses integer-exact thresholds (ops/text.py), so the whole
@@ -1581,6 +1603,7 @@ def registry(n_images: int = 10_000):
         "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
         "fingerprint_dedup": (q_fingerprint_dedup, SQL_FINGERPRINT_DEDUP),
         "knn_shuffle": (q_knn_shuffle, SQL_KNN),
+        "knn_cogroup": (q_knn_cogroup, SQL_KNN),
         "langid_confusion": (q_langid, SQL_LANGID),
         "quality_scores": (q_quality, SQL_QUALITY),
         "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH),

@@ -154,6 +154,33 @@ def test_knn_shuffle_matches_brute(ray_session, point_tables):
     assert got == want
 
 
+def test_knn_cogroup_matches_brute(ray_session, point_tables):
+    import ray
+
+    left, right = point_tables
+    bits, k, ring = 8, 3, 1
+    lt = _with_cells(left.slice(0, 200), "lkey", bits)
+    rt = _with_cells(right, "rkey", bits)
+    lq = lt.rename_columns(
+        ["query_id" if c == "lkey" else c for c in lt.column_names]
+    ).drop_columns(["cx", "cy"])
+    rq = rt.rename_columns(
+        ["ref_id" if c == "rkey" else c for c in rt.column_names]
+    ).drop_columns(["cx", "cy"])
+    out = knn_ops.knn_cogroup(
+        ray.data.from_arrow(lq).repartition(3),
+        ray.data.from_arrow(rq),
+        bits=bits,
+        k=k,
+        ring=ring,
+        num_buckets=8,
+        num_partitions=4,
+    ).to_pandas()
+    got = set(zip(out["query_id"], out["ref_id"], out["rank"]))
+    want = {(a, b, r) for a, b, r in _oracle_knn(lt, rt, bits, k, ring)}
+    assert got == want
+
+
 def test_tile_counts_matches_pandas(ray_session, point_tables):
     import ray
 
