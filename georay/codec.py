@@ -270,17 +270,25 @@ def bounding_boxes_str(
     return int_to_str(bounding_boxes(box, 5 * precision), precision)
 
 
+NEIGHBOR_ORDER = ("N", "NE", "E", "SE", "S", "SW", "W", "NW")
+
+
 def neighbors(code, bits: int) -> tuple[np.ndarray, np.ndarray]:
     """8-neighborhood of each cell (S5/I5).
 
     Longitude wraps across the antimeridian; latitude clamps at the poles
-    (out-of-range rows masked out). Returns ``(codes[N,8], valid[N,8])`` in
-    fixed order (W,SW,S,SE,E,NE,N,NW is NOT guaranteed — compare as sets;
-    upstream order is a MUST-VERIFY, SURVEY.md §5.4).
+    (out-of-range rows masked out). Returns ``(codes[N,8], valid[N,8])``.
+
+    ORDER CONTRACT (frozen): compass clockwise from North —
+    ``N, NE, E, SE, S, SW, W, NW`` (:data:`NEIGHBOR_ORDER`). The upstream
+    reference's order is unverifiable (mount empty — SURVEY.md §5.4
+    MUST-VERIFY); this engine freezes and documents its own so code indexing
+    ``neighbors()[:, i]`` is stable across versions.
     """
     nx, ny = split_bits(bits)
     x, y = deinterleave(code, bits)
-    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    # (dx, dy) per compass position; x grows east, y grows north
+    offs = [(0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1)]
     n = x.shape[0]
     out = np.empty((n, 8), dtype=np.uint64)
     valid = np.empty((n, 8), dtype=bool)
@@ -307,14 +315,39 @@ def neighbors_str(codes) -> np.ndarray:
 
 
 _EARTH_R = 6371008.8  # mean Earth radius, m (spherical model; SURVEY.md §2.1 S8
+_WGS84_A = 6378137.0  # semi-major axis, m
+_WGS84_E2 = 0.00669437999014  # first eccentricity squared
 
 
-def area(code, bits: int) -> np.ndarray:
-    """Spherical cell area in m² (S8). Upstream may use a geodesic WGS84
-    model (MUST-VERIFY); the engine freezes the spherical-excess formula
-    ``R²·Δλ·(sin φ₂ − sin φ₁)`` and documents it here."""
+def _authalic_q(lat_rad: np.ndarray) -> np.ndarray:
+    """q(φ) of the ellipsoidal zone-area formula (Snyder 1987, eq. 3-12):
+    the area between two latitudes over Δλ is (a²Δλ/2)·(q(φ₂) − q(φ₁))."""
+    e = np.sqrt(_WGS84_E2)
+    s = np.sin(lat_rad)
+    return (1.0 - _WGS84_E2) * (
+        s / (1.0 - _WGS84_E2 * s * s)
+        + (1.0 / (2.0 * e)) * np.log((1.0 + e * s) / (1.0 - e * s))
+    )
+
+
+def area(code, bits: int, model: str = "sphere") -> np.ndarray:
+    """Cell area in m² (S8).
+
+    ``model="sphere"`` (default, frozen round-1 semantics): spherical excess
+    ``R²·Δλ·(sin φ₂ − sin φ₁)`` on the mean-radius sphere.
+    ``model="wgs84"``: geodesic zone area on the WGS84 ellipsoid
+    (Snyder's authalic q — exact for the lat-band × lon-slice cells this
+    grid produces; ~0.3% different from the sphere at mid-latitudes, the
+    deviation SURVEY.md S8 flagged as the upstream MUST-VERIFY)."""
     lon_min, lat_min, lon_max, lat_max = bounding_box(code, bits)
     dlam = np.radians(lon_max - lon_min)
+    if model == "wgs84":
+        return (
+            _WGS84_A * _WGS84_A * dlam / 2.0
+            * (_authalic_q(np.radians(lat_max)) - _authalic_q(np.radians(lat_min)))
+        )
+    if model != "sphere":
+        raise ValueError(f"unknown area model {model!r}")
     return (
         _EARTH_R * _EARTH_R * dlam * (np.sin(np.radians(lat_max)) - np.sin(np.radians(lat_min)))
     )

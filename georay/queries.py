@@ -875,6 +875,66 @@ def q_minhash_neardup_shuffle(sf_dir: str):
     )
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Near-dup CLUSTERING: MinHash pairs → distributed connected
+    components (min-label propagation: materialized label table + per-round
+    edge joins) → (doc_id, cluster_id, is_representative). The SQL twin
+    computes the transitive closure with a recursive CTE over the exact
+    relational Jaccard pairs."""
+    from georay.ops import cluster as cluster_ops
+    from georay.ops import minhash as mh
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs_table = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = mh.near_dup_pairs(
+        docs, docs_table, n_hashes=64, n_bands=16, shingle_k=5, threshold=0.7
+    )
+    out = cluster_ops.dedup_clusters(docs, pairs, id_col="doc_id",
+                                     num_partitions=4)
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": t["cluster_id"],
+                "is_rep": t["is_representative"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+# transitive closure of the exact-Jaccard near-dup graph; reuses the pair
+# CTEs of SQL_MINHASH_NEARDUP verbatim
+SQL_NEARDUP_CLUSTERS = """
+WITH RECURSIVE grams AS (
+  SELECT DISTINCT doc_id, substr(text, j, 5) AS gram
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS j FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+),
+e AS (SELECT id_a AS a, id_b AS b FROM jac
+      UNION SELECT id_b, id_a FROM jac),
+r(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.b FROM r JOIN e ON e.a = r.b
+)
+SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN MIN(b) = a THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+FROM r GROUP BY a
+"""
+
+
 def q_embed_neardup(sf_dir: str):
     """Exact embedding near-dup pairs at cosine ≥ 0.45 (brute broadcast
     path; the LSH-bucketed variant is the rows-only scale path below)."""
@@ -1600,6 +1660,7 @@ def registry(n_images: int = 10_000):
         "images_pip": (q_images_pip, sql_images_pip(n_images)),
         "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
         "minhash_neardup_shuffle": (q_minhash_neardup_shuffle, SQL_MINHASH_NEARDUP),
+        "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
         "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
         "fingerprint_dedup": (q_fingerprint_dedup, SQL_FINGERPRINT_DEDUP),
         "knn_shuffle": (q_knn_shuffle, SQL_KNN),

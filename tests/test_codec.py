@@ -127,6 +127,36 @@ def test_neighbors_str_wrapper():
     }
 
 
+def test_neighbors_compass_order_contract():
+    # frozen order contract: N, NE, E, SE, S, SW, W, NW (codec.NEIGHBOR_ORDER)
+    assert codec.NEIGHBOR_ORDER == ("N", "NE", "E", "SE", "S", "SW", "W", "NW")
+    bits = 10
+    code = codec.encode(np.array([0.1]), np.array([0.1]), bits)
+    x0, y0 = codec.deinterleave(code, bits)
+    codes8, valid = codec.neighbors(code, bits)
+    assert valid.all()
+    expect = {"N": (0, 1), "NE": (1, 1), "E": (1, 0), "SE": (1, -1),
+              "S": (0, -1), "SW": (-1, -1), "W": (-1, 0), "NW": (-1, 1)}
+    for j, name in enumerate(codec.NEIGHBOR_ORDER):
+        xn, yn = codec.deinterleave(codes8[:, j], bits)
+        dx, dy = expect[name]
+        assert (int(xn[0]) - int(x0[0]), int(yn[0]) - int(y0[0])) == (dx, dy), name
+
+
+def test_area_wgs84_geodesic():
+    # WGS84 zone areas: whole-earth cover sums to the authalic ellipsoid
+    # surface area (~5.10065622e14 m^2, Snyder); per-cell deviation from the
+    # spherical model peaks ~0.3% at mid-latitudes
+    cover = codec.bounding_boxes(None, 5)
+    a_w = codec.area(cover, 5, model="wgs84")
+    assert np.all(a_w > 0)
+    wgs84_surface = 5.100656217240886e14
+    assert abs(a_w.sum() - wgs84_surface) / wgs84_surface < 1e-6
+    a_s = codec.area(cover, 5)
+    rel = np.abs(a_w - a_s) / a_s
+    assert rel.max() < 0.006 and rel.max() > 1e-4
+
+
 def test_neighbors_antimeridian_wrap():
     # a cell on the -180 edge must wrap to the +180 edge in x
     bits = 10  # 32 x 32 grid

@@ -162,6 +162,55 @@ def test_quality_scores_sane(ray_session, docs_table):
     assert q["quality"].nunique() > 10  # discriminative, not constant
 
 
+def test_connected_components_known_graph(ray_session):
+    import ray
+
+    from georay.ops import cluster as cluster_ops
+
+    # components: {0,1,2,3} (chain), {10,11} (pair), {20} (singleton), {30,31,32} (triangle)
+    nodes = pa.table({"node": np.array([0, 1, 2, 3, 10, 11, 20, 30, 31, 32], np.int64)})
+    edges = pa.table(
+        {
+            "id_a": np.array([0, 1, 2, 10, 30, 31, 30], np.int64),
+            "id_b": np.array([1, 2, 3, 11, 31, 32, 32], np.int64),
+        }
+    )
+    out = cluster_ops.connected_components(
+        ray.data.from_arrow(nodes), ray.data.from_arrow(edges), num_partitions=2
+    ).to_pandas().sort_values("node")
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20,
+                   30: 30, 31: 30, 32: 30}
+
+
+def test_dedup_clusters_representatives(ray_session, docs_table):
+    import ray
+
+    from georay.ops import cluster as cluster_ops
+    from georay.ops import minhash as mh
+
+    docs = ray.data.from_arrow(docs_table.select(["doc_id", "text"])).repartition(4)
+    pairs = mh.near_dup_pairs(docs, docs_table, n_hashes=64, n_bands=16,
+                              shingle_k=5, threshold=0.7)
+    out = cluster_ops.dedup_clusters(docs, pairs, num_partitions=2).to_pandas()
+    # python oracle: union-find over the brute pairs
+    parent = {int(i): int(i) for i in docs_table["doc_id"].to_numpy()}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in _brute_jaccard_pairs(docs_table):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == want
+    reps = set(out.loc[out["is_representative"], "doc_id"])
+    assert reps == set(want.values())
+
+
 @pytest.fixture(scope="module")
 def emb_table():
     import pyarrow.parquet as pq
