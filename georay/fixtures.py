@@ -184,6 +184,121 @@ def _read_images_path(path: str, columns: list[str] | None):
     )
 
 
+# ------------------------------------------------- audio / video (multimodal)
+
+N_AUDIO = {"sf0.001": 200, "sf0.01": 2_000, "sf0.1": 20_000}
+N_VIDEO = {"sf0.001": 100, "sf0.01": 1_000, "sf0.1": 10_000}
+AUDIO_RATE = 8000
+
+
+def n_audio_for(sf_dir: str) -> int:
+    return N_AUDIO.get(os.path.basename(os.path.normpath(sf_dir)), 200)
+
+
+def n_video_for(sf_dir: str) -> int:
+    return N_VIDEO.get(os.path.basename(os.path.normpath(sf_dir)), 100)
+
+
+def make_audio_rows(indices: np.ndarray) -> pa.Table:
+    """Deterministic raw-PCM audio rows (``rawa`` header ``<IH`` + int16
+    mono square wave). All features have CLOSED FORMS in the row index —
+    the SQL-oracle handle: n_samples = 800 + (i%5)·400, half-period
+    p/2 = 4 + (i%7), amplitude 1000·(1 + i%3)."""
+    import struct
+
+    indices = np.asarray(indices, dtype=np.int64)
+    ids, blobs = [], []
+    for i in indices.tolist():
+        ns = 800 + (i % 5) * 400
+        half_p = 4 + (i % 7)
+        amp = 1000 * (1 + i % 3)
+        k = np.arange(ns)
+        pcm = np.where((k // half_p) % 2 == 0, amp, -amp).astype(np.int16)
+        ids.append(f"aud{i:09d}")
+        blobs.append(struct.pack("<IH", AUDIO_RATE, 1) + pcm.tobytes())
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "fmt": pa.array(["rawa"] * indices.size, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+        }
+    )
+
+
+def make_video_rows(indices: np.ndarray) -> pa.Table:
+    """Deterministic raw-frame video rows (``rawv`` header ``<HHH`` w,h,nf
+    + nf RGB frames). Frame byte k of frame f is ``(i·31 + f·7 + k) % 256``
+    — frame checksums have closed forms. w = 4+(i%3)·2, h = 4+(i%2)·2,
+    nf = 10 + (i%11)·3."""
+    indices = np.asarray(indices, dtype=np.int64)
+    ids, blobs = [], []
+    for i in indices.tolist():
+        w, h, nf = 4 + (i % 3) * 2, 4 + (i % 2) * 2, 10 + (i % 11) * 3
+        fb = w * h * 3
+        f_idx = np.arange(nf)[:, None]
+        k_idx = np.arange(fb)[None, :]
+        frames = ((i * 31 + f_idx * 7 + k_idx) % 256).astype(np.uint8)
+        header = np.array([w, h, nf], dtype=np.uint16).tobytes()
+        ids.append(f"vid{i:09d}")
+        blobs.append(header + frames.tobytes())
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "fmt": pa.array(["rawv"] * indices.size, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+        }
+    )
+
+
+def _ensure_media_table(kind: str, n: int, row_fn, cache_root: str) -> str:
+    out = os.path.join(cache_root, f"{kind}_{n}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == f"v{FIXTURE_VERSION} n{n}":
+                return out
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    import shutil
+
+    import ray.data
+
+    def gen(t: pa.Table) -> pa.Table:
+        return row_fn(t["id"].to_numpy(zero_copy_only=False))
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        ray.data.range(n, override_num_blocks=max(4, n // 2000))
+        .map_batches(gen, batch_format="pyarrow")
+        .write_parquet(tmp)
+    )
+    os.replace(tmp, out)
+    with open(marker, "w") as f:
+        f.write(f"v{FIXTURE_VERSION} n{n}")
+    return out
+
+
+def read_audio(sf_dir: str, cache_root: str = CACHE_ROOT):
+    import ray.data
+
+    path = _ensure_media_table(
+        "audio", n_audio_for(sf_dir), make_audio_rows, cache_root
+    )
+    return ray.data.read_parquet(path)
+
+
+def read_video(sf_dir: str, cache_root: str = CACHE_ROOT):
+    import ray.data
+
+    path = _ensure_media_table(
+        "video", n_video_for(sf_dir), make_video_rows, cache_root
+    )
+    return ray.data.read_parquet(path)
+
+
 # ------------------------------------------------------------------ tiles (F2)
 
 

@@ -222,34 +222,63 @@ def cosine_pairs_brute(ds, all_table: pa.Table, threshold: float,
     return ds.map_batches(pairs_fn, batch_format="pyarrow")
 
 
+def lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> list:
+    """Deterministic per-table hyperplane matrices (table t uses seed+t, so
+    a single-table call reproduces the historical seed-42 planes)."""
+    return [
+        np.random.RandomState(seed + t).randn(dim, n_planes)
+        for t in range(n_tables)
+    ]
+
+
 def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
-                          id_col: str = "vec_id", emb_col: str = "embedding",
-                          seed: int = 42, concurrency=(1, 8)):
+                          n_tables: int = 1, id_col: str = "vec_id",
+                          emb_col: str = "embedding", seed: int = 42,
+                          concurrency=(1, 8)):
     """Embedding near-dup via random-hyperplane LSH: vectors sharing a
-    sign-pattern bucket get exact pairwise cosine; pairs ≥ τ survive.
-    Approximate: pairs split across all buckets are missed (use multiple
-    tables / fewer planes to trade recall for cost)."""
+    sign-pattern bucket (in ANY of ``n_tables`` independent tables — OR
+    amplification) get exact pairwise cosine; pairs ≥ τ survive, deduped
+    across tables. Approximate but DETERMINISTIC given (seed, planes):
+    a pair is found iff it collides in some table. Recall for a pair at
+    angle θ is 1 − (1 − (1 − θ/π)^n_planes)^n_tables — tune fewer planes /
+    more tables upward for lower-similarity thresholds."""
     import pandas as pd
+    from ray.data.aggregate import Max
 
     def add_bucket(t: pa.Table) -> pa.Table:
         mat = _normalize(emb_matrix(t[emb_col]))
-        rng = np.random.RandomState(seed)  # same planes in every task
-        planes = rng.randn(mat.shape[1], n_planes)
-        bits = (mat @ planes) > 0
-        bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        planes = lsh_planes(mat.shape[1], n_planes, n_tables, seed)
+        ids_out, tab_out, bucket_out, emb_idx = [], [], [], []
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        for tno, pl in enumerate(planes):
+            bits = (mat @ pl) > 0
+            bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            ids_out.append(ids)
+            tab_out.append(np.full(ids.size, tno, dtype=np.int64))
+            bucket_out.append(bucket.astype(np.int64))
+            emb_idx.append(np.arange(ids.size))
+        rep = np.concatenate(emb_idx)
+        emb = t[emb_col].combine_chunks() if isinstance(
+            t[emb_col], pa.ChunkedArray
+        ) else t[emb_col]
         return pa.table(
             {
-                id_col: t[id_col],
-                "bucket": bucket,
-                "emb": t[emb_col],
+                id_col: pa.array(np.concatenate(ids_out)),
+                "tab": pa.array(np.concatenate(tab_out)),
+                "bucket": pa.array(np.concatenate(bucket_out)),
+                "emb": emb.take(pa.array(rep)),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
-        mat = _normalize(np.stack(g["emb"].to_numpy()))
         if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64),
+                 "cos": pd.Series([], dtype=np.float64)}
+            )
+        mat = _normalize(np.stack(g["emb"].to_numpy()))
         sims = mat @ mat.T
         ia, ib = np.triu_indices(ids.size, k=1)
         keep = sims[ia, ib] >= threshold
@@ -260,6 +289,9 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .repartition(16)
-        .groupby("bucket")
+        .groupby(["tab", "bucket"])
         .map_groups(pairs, batch_format="pandas")
+        # the same pair can collide in several tables: dedupe
+        .groupby(["id_a", "id_b"])
+        .aggregate(Max("cos", alias_name="cos"))
     )

@@ -827,6 +827,103 @@ GROUP BY tile_id
 """
 
 
+# --------------------------------------------------- audio / video multimodal
+
+
+def q_audio_features(sf_dir: str):
+    """Raw-PCM audio decode + feature extraction over the synthetic rawa
+    table, hard-checked: every emitted feature has a closed form in the row
+    index (square-wave synthesis — see fixtures.make_audio_rows), replayed
+    by the SQL twin."""
+    from georay import fixtures
+    from georay.ops import images as img_ops
+
+    ds = fixtures.read_audio(sf_dir)
+    feats = img_ops.audio_features(ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.cast(pc.utf8_slice_codeunits(t["audio_id"], 3, 12), pa.int64())
+        peak_i = pc.cast(
+            pc.round(pc.multiply(t["peak"], pa.scalar(32768.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "aud_idx": idx,
+                "duration_ms": t["duration_ms"],
+                "n_frames": t["n_frames"],
+                "zero_crossings": t["zero_crossings"],
+                "peak_i": peak_i,
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
+def sql_audio_features(n: int) -> str:
+    return f"""
+WITH a AS (SELECT i, 800 + (i % 5) * 400 AS ns, 4 + (i % 7) AS hp,
+                  1000 * (1 + i % 3) AS amp
+           FROM range(0, {n}) t(i))
+SELECT i AS aud_idx,
+       CAST(ns // 8 AS BIGINT) AS duration_ms,
+       CAST((ns + 1023) // 1024 AS BIGINT) AS n_frames,
+       CAST((ns - 1) // hp AS BIGINT) AS zero_crossings,
+       CAST(amp AS BIGINT) AS peak_i
+FROM a
+"""
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame sampling (1 row → ⌈nf/5⌉ frame rows) over the synthetic
+    rawv table, hard-checked: sampled frame indices and per-frame byte sums
+    have closed forms in the row index (fixtures.make_video_rows)."""
+    from georay import fixtures
+    from georay.ops import images as img_ops
+
+    ds = fixtures.read_video(sf_dir)
+    frames = img_ops.sample_video_frames(ds, every_n=5)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.cast(pc.utf8_slice_codeunits(t["video_id"], 3, 12), pa.int64())
+        blobs = t["frame_rgb"].to_pylist()
+        sums = np.fromiter(
+            (int(np.frombuffer(b, dtype=np.uint8).sum()) for b in blobs),
+            dtype=np.int64, count=len(blobs),
+        )
+        return pa.table(
+            {
+                "vid_idx": idx,
+                "frame_idx": t["frame_idx"],
+                "frame_sum": pa.array(sums),
+            }
+        )
+
+    return frames.map_batches(project, batch_format="pyarrow")
+
+
+def sql_video_frames(n: int) -> str:
+    """Per-frame byte sum of ``(i·31 + f·7 + k) % 256`` for k < fb: an
+    arithmetic run starting at st with optional wrap at 256."""
+    return f"""
+WITH v AS (SELECT i, 4 + (i % 3) * 2 AS w, 4 + (i % 2) * 2 AS h,
+                  10 + (i % 11) * 3 AS nf
+           FROM range(0, {n}) t(i)),
+f AS (SELECT i, w * h * 3 AS fb, unnest(range(0, nf, 5)) AS fidx FROM v),
+s AS (SELECT i, fidx, fb, (i * 31 + fidx * 7) % 256 AS st FROM f)
+SELECT i AS vid_idx, CAST(fidx AS BIGINT) AS frame_idx,
+       CAST(CASE WHEN st + fb <= 256
+            THEN fb * st + fb * (fb - 1) // 2
+            ELSE (st + 255) * (256 - st) // 2
+               + (fb - (256 - st) - 1) * (fb - (256 - st)) // 2 END
+            AS BIGINT) AS frame_sum
+FROM s
+"""
+
+
 # ------------------------------------------------------ near-dup / text suite
 
 
@@ -950,6 +1047,52 @@ SQL_EMBED_NEARDUP = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+def q_embed_neardup_lsh(sf_dir: str):
+    """Embedding near-dup via the random-hyperplane LSH SCALE path:
+    8 independent 4-plane tables (OR amplification), in-bucket pairwise
+    cosine ≥ τ, pairs deduped across tables. Hard-checked: the seeded plane
+    matrices are embedded as float literals in the SQL twin, which replays
+    bucket assignment with ``list_inner_product`` and the any-table
+    collision + cosine filter — the approximation (pairs colliding in no
+    table are missed) is identical on both sides, so the result is
+    deterministic and hash-comparable."""
+    from georay.ops import similarity as sim
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = sim.cosine_near_dup_pairs(
+        emb, threshold=0.45, n_planes=4, n_tables=8
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def sql_embed_neardup_lsh(dim: int = 64, n_planes: int = 4,
+                          n_tables: int = 8, seed: int = 42,
+                          threshold: float = 0.45) -> str:
+    from georay.ops.similarity import lsh_planes
+
+    planes = lsh_planes(dim, n_planes, n_tables, seed)
+    cols = []
+    for t, pl in enumerate(planes):
+        terms = []
+        for j in range(n_planes):
+            vec = ", ".join(repr(float(v)) for v in pl[:, j])
+            terms.append(
+                f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+                f"[{vec}]) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        cols.append("(" + " + ".join(terms) + f") AS b{t}")
+    col_sql = ",\n  ".join(cols)
+    cond = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+WITH b AS (SELECT vec_id, embedding,
+  {col_sql}
+  FROM embeddings)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b
+FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({cond})
+WHERE list_cosine_similarity(a.embedding, c.embedding) >= {threshold}
 """
 
 
@@ -1637,8 +1780,11 @@ def registry(n_images: int = 10_000):
     """name -> (pipeline callable, oracle SQL or None).
 
     ``n_images`` parameterizes the image-table oracles (the synthetic image
-    table has ``fixtures.n_images_for(sf_dir)`` rows); the default matches
-    the driver's sf0.01 contract."""
+    table has ``fixtures.n_images_for(sf_dir)`` rows); the audio/video
+    table sizes are tied to it (÷5 and ÷10 — fixtures.N_AUDIO/N_VIDEO).
+    The default matches the driver's sf0.01 contract."""
+    n_audio = n_images // 5
+    n_video = n_images // 10
     return {
         "cell_encode": (q_cell_encode, SQL_CELL_ENCODE),
         "cell_roundtrip": (q_cell_roundtrip, SQL_CELL_ROUNDTRIP),
@@ -1662,6 +1808,7 @@ def registry(n_images: int = 10_000):
         "minhash_neardup_shuffle": (q_minhash_neardup_shuffle, SQL_MINHASH_NEARDUP),
         "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
         "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+        "embed_neardup_lsh": (q_embed_neardup_lsh, sql_embed_neardup_lsh()),
         "fingerprint_dedup": (q_fingerprint_dedup, SQL_FINGERPRINT_DEDUP),
         "knn_shuffle": (q_knn_shuffle, SQL_KNN),
         "knn_cogroup": (q_knn_cogroup, SQL_KNN),
@@ -1678,5 +1825,7 @@ def registry(n_images: int = 10_000):
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "images_hot_salted": (q_images_hot_salted, sql_images_tiles(n_images)),
         "images_features": (q_images_features, sql_images_features(n_images)),
+        "audio_features": (q_audio_features, sql_audio_features(n_audio)),
+        "video_frames": (q_video_frames, sql_video_frames(n_video)),
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
     }
