@@ -36,9 +36,11 @@ N_IMAGES = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
 HOT_CITIES = ((-74.006, 40.7128), (2.3522, 48.8566), (139.6917, 35.6895))
 PIXEL_PERIOD = 768  # lcm of all i-periodicities in synth_pixels + dims
 
-# bump whenever row synthesis changes: stale /tmp caches from an older
-# synthesis would otherwise silently break the range()-arithmetic oracles
-FIXTURE_VERSION = 1
+# bump whenever row synthesis OR file layout changes: stale /tmp caches from
+# an older synthesis would otherwise silently break the range()-arithmetic
+# oracles (v2: 2000-row shards — 25 shards at 100k images capped read/decode
+# parallelism at 25 of 32 cpus)
+FIXTURE_VERSION = 2
 
 
 def n_images_for(sf_dir: str) -> int:
@@ -125,7 +127,7 @@ def ensure_images_table_n(n: int, cache_root: str = CACHE_ROOT) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
     (
-        ray.data.range(n, override_num_blocks=max(4, n // 4000))
+        ray.data.range(n, override_num_blocks=max(4, n // 2000))
         .map_batches(gen, batch_format="pyarrow")
         .write_parquet(tmp)
     )

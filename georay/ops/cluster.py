@@ -26,13 +26,26 @@ def connected_components(
     edge_b: str = "id_b",
     num_partitions: int = 8,
     max_rounds: int = 50,
+    broadcast_edges_max: int = 2_000_000,
 ):
     """(node, component) labeling: component = min node id reachable.
 
     ``nodes_ds``: one integer id per row (singletons allowed);
     ``edges_ds``: undirected edges. Returns a Dataset (node, component).
-    """
+
+    Two physical plans, chosen by edge count (the small-side-broadcast
+    rule): edge sets up to ``broadcast_edges_max`` are union-found on the
+    driver (edges are tiny relative to nodes for near-dup graphs) and the
+    node→component map is broadcast once into a ``map_batches`` over the
+    node stream; larger edge sets run the distributed min-label
+    propagation (per-round edge join + min-groupby on materialized
+    labels)."""
     from ray.data.aggregate import Min, Sum
+
+    edge_pairs = edges_ds.select_columns([edge_a, edge_b]).materialize()
+    n_edges = edge_pairs.count()
+    if n_edges <= broadcast_edges_max:
+        return _cc_broadcast(nodes_ds, edge_pairs, node_col, edge_a, edge_b)
 
     def init_labels(t: pa.Table) -> pa.Table:
         ids = t[node_col].to_numpy(zero_copy_only=False)
@@ -92,6 +105,54 @@ def connected_components(
         return pa.table({node_col: t["node"], "component": t["label"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def _cc_broadcast(nodes_ds, edge_pairs, node_col: str, edge_a: str,
+                  edge_b: str):
+    """Small-edge-set plan: driver-side union-find over the collected
+    edges, node→root map broadcast once (``ray.put``), applied per batch
+    with a sorted-array lookup. The NODE stream never materializes."""
+    import ray
+
+    batches = list(edge_pairs.iter_batches(batch_format="pyarrow"))
+    edges_t = pa.concat_tables(batches) if batches else None
+    if edges_t is None or edges_t.num_rows == 0:
+        mapped_keys = np.empty(0, dtype=np.int64)
+        mapped_roots = np.empty(0, dtype=np.int64)
+    else:
+        a = edges_t[edge_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = edges_t[edge_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for ai, bi in zip(a.tolist(), b.tolist()):
+            ra, rb = find(ai), find(bi)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        touched = np.unique(np.concatenate([a, b]))
+        mapped_keys = touched
+        mapped_roots = np.array([find(int(x)) for x in touched], dtype=np.int64)
+    ref = ray.put((mapped_keys, mapped_roots))
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys, roots = ray.get(ref)
+        ids = t[node_col].to_numpy(zero_copy_only=False)
+        comp = ids.copy()
+        if keys.size:
+            pos = np.clip(np.searchsorted(keys, ids), 0, keys.size - 1)
+            hit = keys[pos] == ids
+            comp = np.where(hit, roots[pos], ids)
+        return pa.table({node_col: pa.array(ids), "component": pa.array(comp)})
+
+    return nodes_ds.map_batches(assign, batch_format="pyarrow")
 
 
 def dedup_clusters(

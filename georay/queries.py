@@ -650,24 +650,33 @@ def q_images_decode(sf_dir: str):
     from georay import fixtures
     from georay.ops import images as img_ops
 
+    import pandas as pd
+
     ds = fixtures.read_images(
         sf_dir, columns=["image_id", "fmt", "bytes", "caption"]
     )
     checked = img_ops.decode_invariant(ds)
 
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "fmt": t["fmt"],
-                "ok_int": t["ok"].cast(pa.int64()),
-            }
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch pre-aggregation: 3 rows per batch reach the combine,
+        # never the 100k raw rows (two-phase rule)
+        df = pd.DataFrame(
+            {"fmt": t["fmt"].to_pandas(),
+             "ok": t["ok"].cast(pa.int64()).to_pandas()}
+        )
+        g = df.groupby("fmt", as_index=False).agg(
+            p_n=("ok", "size"), p_ok=("ok", "sum")
+        )
+        return runtime.table_from_pandas(
+            g, pa.schema([("fmt", pa.string()), ("p_n", pa.int64()),
+                          ("p_ok", pa.int64())])
         )
 
     return (
-        checked.map_batches(project, batch_format="pyarrow")
-        .repartition(1)  # 3 groups: see q1_lineitem combine note
+        checked.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # 3 groups of tiny partials: see q1 combine note
         .groupby("fmt")
-        .aggregate(Count(alias_name="n"), Sum("ok_int", alias_name="n_ok"))
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_ok", alias_name="n_ok"))
     )
 
 

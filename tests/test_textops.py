@@ -175,12 +175,17 @@ def test_connected_components_known_graph(ray_session):
             "id_b": np.array([1, 2, 3, 11, 31, 32, 32], np.int64),
         }
     )
-    out = cluster_ops.connected_components(
-        ray.data.from_arrow(nodes), ray.data.from_arrow(edges), num_partitions=2
-    ).to_pandas().sort_values("node")
-    got = dict(zip(out["node"], out["component"]))
-    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20,
-                   30: 30, 31: 30, 32: 30}
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20,
+            30: 30, 31: 30, 32: 30}
+    # broadcast (small-edge) plan AND the distributed label-propagation
+    # plan (forced via broadcast_edges_max=0) must agree
+    for cap in (2_000_000, 0):
+        out = cluster_ops.connected_components(
+            ray.data.from_arrow(nodes), ray.data.from_arrow(edges),
+            num_partitions=2, broadcast_edges_max=cap,
+        ).to_pandas().sort_values("node")
+        got = dict(zip(out["node"], out["component"]))
+        assert got == want, f"cap={cap}"
 
 
 def test_dedup_clusters_representatives(ray_session, docs_table):
