@@ -154,7 +154,8 @@ def _sidecar_entries(out_dir: str) -> dict:
     out = {}
     if os.path.isdir(out_dir):
         for f in os.listdir(out_dir):
-            if f.endswith(".done"):
+            # leading underscore: parquet dataset readers skip these files
+            if f.startswith("_done-") and f.endswith(".json"):
                 try:
                     with open(os.path.join(out_dir, f)) as fh:
                         e = json.load(fh)
@@ -224,8 +225,9 @@ def write_partitioned(
         pq.write_table(table_from_pandas(g), tmp)  # metadata-free schema
         os.replace(tmp, final)  # atomic commit of the partition file
         # per-partition durability: sidecar marker so a crash before the
-        # final manifest write still skips this partition on rerun
-        marker = final + ".done"
+        # final manifest write still skips this partition on rerun; the
+        # leading underscore keeps it invisible to parquet dataset readers
+        marker = os.path.join(out_dir, f"_done-{safe}-{digest}.json")
         mtmp = marker + f".tmp{os.getpid()}"
         with open(mtmp, "w") as fh:
             json.dump(

@@ -20,7 +20,9 @@ def test_flagship_resumable_skips_committed_shards(ray_session, tmp_path):
     total1 = sum(p["rows"] for p in man1["partitions"].values())
     assert total1 > 0
 
-    # simulate a crash after only the first shard committed
+    # simulate a crash after only the first shard committed: trim the
+    # manifest AND drop the other shards' files + _done- sidecars (a
+    # sidecar alone keeps a partition committed — the crash-resume design)
     man_path = os.path.join(out, "_manifest.json")
     m = json.load(open(man_path))
     keep = shards[0]
@@ -28,6 +30,8 @@ def test_flagship_resumable_skips_committed_shards(ray_session, tmp_path):
     json.dump(m, open(man_path, "w"))
     for f in os.listdir(out):
         if f.startswith("part-") and not f.startswith(f"part-{keep.split('.')[0]}"):
+            os.remove(os.path.join(out, f))
+        if f.startswith("_done-"):
             os.remove(os.path.join(out, f))
 
     man2 = q.flagship_resumable("/root/testdata/sf0.001", out, lineage="run-2")

@@ -65,7 +65,7 @@ def test_write_partitioned_and_resume(ray_session, tmp_path):
     part2 = [f for f in os.listdir(out)
              if f.startswith("part-2-") and f.endswith(".parquet")][0]
     os.remove(os.path.join(out, part2))
-    os.remove(os.path.join(out, part2 + ".done"))
+    os.remove(os.path.join(out, "_done-" + part2[len("part-"):-len(".parquet")] + ".json"))
     man2 = runtime.write_partitioned(ds, out, "part", lineage="unit-test-2")
     assert not any(
         f.startswith("part-2-") and f.endswith(".parquet")
@@ -76,7 +76,7 @@ def test_write_partitioned_and_resume(ray_session, tmp_path):
     # fresh rerun after wiping the manifest AND sidecars rewrites everything
     os.remove(os.path.join(out, "_manifest.json"))
     for f in list(os.listdir(out)):
-        if f.endswith(".done"):
+        if f.startswith("_done-"):
             os.remove(os.path.join(out, f))
     man3 = runtime.write_partitioned(ds, out, "part", lineage="unit-test-3")
     assert any(
@@ -113,7 +113,7 @@ def test_write_partitioned_mid_run_crash_resume(ray_session, tmp_path):
     # forge the crash state: drop the manifest and two of the partitions
     os.remove(os.path.join(out, "_manifest.json"))
     for f in list(os.listdir(out)):
-        if f.startswith(("part-0-", "part-1-")):
+        if f.startswith(("part-0-", "part-1-", "_done-0-", "_done-1-")):
             os.remove(os.path.join(out, f))
     kept = {f for f in os.listdir(out) if f.endswith(".parquet")}
     mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in kept}
