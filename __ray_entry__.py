@@ -29,7 +29,10 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {name: fn for name, (fn, _sql) in _q.registry().items()}
+    return {
+        name: fn
+        for name, (fn, _sql) in _q.registry(include_sql=False).items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -72,7 +72,7 @@ def run_suite(only: list[str] | None = None) -> dict:
         lambda t: {"n": [t.num_rows]}, batch_format="pyarrow"
     ).count()
 
-    reg = q.registry()
+    reg = q.registry(include_sql=False)
     callables = {name: fn for name, (fn, _s) in reg.items()}
     callables["flagship_images"] = lambda sf: q.flagship(sf, n_images=n_images)
 

@@ -32,8 +32,18 @@ class CellIndex:
 
     def __init__(self, root: str):
         self.root = root
-        with open(os.path.join(root, _PROPS)) as f:
-            props = json.load(f)
+        try:
+            with open(os.path.join(root, _PROPS)) as f:
+                props = json.load(f)
+        except FileNotFoundError:
+            old = root.rstrip("/") + ".compact-old"
+            if os.path.isdir(old):
+                raise FileNotFoundError(
+                    f"index missing at {root} but {old} exists: a compact() "
+                    "crashed between its two renames — restore with "
+                    f"`mv {old} {root}`"
+                ) from None
+            raise
         self.bits = props["bits"]
         self.prefix_bits = props["prefix_bits"]
         self.cell_col = props["cell_col"]
@@ -102,8 +112,12 @@ class CellIndex:
         reads with one extra file per prefix per extend).
 
         Full union scan → fresh partitioned write into a sibling dir →
-        directory swap. Readers racing the swap see either the old or the
-        new complete layout (the rename pair is the commit point)."""
+        two-rename directory swap. MAINTENANCE OPERATION, single-writer,
+        NO CONCURRENT READERS: between the two renames the root briefly
+        does not exist (POSIX cannot atomically swap directories), and a
+        crash in that window leaves the previous layout at
+        ``<root>.compact-old`` (CellIndex() then raises with the restore
+        command). Run it like a rebuild, not like a query."""
         import shutil
 
         frags = [d for d in os.listdir(self.root) if d.startswith("frag-")]

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def connected_components(
@@ -40,7 +41,7 @@ def connected_components(
     node stream; larger edge sets run the distributed min-label
     propagation (per-round edge join + min-groupby on materialized
     labels)."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     edge_pairs = edges_ds.select_columns([edge_a, edge_b]).materialize()
     n_edges = edge_pairs.count()
@@ -49,7 +50,13 @@ def connected_components(
 
     def init_labels(t: pa.Table) -> pa.Table:
         ids = t[node_col].to_numpy(zero_copy_only=False)
-        return pa.table({"node": pa.array(ids), "label": pa.array(ids)})
+        # is_node marks real members of nodes_ds: labels gained through
+        # edge propagation for endpoints OUTSIDE nodes_ds are dropped at
+        # the end, so both physical plans return the same row set
+        return pa.table(
+            {"node": pa.array(ids), "label": pa.array(ids),
+             "is_node": pa.array(np.ones(ids.size, dtype=np.int8))}
+        )
 
     labels = nodes_ds.map_batches(
         init_labels, batch_format="pyarrow"
@@ -65,7 +72,9 @@ def connected_components(
             }
         )
 
-    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    # edge_pairs is already materialized for the count: reuse it, never
+    # re-execute the (possibly expensive) upstream pair pipeline
+    edges = edge_pairs.map_batches(sym, batch_format="pyarrow").materialize()
 
     def label_sum(ds) -> int:
         return ds.aggregate(Sum("label", alias_name="s"))["s"] or 0
@@ -84,14 +93,26 @@ def connected_components(
                 on=("src",),
             )
             .map_batches(
-                lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+                lambda t: pa.table(
+                    {"node": t["dst"], "label": t["label"],
+                     "is_node": pa.array(
+                         np.zeros(len(t), dtype=np.int8)
+                     )}
+                ),
                 batch_format="pyarrow",
             )
         )
         labels = (
             labels.union(offered)
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .aggregate(Min("label", alias_name="label"),
+                       Max("is_node", alias_name="is_node"))
+            # sort-aggregate emits SCHEMA-LESS blocks for group-free
+            # partitions and the next round's hash join rejects them ("no
+            # match for key field src"); merging blocks absorbs the empty
+            # ones into schema-carrying neighbors (map UDFs are skipped on
+            # empty blocks, so a schema-fixing map_batches can't do it)
+            .repartition(num_partitions)
             .materialize()
         )
         cur = label_sum(labels)
@@ -102,7 +123,8 @@ def connected_components(
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
     def rename(t: pa.Table) -> pa.Table:
-        return pa.table({node_col: t["node"], "component": t["label"]})
+        keep = t.filter(pc.equal(t["is_node"], pa.scalar(1, pa.int8())))
+        return pa.table({node_col: keep["node"], "component": keep["label"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
 

@@ -240,10 +240,20 @@ def jaccard_verify_shuffle(pairs_ds, docs_ds, shingle_k: int = 5,
 
     This is the 100 TB path; :func:`jaccard_verify` (broadcast) is the
     small-corpus fast path."""
-    sh_a = shingle_sets(docs_ds, shingle_k, id_col, text_col,
-                        out_id="id_a", out_col="sh_a")
-    sh_b = shingle_sets(docs_ds, shingle_k, id_col, text_col,
-                        out_id="id_b", out_col="sh_b")
+    # shingle ONCE, materialize the (id, packed-hashes) table, and feed
+    # both join sides from it via cheap column renames — re-running
+    # shingle_sets per side would double the dominant hashing cost
+    sh = shingle_sets(docs_ds, shingle_k, id_col, text_col,
+                      out_id="sid", out_col="sh").materialize()
+
+    def as_side(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": t["sid"], f"sh_{side}": t["sh"]})
+
+        return fn
+
+    sh_a = sh.map_batches(as_side("a"), batch_format="pyarrow")
+    sh_b = sh.map_batches(as_side("b"), batch_format="pyarrow")
     pairs = pairs_ds.select_columns(["id_a", "id_b"])
     joined = pairs.join(
         sh_a, join_type="inner", num_partitions=num_partitions, on=("id_a",)

@@ -536,25 +536,41 @@ FROM documents GROUP BY substr(text, 1, 40)
 # ---------------------------------------------------------------- token stats
 
 
+# GPT-2-style pretokenizer shape, restricted to constructs with identical
+# semantics in Python re and DuckDB's RE2 (leftmost-first alternation,
+# ASCII classes) — verified token-count-identical on the corpus
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
 def q_token_stats(sf_dir: str):
+    """Whitespace token count + BPE-ish regex token count (the two
+    counting modes a training-data pipeline budgets with) + char length,
+    all vectorized kernels (pyarrow / pandas str.count)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
         import pyarrow.compute as pc
 
         spaces = pc.count_substring(t["text"], " ")
         n_tokens = pc.add(pc.cast(spaces, pa.int64()), 1)
         n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        n_bpe = pd.Series(
+            t["text"].to_pandas()
+        ).str.count(BPE_PATTERN).to_numpy().astype(np.int64)
         return pa.table(
-            {"doc_id": t["doc_id"], "n_tokens": n_tokens, "n_chars_out": n_chars}
+            {"doc_id": t["doc_id"], "n_tokens": n_tokens,
+             "n_bpe_tokens": pa.array(n_bpe), "n_chars_out": n_chars}
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-SQL_TOKEN_STATS = """
+SQL_TOKEN_STATS = f"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+            '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_out
 FROM documents
 """
@@ -1215,7 +1231,7 @@ def _sql_langid() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\w'']+')) AS w
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_'']+')) AS w
   FROM documents
 ),
 a AS (SELECT doc_id, count(*) AS nw,
@@ -1254,7 +1270,7 @@ def q_quality(sf_dir: str):
 
 SQL_QUALITY = f"""
 WITH t AS (SELECT doc_id, text,
-                  regexp_extract_all(text, '[\\w'']+') AS toks
+                  regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_'']+') AS toks
            FROM documents)
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars_q,
@@ -1785,13 +1801,16 @@ def flagship_resumable(sf_dir: str, out_dir: str, n_images: int | None = None,
 # ------------------------------------------------------------------- registry
 
 
-def registry(n_images: int = 10_000):
+def registry(n_images: int = 10_000, include_sql: bool = True):
     """name -> (pipeline callable, oracle SQL or None).
 
     ``n_images`` parameterizes the image-table oracles (the synthetic image
     table has ``fixtures.n_images_for(sf_dir)`` rows); the audio/video
     table sizes are tied to it (÷5 and ÷10 — fixtures.N_AUDIO/N_VIDEO).
-    The default matches the driver's sf0.01 contract."""
+    The default matches the driver's sf0.01 contract.
+    ``include_sql=False`` skips the one expensive oracle builder (the
+    768-image thumb-hash table) for callers that only need the pipeline
+    callables (bench, queries())."""
     n_audio = n_images // 5
     n_video = n_images // 10
     return {
@@ -1833,7 +1852,8 @@ def registry(n_images: int = 10_000):
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "images_hot_salted": (q_images_hot_salted, sql_images_tiles(n_images)),
-        "images_features": (q_images_features, sql_images_features(n_images)),
+        "images_features": (q_images_features,
+                            sql_images_features(n_images) if include_sql else None),
         "audio_features": (q_audio_features, sql_audio_features(n_audio)),
         "video_frames": (q_video_frames, sql_video_frames(n_video)),
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
