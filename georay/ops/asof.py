@@ -1,0 +1,97 @@
+"""As-of join (most-recent-match join) — the temporal analogue of the
+cell-keyed spatial join: for every left row, the single right row with the
+greatest timestamp ≤ the left row's timestamp, within the same key.
+
+Physical plan (Ray Data has no native as-of join): tag both sides, key by
+``by``, union, co-group with one ``groupby(by)`` sort shuffle, then a
+vectorized per-group ``searchsorted`` match — no per-row loop, one
+exchange. Within a key group the right side is sorted once; every left
+timestamp binary-searches it. Inner semantics: left rows with no prior
+right row are dropped (DuckDB ``ASOF JOIN`` parity).
+
+The op returns the MATCH MAPPING ``(by, left ts, matched right ts)`` —
+payload columns reattach with ordinary equi-joins on ``(by, ts)``
+(broadcast or shuffle, caller's choice); keeping the union schema to three
+columns is what lets both sides share one exchange.
+
+Partitioning assumption: one key's rows must fit a worker (same contract
+as every co-group op here); sub-bucket by time range if a single key's
+history outgrows that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+):
+    """For each left row: the latest right timestamp ≤ its own, per key.
+
+    Output columns: ``by``, ``left_ts``, ``{right_ts}{suffix}``.
+    Timestamps must cast to int64 (cast dates/decimals upstream). Left
+    rows keep multiplicity (duplicates join independently)."""
+    import pandas as pd
+
+    def prep(role: int, ts_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table(
+                {
+                    "_role": pa.array(np.full(n, role, dtype=np.int8)),
+                    by: t[by],
+                    "_ts": t[ts_col].cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    u = left_ds.map_batches(prep(0, left_ts), batch_format="pyarrow").union(
+        right_ds.map_batches(prep(1, right_ts), batch_format="pyarrow")
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        role = g["_role"].to_numpy()
+        is_r = role == 1
+        key_dtype = g[by].dtype
+        empty = pd.DataFrame(
+            {
+                by: pd.Series([], dtype=key_dtype),
+                "_lts": pd.Series([], dtype=np.int64),
+                "_rts": pd.Series([], dtype=np.int64),
+            }
+        )
+        if is_r.all() or not is_r.any():
+            return empty
+        r_ts = np.sort(g["_ts"].to_numpy()[is_r])
+        l_ts = g["_ts"].to_numpy()[~is_r]
+        keys = g[by].to_numpy()[~is_r]
+        pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+        hit = pos >= 0
+        return pd.DataFrame(
+            {
+                by: keys[hit],
+                "_lts": l_ts[hit],
+                "_rts": r_ts[pos[hit]],
+            }
+        )
+
+    joined = u.groupby(by).map_groups(per_key, batch_format="pandas")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                by: t[by],
+                left_ts: t["_lts"],
+                f"{right_ts}{suffix}": t["_rts"],
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

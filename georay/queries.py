@@ -1571,6 +1571,46 @@ FROM g GROUP BY event_type, sid
 """
 
 
+ASOF_REF_MIN_VALUE = 100.0
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join: every event matched to the most recent HIGH-VALUE event
+    (value ≥ 441) of the same type — one co-group sort shuffle + vectorized
+    searchsorted per key (ops.asof). DuckDB's native ASOF JOIN is the
+    oracle."""
+    import pyarrow.compute as pc
+
+    from georay.ops import asof as asof_ops
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def to_secs(t: pa.Table) -> pa.Table:
+        s = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000))
+        return pa.table(
+            {"event_type": t["event_type"], "s": s, "value": t["value"]}
+        )
+
+    evs = ev.map_batches(to_secs, batch_format="pyarrow", zero_copy_batch=True)
+    refs = evs.filter(
+        expr=f"value >= {ASOF_REF_MIN_VALUE!r}"
+    ).select_columns(["event_type", "s"])
+    out = asof_ops.asof_join(
+        evs.select_columns(["event_type", "s"]), refs,
+        by="event_type", left_ts="s", right_ts="s",
+    )
+    return out
+
+
+SQL_EVENTS_ASOF = f"""
+WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events),
+r AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events
+      WHERE value >= {ASOF_REF_MIN_VALUE!r})
+SELECT e.event_type, e.s, r.s AS s_r
+FROM e ASOF JOIN r ON e.event_type = r.event_type AND e.s >= r.s
+"""
+
+
 def q_top_customers(sf_dir: str):
     """Global sort + limit (distributed range-partitioned sort): top 50
     customers by account balance, deterministic tie-break on key."""
@@ -1849,6 +1889,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "index_query_box": (q_index_query_box, SQL_INDEX_QUERY_BOX),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_session": (q_events_session, SQL_EVENTS_SESSION),
+        "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "images_hot_salted": (q_images_hot_salted, sql_images_tiles(n_images)),

@@ -106,3 +106,46 @@ def test_session_matches_brute(ray_session, events):
         zip(out["k"], out["session_start_us"], out["session_end_us"], out["n"])
     )
     assert got == want
+
+
+def test_asof_join_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from georay.ops import asof as asof_ops
+
+    rng = np.random.RandomState(4)
+    n_l, n_r = 2000, 300
+    left = pa.table(
+        {"k": rng.randint(0, 5, n_l).astype(np.int64),
+         "ts": rng.randint(0, 100_000, n_l).astype(np.int64)}
+    )
+    right = pa.table(
+        {"k": rng.randint(0, 5, n_r).astype(np.int64),
+         "ts": rng.randint(0, 100_000, n_r).astype(np.int64)}
+    )
+    out = asof_ops.asof_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(2),
+        by="k",
+    ).to_pandas()
+    want = pd.merge_asof(
+        left.to_pandas().sort_values("ts"),
+        right.to_pandas().sort_values("ts"),
+        on="ts", by="k", direction="backward", suffixes=("", "_r"),
+    ).dropna()  # inner semantics: unmatched lefts dropped
+    # pandas merge_asof keeps the matched right ts implicitly equal to the
+    # left ts only on exact hits; recompute it for comparison
+    rdf = right.to_pandas()
+    def latest(k, ts):
+        c = rdf[(rdf.k == k) & (rdf.ts <= ts)]
+        return int(c.ts.max()) if len(c) else None
+    got = sorted(zip(out["k"], out["ts"], out["ts_r"]))
+    exp = []
+    for k, ts in zip(left["k"].to_numpy(), left["ts"].to_numpy()):
+        m = latest(k, ts)
+        if m is not None:
+            exp.append((int(k), int(ts), m))
+    assert got == sorted(exp)
