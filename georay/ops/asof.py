@@ -25,6 +25,81 @@ import numpy as np
 import pyarrow as pa
 
 
+def interval_join(
+    points_ds,
+    intervals_ds,
+    by: str,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: int = 86_400,
+    num_partitions: int = 8,
+):
+    """1:N containment join: every (point, interval) pair with
+    ``start <= ts < end`` sharing the ``by`` key — the temporal RANGE join.
+
+    Physical plan: intervals explode to every time bucket they overlap
+    (vectorized range-expand, span/bucket + 1 rows each), points key by
+    their single bucket, one hash equi-join on (key, bucket), then the
+    exact half-open containment filter. Choose ``bucket`` near the typical
+    interval span: too small explodes intervals, too large bloats join
+    fan-in. Output: ``by``, ``point_ts``, ``start_col``, ``end_col``."""
+
+    def prep_points(t: pa.Table) -> pa.Table:
+        s = t[point_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                by: t[by],
+                "_ts": pa.array(s),
+                "_b": pa.array(s // bucket),
+            }
+        )
+
+    def prep_intervals(t: pa.Table) -> pa.Table:
+        st = t[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        en = t[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = st // bucket
+        b1 = np.maximum(en - 1, st) // bucket
+        counts = (b1 - b0 + 1).astype(np.int64)
+        total = int(counts.sum())
+        idx = np.repeat(np.arange(st.shape[0]), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        bks = np.arange(total, dtype=np.int64) - starts + np.repeat(b0, counts)
+        base = t.select([by]).take(pa.array(idx))
+        return pa.table(
+            {
+                by: base[by],
+                "_start": pa.array(st[idx]),
+                "_end": pa.array(en[idx]),
+                "_b": pa.array(bks),
+            }
+        )
+
+    joined = points_ds.map_batches(prep_points, batch_format="pyarrow").join(
+        intervals_ds.map_batches(prep_intervals, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(by, "_b"),
+    )
+
+    def refine(t: pa.Table) -> pa.Table:
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        st = t["_start"].to_numpy(zero_copy_only=False)
+        en = t["_end"].to_numpy(zero_copy_only=False)
+        keep = (st <= ts) & (ts < en)
+        out = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                by: out[by],
+                point_ts: out["_ts"],
+                start_col: out["_start"],
+                end_col: out["_end"],
+            }
+        )
+
+    return joined.map_batches(refine, batch_format="pyarrow")
+
+
 def asof_join(
     left_ds,
     right_ds,

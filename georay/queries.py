@@ -1611,6 +1611,55 @@ FROM e ASOF JOIN r ON e.event_type = r.event_type AND e.s >= r.s
 """
 
 
+def q_events_range_join(sf_dir: str):
+    """Temporal RANGE join: every event paired with every 1-day window
+    opened by a high-value event of the same type that contains it
+    (bucketed interval explode → hash equi-join → exact containment
+    filter, ops.asof.interval_join). Plain inequality-join oracle."""
+    import pyarrow.compute as pc
+
+    from georay.ops import asof as asof_ops
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def to_secs(t: pa.Table) -> pa.Table:
+        s = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000))
+        return pa.table(
+            {"event_type": t["event_type"], "s": s, "value": t["value"]}
+        )
+
+    evs = ev.map_batches(to_secs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def windows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "w_start": t["s"],
+                "w_end": pc.add(t["s"], pa.scalar(86_400)),
+            }
+        )
+
+    refs = evs.filter(
+        expr=f"value >= {ASOF_REF_MIN_VALUE!r}"
+    ).map_batches(windows, batch_format="pyarrow")
+    out = asof_ops.interval_join(
+        evs.select_columns(["event_type", "s"]), refs,
+        by="event_type", point_ts="s", start_col="w_start", end_col="w_end",
+        bucket=86_400, num_partitions=4,
+    )
+    return out.select_columns(["event_type", "s", "w_start"])
+
+
+SQL_EVENTS_RANGE = f"""
+WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events),
+r AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events
+      WHERE value >= {ASOF_REF_MIN_VALUE!r})
+SELECT e.event_type, e.s, r.s AS w_start
+FROM e JOIN r ON e.event_type = r.event_type
+             AND e.s >= r.s AND e.s < r.s + 86400
+"""
+
+
 def q_top_customers(sf_dir: str):
     """Global sort + limit (distributed range-partitioned sort): top 50
     customers by account balance, deterministic tie-break on key."""
@@ -1890,6 +1939,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_session": (q_events_session, SQL_EVENTS_SESSION),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+        "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "images_hot_salted": (q_images_hot_salted, sql_images_tiles(n_images)),

@@ -149,3 +149,38 @@ def test_asof_join_matches_pandas(ray_session):
         if m is not None:
             exp.append((int(k), int(ts), m))
     assert got == sorted(exp)
+
+
+def test_interval_join_matches_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.ops import asof as asof_ops
+
+    rng = np.random.RandomState(6)
+    pts = pa.table(
+        {"k": rng.randint(0, 3, 1500).astype(np.int64),
+         "ts": rng.randint(0, 50_000, 1500).astype(np.int64)}
+    )
+    st = rng.randint(0, 50_000, 120).astype(np.int64)
+    # variable spans incl. zero-length and multi-bucket intervals
+    iv = pa.table(
+        {"k": rng.randint(0, 3, 120).astype(np.int64),
+         "start": st,
+         "end": st + rng.randint(0, 9_000, 120).astype(np.int64)}
+    )
+    out = asof_ops.interval_join(
+        ray.data.from_arrow(pts).repartition(4),
+        ray.data.from_arrow(iv).repartition(2),
+        by="k", point_ts="ts", start_col="start", end_col="end",
+        bucket=2_000, num_partitions=4,
+    ).to_pandas()
+    got = sorted(zip(out["k"], out["ts"], out["start"], out["end"]))
+    p, i = pts.to_pandas(), iv.to_pandas()
+    exp = []
+    for _, r in i.iterrows():
+        m = p[(p.k == r.k) & (p.ts >= r.start) & (p.ts < r.end)]
+        exp.extend((int(r.k), int(t), int(r.start), int(r.end)) for t in m.ts)
+    assert got == sorted(exp)
+    assert len(got) > 0
