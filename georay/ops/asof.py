@@ -135,16 +135,9 @@ def asof_join(
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         role = g["_role"].to_numpy()
         is_r = role == 1
-        key_dtype = g[by].dtype
-        empty = pd.DataFrame(
-            {
-                by: pd.Series([], dtype=key_dtype),
-                "_lts": pd.Series([], dtype=np.int64),
-                "_rts": pd.Series([], dtype=np.int64),
-            }
-        )
-        if is_r.all() or not is_r.any():
-            return empty
+        # no special-casing for one-sided groups: searchsorted on an empty
+        # right side yields pos=-1 (all dropped), and empty lefts produce
+        # the same empty frame with identical dtypes
         r_ts = np.sort(g["_ts"].to_numpy()[is_r])
         l_ts = g["_ts"].to_numpy()[~is_r]
         keys = g[by].to_numpy()[~is_r]

@@ -1574,38 +1574,47 @@ FROM g GROUP BY event_type, sid
 ASOF_REF_MIN_VALUE = 100.0
 
 
-def q_events_asof(sf_dir: str):
-    """As-of join: every event matched to the most recent HIGH-VALUE event
-    (value ≥ 441) of the same type — one co-group sort shuffle + vectorized
-    searchsorted per key (ops.asof). DuckDB's native ASOF JOIN is the
-    oracle."""
-    import pyarrow.compute as pc
-
-    from georay.ops import asof as asof_ops
-
+def _events_secs(sf_dir: str):
+    """events as (event_type, s=floor-epoch-seconds, value) — shared prep
+    for the temporal-join queries. Floor division (numpy //) matches the
+    oracles' FLOOR(EPOCH(ts)) for pre-1970 timestamps too (Arrow's integer
+    divide truncates toward zero and would diverge there)."""
     ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def to_secs(t: pa.Table) -> pa.Table:
-        s = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000))
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
-            {"event_type": t["event_type"], "s": s, "value": t["value"]}
+            {"event_type": t["event_type"], "s": pa.array(us // 1_000_000),
+             "value": t["value"]}
         )
 
-    evs = ev.map_batches(to_secs, batch_format="pyarrow", zero_copy_batch=True)
+    return ev.map_batches(to_secs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_EVENTS_SECS = f"""e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events),
+r AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events
+      WHERE value >= {ASOF_REF_MIN_VALUE!r})"""
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join: every event matched to the most recent HIGH-VALUE event
+    (value >= ASOF_REF_MIN_VALUE) of the same type — one co-group sort
+    shuffle + vectorized searchsorted per key (ops.asof). DuckDB's native
+    ASOF JOIN is the oracle."""
+    from georay.ops import asof as asof_ops
+
+    evs = _events_secs(sf_dir)
     refs = evs.filter(
         expr=f"value >= {ASOF_REF_MIN_VALUE!r}"
     ).select_columns(["event_type", "s"])
-    out = asof_ops.asof_join(
+    return asof_ops.asof_join(
         evs.select_columns(["event_type", "s"]), refs,
         by="event_type", left_ts="s", right_ts="s",
     )
-    return out
 
 
 SQL_EVENTS_ASOF = f"""
-WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events),
-r AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events
-      WHERE value >= {ASOF_REF_MIN_VALUE!r})
+WITH {_SQL_EVENTS_SECS}
 SELECT e.event_type, e.s, r.s AS s_r
 FROM e ASOF JOIN r ON e.event_type = r.event_type AND e.s >= r.s
 """
@@ -1620,15 +1629,7 @@ def q_events_range_join(sf_dir: str):
 
     from georay.ops import asof as asof_ops
 
-    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
-
-    def to_secs(t: pa.Table) -> pa.Table:
-        s = pc.divide(t["ts"].cast(pa.int64()), pa.scalar(1_000_000))
-        return pa.table(
-            {"event_type": t["event_type"], "s": s, "value": t["value"]}
-        )
-
-    evs = ev.map_batches(to_secs, batch_format="pyarrow", zero_copy_batch=True)
+    evs = _events_secs(sf_dir)
 
     def windows(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1651,9 +1652,7 @@ def q_events_range_join(sf_dir: str):
 
 
 SQL_EVENTS_RANGE = f"""
-WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events),
-r AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events
-      WHERE value >= {ASOF_REF_MIN_VALUE!r})
+WITH {_SQL_EVENTS_SECS}
 SELECT e.event_type, e.s, r.s AS w_start
 FROM e JOIN r ON e.event_type = r.event_type
              AND e.s >= r.s AND e.s < r.s + 86400

@@ -110,7 +110,6 @@ def test_session_matches_brute(ray_session, events):
 
 def test_asof_join_matches_pandas(ray_session):
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import ray
 
@@ -131,13 +130,6 @@ def test_asof_join_matches_pandas(ray_session):
         ray.data.from_arrow(right).repartition(2),
         by="k",
     ).to_pandas()
-    want = pd.merge_asof(
-        left.to_pandas().sort_values("ts"),
-        right.to_pandas().sort_values("ts"),
-        on="ts", by="k", direction="backward", suffixes=("", "_r"),
-    ).dropna()  # inner semantics: unmatched lefts dropped
-    # pandas merge_asof keeps the matched right ts implicitly equal to the
-    # left ts only on exact hits; recompute it for comparison
     rdf = right.to_pandas()
     def latest(k, ts):
         c = rdf[(rdf.k == k) & (rdf.ts <= ts)]
