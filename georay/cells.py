@@ -104,6 +104,24 @@ def uncompact(
     return np.concatenate(out)
 
 
+def uncompact_dataset(ds, target_bits: int, cell_col: str = "cell",
+                      bits_col: str = "cell_bits"):
+    """Distributed uncompact: mixed-precision cells (the output shape of
+    :func:`compact_dataset`) exploded to ``target_bits`` — 1 row →
+    ``2^(target-bits)`` rows, vectorized per precision group within each
+    batch (flat-map style, no shuffle). Output: ``cell:int64`` at one
+    precision."""
+    import pyarrow as pa
+
+    def explode(t):
+        codes = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        code_bits = t[bits_col].to_numpy(zero_copy_only=False)
+        out = uncompact(codes, code_bits, target_bits)
+        return pa.table({cell_col: out.astype(np.int64)})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def compact_dataset(ds, cell_col: str, bits: int, step: int = 2, anchor_bits: int = 10):
     """Distributed compact: shuffle cells so all potential siblings of a
     coarse anchor prefix land in one group, then numpy-compact per group.

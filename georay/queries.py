@@ -1571,6 +1571,54 @@ FROM g GROUP BY event_type, sid
 """
 
 
+def q_compact_roundtrip(sf_dir: str):
+    """Compact → distributed UNCOMPACT roundtrip: re-expanding the
+    mixed-precision compaction output at the base precision must
+    reconstruct exactly the distinct input cell set (count + xy-checksum
+    hard check; the lossless-roundtrip property is H3 compact/uncompact
+    parity, SURVEY.md N1)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    pts = spatial.points_with_cells(orders, "o_orderkey", 12, xy=False)
+    comp = cells.compact_dataset(
+        pts.select_columns(["cell"]), "cell", bits=12, step=2, anchor_bits=6
+    )
+    back = cells.uncompact_dataset(comp, target_bits=12)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(c, 12)
+        # xy-weighted checksum so any wrong cell (not just a wrong count)
+        # breaks the hash
+        return pa.table(
+            {
+                "p_n": pa.array([np.int64(c.size)]),
+                "p_sum": pa.array(
+                    [np.int64((x.astype(np.int64) * 64 + y).sum())]
+                ),
+            }
+        )
+
+    agg = (
+        back.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .aggregate(Sum("p_n", alias_name="n_cells"),
+                   Sum("p_sum", alias_name="xy_checksum"))
+    )
+    return pd.DataFrame([agg])
+
+
+SQL_COMPACT_ROUNDTRIP = f"""
+WITH pts AS (SELECT DISTINCT {sql_x(sql_lon('o_orderkey'), 6)} AS x,
+                    {sql_y(sql_lat('o_orderkey'), 6)} AS y FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(x * 64 + y) AS BIGINT) AS xy_checksum
+FROM pts
+"""
+
+
 ASOF_REF_MIN_VALUE = 100.0
 
 
@@ -1934,6 +1982,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
         "raster_assembly": (q_raster, sql_raster(n_images)),
         "compact_cells": (q_compact, SQL_COMPACT),
+        "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
         "index_query_box": (q_index_query_box, SQL_INDEX_QUERY_BOX),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_session": (q_events_session, SQL_EVENTS_SESSION),

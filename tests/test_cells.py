@@ -95,3 +95,18 @@ def test_compact_dataset(ray_session):
     assert (int(parent[0]), 6) in got and (int(parent[1]), 6) in got
     assert (7001, 12) in got
     assert len(got) == 3
+
+
+def test_uncompact_dataset_roundtrip(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay import cells
+
+    rng = np.random.RandomState(13)
+    base = np.unique(rng.randint(0, 1 << 12, 3000).astype(np.int64))
+    ds = ray.data.from_arrow(pa.table({"cell": base})).repartition(4)
+    comp = cells.compact_dataset(ds, "cell", bits=12, step=2, anchor_bits=6)
+    back = cells.uncompact_dataset(comp, target_bits=12).to_pandas()
+    assert sorted(back["cell"]) == sorted(base.tolist())
