@@ -40,6 +40,30 @@ def infer_format(path: str) -> str:
     return "parquet"
 
 
+def clean_parquet_schema(path, columns: list[str] | None = None):
+    """Projected, metadata-free schema of a parquet file/dir/list — passed
+    as ``read_parquet(schema=...)`` so the read operator itself emits
+    metadata-free blocks. Stripping with a ``map_batches`` AFTER the read is
+    one stage too late: the read operator's own block-schema dedup already
+    chokes on the unhashable pandas metadata blob and logs "Failed to hash
+    the schemas" per task (VERDICT r2 #5). Returns None when no parquet
+    file is found (caller falls back to schema inference)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    p = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(p):
+        shards = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if not shards:
+            return None
+        p = shards[0]
+    full = pq.read_schema(p).remove_metadata()
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])
+
+
 def read_table(path: str, format: str | None = None,
                columns: list[str] | None = None, **kwargs):
     """Read ``path`` as a Dataset. ``format``: parquet / csv / json /
@@ -49,8 +73,10 @@ def read_table(path: str, format: str | None = None,
 
     fmt = format or infer_format(path)
     if fmt == "parquet":
+        if "schema" not in kwargs:
+            kwargs["schema"] = clean_parquet_schema(path, columns)
         ds = ray.data.read_parquet(path, columns=columns, **kwargs)
-        columns = None
+        return ds
     elif fmt == "csv":
         ds = ray.data.read_csv(path, **kwargs)
     elif fmt == "json":

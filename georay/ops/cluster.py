@@ -52,10 +52,13 @@ def connected_components(
         ids = t[node_col].to_numpy(zero_copy_only=False)
         # is_node marks real members of nodes_ds: labels gained through
         # edge propagation for endpoints OUTSIDE nodes_ds are dropped at
-        # the end, so both physical plans return the same row set
+        # the end, so both physical plans return the same row set.
+        # int64 (not int8): Min/Max aggregates emit int64, and a column
+        # whose dtype flips between rounds defeats Ray's block-schema dedup
+        # (schema-stable-partials invariant — ADVICE r2 #3)
         return pa.table(
             {"node": pa.array(ids), "label": pa.array(ids),
-             "is_node": pa.array(np.ones(ids.size, dtype=np.int8))}
+             "is_node": pa.array(np.ones(ids.size, dtype=np.int64))}
         )
 
     labels = nodes_ds.map_batches(
@@ -96,7 +99,7 @@ def connected_components(
                 lambda t: pa.table(
                     {"node": t["dst"], "label": t["label"],
                      "is_node": pa.array(
-                         np.zeros(len(t), dtype=np.int8)
+                         np.zeros(len(t), dtype=np.int64)
                      )}
                 ),
                 batch_format="pyarrow",
@@ -123,7 +126,7 @@ def connected_components(
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
     def rename(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.equal(t["is_node"], pa.scalar(1, pa.int8())))
+        keep = t.filter(pc.equal(t["is_node"], pa.scalar(1, pa.int64())))
         return pa.table({node_col: keep["node"], "component": keep["label"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
@@ -133,7 +136,17 @@ def _cc_broadcast(nodes_ds, edge_pairs, node_col: str, edge_a: str,
                   edge_b: str):
     """Small-edge-set plan: driver-side union-find over the collected
     edges, node→root map broadcast once (``ray.put``), applied per batch
-    with a sorted-array lookup. The NODE stream never materializes."""
+    with a sorted-array lookup. The NODE stream never materializes (the
+    only driver-side collection is the edge-endpoint ∩ node-id set, which
+    is bounded by the edge count, not the node count).
+
+    Component ids are NODE-VALUED and plan-independent (ADVICE r2 #1):
+    union-find roots range over ALL edge endpoints, including endpoints
+    outside ``nodes_ds`` (which act as relays, exactly as they do in the
+    distributed plan) — each root is remapped to the minimum id of the
+    component's members that ARE nodes, so ``dedup_clusters``'s
+    ``is_representative = (node == component)`` always marks exactly one
+    row per cluster."""
     import ray
 
     batches = list(edge_pairs.iter_batches(batch_format="pyarrow"))
@@ -160,8 +173,43 @@ def _cc_broadcast(nodes_ds, edge_pairs, node_col: str, edge_a: str,
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         touched = np.unique(np.concatenate([a, b]))
+        roots = np.array([find(int(x)) for x in touched], dtype=np.int64)
+        # which touched endpoints are REAL nodes: one streamed pass over the
+        # node Dataset, each batch intersected against the (small) touched
+        # set — driver collects at most |touched| ids
+        t_ref = ray.put(touched)
+
+        def hits(t: pa.Table) -> pa.Table:
+            tt = ray.get(t_ref)
+            ids = t[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(tt, ids), 0, tt.size - 1)
+            return pa.table({"node": pa.array(ids[tt[pos] == ids])})
+
+        node_hits = [
+            b["node"].to_numpy(zero_copy_only=False)
+            for b in nodes_ds.map_batches(
+                hits, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+            if b.num_rows and "node" in b.column_names
+        ]
+        node_touched = (
+            np.unique(np.concatenate(node_hits))
+            if node_hits else np.empty(0, dtype=np.int64)
+        )
+        # min node-valued member per root, then remap every endpoint's root
+        is_node = np.isin(touched, node_touched)
+        nr, nid = roots[is_node], touched[is_node]
+        order = np.lexsort((nid, nr))
+        uroots, first = np.unique(nr[order], return_index=True)
+        min_node = nid[order][first]
+        pos = np.clip(np.searchsorted(uroots, roots), 0, max(uroots.size - 1, 0))
+        has_node = uroots.size > 0
+        hit = uroots[pos] == roots if has_node else np.zeros(roots.size, bool)
+        # components with no node member can never be assigned to a node row
+        # (any node endpoint is a node member of its own component); fall
+        # back to the endpoint's own id just to keep the map total
         mapped_keys = touched
-        mapped_roots = np.array([find(int(x)) for x in touched], dtype=np.int64)
+        mapped_roots = np.where(hit, min_node[pos] if has_node else roots, touched)
     ref = ray.put((mapped_keys, mapped_roots))
 
     def assign(t: pa.Table) -> pa.Table:

@@ -204,8 +204,10 @@ def salted_shuffle_join(
 
 def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
     """Semi / anti join: the key SET is broadcast once (ray.put) and each
-    batch filters with a sorted-array membership test — no shuffle. At the
-    10^12 scale the set becomes a Bloom filter with the same stage shape."""
+    batch filters with a sorted-array membership test — no shuffle. When
+    the key set itself is too large to broadcast (10^10+ keys), use
+    :func:`bloom_semi_join`: a fixed-size Bloom bitset broadcast with the
+    same stage shape plus an exact-verify band for the false positives."""
     import numpy as np
     import ray
 
@@ -223,3 +225,175 @@ def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ Bloom semi-join
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix(x: np.ndarray, c1: int, c2: int) -> np.ndarray:
+    """Vectorized splitmix64-style finalizer (public-domain mixing
+    constants) — avalanches int64 keys so sequential ids don't cluster."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> _U64(30))) * _U64(c1)
+        x = (x ^ (x >> _U64(27))) * _U64(c2)
+        return x ^ (x >> _U64(31))
+
+
+def bloom_positions(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(n, n_hashes) bit positions via double hashing h1 + i·h2 mod m."""
+    x = np.asarray(keys).astype(np.int64).view(_U64)
+    with np.errstate(over="ignore"):
+        h1 = _splitmix(x + _U64(0x9E3779B97F4A7C15),
+                       0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
+        h2 = _splitmix(x ^ _U64(0xD6E8FEB86659FD93),
+                       0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53) | _U64(1)
+        i = np.arange(n_hashes, dtype=_U64)
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % _U64(n_bits)).astype(
+            np.int64
+        )
+
+
+def _batch_bloom_bits(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    pos = bloom_positions(keys, n_bits, n_hashes).reshape(-1)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits
+
+
+def build_bloom(keys_ds, col: str, n_bits: int = 1 << 23, n_hashes: int = 4,
+                chunk_bytes: int = 1 << 16) -> np.ndarray:
+    """Distributed Bloom-bitset build over a key Dataset — the key column
+    never collects to the driver. Each batch sets its bits locally and
+    emits only its NONZERO ``chunk_bytes``-sized bitset chunks as
+    ``(chunk_id, blob)`` rows; a per-chunk groupby ORs them; the driver
+    assembles the fixed-size bitset from at most ``n_bits/8/chunk_bytes``
+    reduced rows. ``n_bits`` must be a multiple of ``8 * chunk_bytes``."""
+    import pandas as pd
+
+    from georay.runtime import table_from_pandas
+
+    if n_bits % (8 * chunk_bytes):
+        raise ValueError("n_bits must be a multiple of 8*chunk_bytes")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[col].to_numpy(zero_copy_only=False)
+        bits = _batch_bloom_bits(keys, n_bits, n_hashes)
+        chunks = bits.reshape(-1, chunk_bytes)
+        nz = np.flatnonzero(chunks.any(axis=1))
+        return pa.table(
+            {
+                "chunk_id": pa.array(nz.astype(np.int64)),
+                "blob": pa.array([chunks[i].tobytes() for i in nz], pa.binary()),
+            }
+        )
+
+    def orit(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(chunk_bytes, dtype=np.uint8)
+        for b in g["blob"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            {"chunk_id": [int(g["chunk_id"].iloc[0])], "blob": [acc.tobytes()]}
+        )
+
+    reduced = (
+        keys_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("chunk_id")
+        .map_groups(orit, batch_format="pandas")
+    )
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    for b in reduced.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "chunk_id" not in b.column_names:
+            continue  # schema-less empty aggregate blocks (CLAUDE.md)
+        for cid, blob in zip(b["chunk_id"].to_pylist(), b["blob"].to_pylist()):
+            s = cid * chunk_bytes
+            bits[s : s + chunk_bytes] = np.frombuffer(blob, dtype=np.uint8)
+    return bits
+
+
+def bloom_semi_join(ds, keys_ds, on: str, right_on: str | None = None,
+                    anti: bool = False, n_bits: int = 1 << 23,
+                    n_hashes: int = 4, num_partitions: int = 16,
+                    exact: bool = True):
+    """Semi / anti join against a key set too large to broadcast raw.
+
+    The fixed-size Bloom bitset (``n_bits/8`` bytes regardless of key
+    count) is built distributed and broadcast ONCE; every batch classifies
+    rows as definite-miss (Bloom never false-negatives) or candidate.
+    Misses resolve immediately — dropped for semi, kept for anti. With
+    ``exact=True`` (default) the candidate band — true hits plus the small
+    false-positive fraction — is verified with a hash join against the
+    deduped key Dataset, making the result EXACT for both semi and anti.
+    ``exact=False`` skips the verify shuffle and returns Bloom-superset
+    semantics: semi keeps (anti drops) candidates unverified — a documented
+    superset (subset) containing false positives at the Bloom's FPR.
+
+    At 10^10 keys and 10 bits/key the broadcast is ~12 GB of bitset versus
+    ~80 GB of raw keys, and only the candidate band — not the full probe
+    table — pays the exact-verify shuffle."""
+    import ray
+
+    right_on = right_on or on
+    bits = build_bloom(
+        keys_ds, right_on, n_bits=n_bits, n_hashes=n_hashes,
+        chunk_bytes=min(1 << 16, n_bits // 8),
+    )
+    bits_ref = ray.put(bits)
+
+    def classify(t: pa.Table, want_candidates: bool) -> pa.Table:
+        bb = ray.get(bits_ref)
+        probe = t[on].to_numpy(zero_copy_only=False)
+        pos = bloom_positions(probe, n_bits, n_hashes)
+        hit = (
+            (bb[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        ).all(axis=1)
+        return t.filter(pa.array(hit if want_candidates else ~hit))
+
+    candidates = ds.map_batches(
+        lambda t: classify(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if not exact:
+        if anti:
+            return ds.map_batches(
+                lambda t: classify(t, False), batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        return candidates
+
+    # exact verify band: hash-join candidates against the deduped key set.
+    # Per-batch unique first so the dedupe groupby shuffles one row per
+    # distinct key per batch, not one per occurrence.
+    from ray.data.aggregate import Max
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        k = np.unique(t[right_on].to_numpy(zero_copy_only=False))
+        return pa.table({on: pa.array(k),
+                         "__hit": pa.array(np.ones(k.size, dtype=np.int64))})
+
+    marker = (
+        keys_ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby(on)
+        .aggregate(Max("__hit", alias_name="__hit"))
+        .repartition(num_partitions)
+    )
+    joined = candidates.join(
+        marker, join_type="left_outer", num_partitions=num_partitions,
+        on=(on,),
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        member = pc.is_valid(t["__hit"])
+        keep = pc.invert(member) if anti else member
+        return t.filter(keep).drop_columns(["__hit"])
+
+    verified = joined.map_batches(resolve, batch_format="pyarrow")
+    if not anti:
+        return verified
+    misses = ds.map_batches(
+        lambda t: classify(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return misses.union(verified)

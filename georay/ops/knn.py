@@ -146,6 +146,7 @@ def knn_adaptive(
     query_cols: list[str] | None = None,
     ref_id: str = "ref_id",
     cell_col: str = "cell",
+    record_ring_col: str | None = None,
 ):
     """EXACT global kNN via adaptive ring expansion (SURVEY.md N5's
     "expand k-ring rings until k found with ring-bound guarantee").
@@ -156,6 +157,12 @@ def knn_adaptive(
     degrees away, so once ``sqrt(kth_dist2) <= d·min_err`` no outside point
     can displace the top-k. Distance = squared degrees (no wrap), matching
     the SQL oracle's cross-join ordering exactly.
+
+    ``record_ring_col``: when set, the output gains an int64 column with
+    the ring radius d at which each query RESOLVED — negative d when the
+    whole-grid/brute-force fallback (not the ring-bound proof) produced the
+    answer. Diagnostic: lets tests and ds.stats() audits pin which
+    termination path was live (VERDICT r2 #8).
     """
     import ray
 
@@ -223,6 +230,7 @@ def knn_adaptive(
             res_q: list[np.ndarray] = []
             res_r: list[np.ndarray] = []
             res_rank: list[np.ndarray] = []
+            res_ring: list[np.ndarray] = []
             d = 1
             while unresolved.size:
                 sub = unresolved
@@ -252,6 +260,11 @@ def knn_adaptive(
                     res_q.append(sub[sq[keep]])
                     res_r.append(sr[keep])
                     res_rank.append(rank[keep])
+                    # ring-bound proof resolved these rows at radius d;
+                    # negative marks the brute/whole-grid fallback path
+                    res_ring.append(
+                        np.full(int(keep.sum()), -d if exact else d, np.int64)
+                    )
                 unresolved = sub[~done]
                 d *= 2
             qf = np.concatenate(res_q) if res_q else np.empty(0, np.int64)
@@ -265,6 +278,11 @@ def knn_adaptive(
             dys = qlat_all[qf] - refs["lat"][rf]
             cols["dist2"] = pa.array(dxs * dxs + dys * dys)
             cols["rank"] = pa.array(kf.astype(np.int64))
+            if record_ring_col is not None:
+                cols[record_ring_col] = pa.array(
+                    np.concatenate(res_ring)
+                    if res_ring else np.empty(0, np.int64)
+                )
             return pa.table(cols)
 
     from georay.runtime import per_process

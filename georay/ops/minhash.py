@@ -15,6 +15,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# module level, NOT inside worker-executed functions: a runtime import
+# statement on a foreign-cwd worker bypasses the by-value cloudpickle
+# registration and dies with ModuleNotFoundError (CLAUDE.md invariant)
+from georay.ops.pairs import bucket_pair_indices, bucket_pairs
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
@@ -77,29 +82,9 @@ def minhash_signatures(ds, n_hashes: int = 64, shingle_k: int = 5,
 
 def _bucket_pairs(ids: np.ndarray, max_bucket: int | None,
                   label: str) -> tuple[np.ndarray, np.ndarray]:
-    """All unordered pairs within a bucket, with an anti-explosion cap: a
-    bucket larger than ``max_bucket`` is split into sorted chunks and only
-    in-chunk pairs are emitted (O(b·max_bucket) instead of O(b²)). Never
-    silent: every capped bucket logs its size and how many cross-chunk
-    pairs were skipped (worker log)."""
-    ids = np.sort(ids)
-    if max_bucket is not None and ids.size > max_bucket:
-        full = ids.size * (ids.size - 1) // 2
-        chunks = [ids[i : i + max_bucket] for i in range(0, ids.size, max_bucket)]
-        kept = sum(c.size * (c.size - 1) // 2 for c in chunks)
-        print(
-            f"georay.minhash: capped oversized LSH bucket {label} "
-            f"(size {ids.size} > max_bucket {max_bucket}); emitting {kept} "
-            f"in-chunk pairs, skipping {full - kept} cross-chunk pairs"
-        )
-        outs_a, outs_b = [], []
-        for c in chunks:
-            ia, ib = np.triu_indices(c.size, k=1)
-            outs_a.append(c[ia])
-            outs_b.append(c[ib])
-        return np.concatenate(outs_a), np.concatenate(outs_b)
-    ia, ib = np.triu_indices(ids.size, k=1)
-    return ids[ia], ids[ib]
+    """All unordered pairs within a bucket, anti-explosion-capped — shared
+    across every LSH family in :mod:`georay.ops.pairs` (ADVICE r2 #1)."""
+    return bucket_pairs(ids, max_bucket, label, log_prefix="georay.minhash")
 
 
 def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
@@ -135,15 +120,21 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        # return ARROW, not pandas: Ray rebuilds pandas UDF outputs via
+        # pa.Table.from_pandas, whose metadata blob makes the block schema
+        # unhashable and re-triggers the "Failed to hash the schemas"
+        # warnings in the downstream pair-dedup shuffle (VERDICT r2 #5)
         ids = g["doc_id"].to_numpy()
         if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         a, b = _bucket_pairs(
             ids, max_bucket,
             f"(band={int(g['band'].iloc[0])}, bh={int(g['bh'].iloc[0])})",
         )
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        return pa.table({"id_a": pa.array(a.astype(np.int64)),
+                         "id_b": pa.array(b.astype(np.int64))})
 
     cand = (
         sig_ds.map_batches(explode, batch_format="pyarrow")
@@ -230,6 +221,22 @@ def shingle_sets(docs_ds, shingle_k: int = 5, id_col: str = "doc_id",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _packed_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a binary column of packed-uint64 shingle sets into
+    (values, per-row element counts) with one buffer copy per batch —
+    no per-row ``frombuffer``. The copy realigns the sliced offsets so the
+    uint64 view is valid regardless of the array's buffer offset."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    off = off[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    flat = data[off[0] : off[-1]].copy()  # fresh allocation -> 8-aligned
+    counts = ((off[1:] - off[:-1]) // 8).astype(np.int64)
+    return flat.view(np.uint64), counts
+
+
 def jaccard_verify_shuffle(pairs_ds, docs_ds, shingle_k: int = 5,
                            threshold: float = 0.7, id_col: str = "doc_id",
                            text_col: str = "text", num_partitions: int = 16):
@@ -262,15 +269,30 @@ def jaccard_verify_shuffle(pairs_ds, docs_ds, shingle_k: int = 5,
     )
 
     def jac(t: pa.Table) -> pa.Table:
-        a = t["sh_a"].to_pylist()
-        b = t["sh_b"].to_pylist()
+        # exact Jaccard per candidate pair. The batch's packed sets are
+        # flattened ONCE (_packed_view: one buffer copy, no per-row
+        # frombuffer/pylist); each pair then runs numpy's C set
+        # intersection over its two pre-sorted ~10²-element views. A fully
+        # vectorized global-sort merge over (pair_id, hash) was MEASURED
+        # 3× slower (tools/microbench_jaccard.py: 2.0s vs 0.66s per 10⁵
+        # pairs best-of-3): one big O(E log E) sort loses to E tiny
+        # already-sorted merges, whose cost is per-call overhead (~5 µs),
+        # not data volume. Revisit only if shingle sets shrink to <10
+        # elements, where call overhead would dominate.
         n = len(t)
+        va, na = _packed_view(t["sh_a"])
+        vb, nb = _packed_view(t["sh_b"])
+        offa = np.zeros(n + 1, np.int64)
+        np.cumsum(na, out=offa[1:])
+        offb = np.zeros(n + 1, np.int64)
+        np.cumsum(nb, out=offb[1:])
         jacv = np.empty(n, dtype=np.float64)
+        isect = np.intersect1d
         for k in range(n):
-            sa = np.frombuffer(a[k], dtype=np.uint64)
-            sb = np.frombuffer(b[k], dtype=np.uint64)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            jacv[k] = inter / (sa.size + sb.size - inter)
+            sa = va[offa[k] : offa[k + 1]]
+            sb = vb[offb[k] : offb[k + 1]]
+            inter = isect(sa, sb, assume_unique=True).size
+            jacv[k] = inter / max(sa.size + sb.size - inter, 1)
         keep = jacv >= threshold
         return pa.table(
             {
@@ -407,37 +429,32 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 6, n_blocks: int = 8,
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        # arrow output: metadata-free block schema for the dedup groupby
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         sig = g["sig"].to_numpy().astype(np.uint64)
         if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
-        if max_bucket is not None and ids.size > max_bucket:
-            # same anti-explosion cap as lsh_candidate_pairs (logged there);
-            # index-space chunking so the sig lookup stays aligned
-            print(
-                f"georay.simhash: capped oversized bucket (blk="
-                f"{int(g['blk'].iloc[0])}, val={int(g['val'].iloc[0])}, "
-                f"size {ids.size} > {max_bucket}); in-chunk pairs only"
-            )
-            ia_l, ib_l = [], []
-            for s in range(0, ids.size, max_bucket):
-                e = min(s + max_bucket, ids.size)
-                ca, cb = np.triu_indices(e - s, k=1)
-                ia_l.append(ca + s)
-                ib_l.append(cb + s)
-            ia, ib = np.concatenate(ia_l), np.concatenate(ib_l)
-        else:
-            ia, ib = np.triu_indices(ids.size, k=1)
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        # index-space pairing so the sig lookup stays aligned; the shared
+        # helper logs any capped bucket (never silent)
+        ia, ib = bucket_pair_indices(
+            ids.size, max_bucket,
+            f"(blk={int(g['blk'].iloc[0])}, val={int(g['val'].iloc[0])})",
+            log_prefix="georay.simhash",
+        )
         x = sig[ia] ^ sig[ib]
         ham = np.zeros(x.size, dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
         keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}
+        return pa.table(
+            {"id_a": pa.array(ids[ia][keep].astype(np.int64)),
+             "id_b": pa.array(ids[ib][keep].astype(np.int64)),
+             "hamming": pa.array(ham[keep])}
         )
 
     from ray.data.aggregate import Min

@@ -16,6 +16,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# module level (worker-executed code must not import georay at runtime —
+# CLAUDE.md invariant; by-value cloudpickle only covers captured objects)
+from georay.ops.pairs import bucket_pair_indices
+
 
 def emb_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -234,6 +238,7 @@ def lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> list:
 def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
                           n_tables: int = 1, id_col: str = "vec_id",
                           emb_col: str = "embedding", seed: int = 42,
+                          max_bucket: int | None = 4096,
                           concurrency=(1, 8)):
     """Embedding near-dup via random-hyperplane LSH: vectors sharing a
     sign-pattern bucket (in ANY of ``n_tables`` independent tables — OR
@@ -241,13 +246,25 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
     across tables. Approximate but DETERMINISTIC given (seed, planes):
     a pair is found iff it collides in some table. Recall for a pair at
     angle θ is 1 − (1 − (1 − θ/π)^n_planes)^n_tables — tune fewer planes /
-    more tables upward for lower-similarity thresholds."""
+    more tables upward for lower-similarity thresholds.
+
+    ``max_bucket`` caps degenerate-bucket pair explosion (e.g. a pile of
+    zero/identical embeddings collapsing into one sign pattern would put an
+    O(b²) group on a single reducer) with the shared logged-chunking helper
+    every LSH family here uses; ``None`` restores exact all-pairs."""
     import pandas as pd
     from ray.data.aggregate import Max
 
+    from georay.runtime import per_process
+
     def add_bucket(t: pa.Table) -> pa.Table:
         mat = _normalize(emb_matrix(t[emb_col]))
-        planes = lsh_planes(mat.shape[1], n_planes, n_tables, seed)
+        # hyperplanes are pure f(dim, n_planes, n_tables, seed): build once
+        # per worker process, not once per batch (ADVICE r2 #2)
+        planes = per_process(
+            f"lsh_planes-{mat.shape[1]}-{n_planes}-{n_tables}-{seed}",
+            lambda: lsh_planes(mat.shape[1], n_planes, n_tables, seed),
+        )
         ids_out, tab_out, bucket_out, emb_idx = [], [], [], []
         ids = t[id_col].to_numpy(zero_copy_only=False)
         for tno, pl in enumerate(planes):
@@ -270,21 +287,32 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        # arrow output: keeps the downstream cross-table dedup groupby's
+        # block schemas metadata-free (hashable)
         ids = g[id_col].to_numpy()
         if ids.size < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=np.int64),
-                 "id_b": pd.Series([], dtype=np.int64),
-                 "cos": pd.Series([], dtype=np.float64)}
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
             )
-        mat = _normalize(np.stack(g["emb"].to_numpy()))
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(ids.size, k=1)
-        keep = sims[ia, ib] >= threshold
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[ia, ib][keep]})
+        order = np.argsort(ids, kind="stable")  # a < b + deterministic chunks
+        ids = ids[order]
+        mat = _normalize(np.stack(g["emb"].to_numpy()[order]))
+        ia, ib = bucket_pair_indices(
+            ids.size, max_bucket,
+            f"(tab={int(g['tab'].iloc[0])}, bucket={int(g['bucket'].iloc[0])})",
+            log_prefix="georay.similarity",
+        )
+        # per-pair dot products: O(pairs·dim), never an n×n sims matrix
+        cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+        keep = cos >= threshold
+        return pa.table(
+            {"id_a": pa.array(ids[ia[keep]].astype(np.int64)),
+             "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
+             "cos": pa.array(cos[keep])}
+        )
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")

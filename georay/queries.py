@@ -36,12 +36,15 @@ ANN_K = 5
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
-    # strip the files' pandas schema metadata right at the read (fuses with
-    # it): unhashable metadata defeats Ray's block-schema dedup downstream
+    from georay.io import clean_parquet_schema
+
+    # pass a projected metadata-free schema INTO the read: the driver-written
+    # testdata files carry a pandas metadata blob that makes block schemas
+    # unhashable, and a strip map AFTER the read is one stage too late for
+    # the read operator's own schema dedup (VERDICT r2 #5)
+    path = f"{sf_dir}/{table}.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=columns
-    ).map_batches(
-        runtime.strip_metadata, batch_format="pyarrow", zero_copy_batch=True
+        path, columns=columns, schema=clean_parquet_schema(path, columns)
     )
 
 
@@ -1750,12 +1753,36 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_customers_no_orders_bloom(sf_dir: str):
+    """Same anti join via the 10^10+-key scale path: the urgent-order key
+    set stays a DATASET (never collected to the driver), a fixed-size Bloom
+    bitset is built distributed and broadcast, definite misses resolve
+    batch-locally, and the Bloom-hit candidate band is verified exactly with
+    a hash join. ``n_bits`` is deliberately small (64 Kib bitset → real
+    false positives among sf0.01's ~10k probe keys) so the exact-verify
+    band is the live path — the result must still match the sorted-array
+    oracle bit-for-bit."""
+    import pyarrow.compute as pc
+
+    def urgent(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"o_custkey": t["o_custkey"].filter(keep)})
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(urgent, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    return join_ops.bloom_semi_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", anti=True,
+        n_bits=1 << 16, n_hashes=4,
+    )
+
+
 def q_images_hot_salted(sf_dir: str):
     """Skew-hardened tile counts: detect heavy cells (the 3 dense urban
     cells of the fixture), salt them into sub-keys, run the skewed groupby
     on the salted key, unsalt and re-aggregate. Result must equal the plain
     tile-count oracle exactly (salting is physical, not semantic)."""
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     from georay import fixtures, runtime
@@ -1773,20 +1800,27 @@ def q_images_hot_salted(sf_dir: str):
     cells_ds = ds.map_batches(to_cell, batch_format="pyarrow", zero_copy_batch=True)
     n_total = fixtures.n_images_for(sf_dir)
     hot = runtime.detect_heavy_keys(cells_ds, "cell", threshold=max(64, n_total // 100))
-    salted = runtime.salt_hot_keys(cells_ds, "cell", hot, n_salt=16)
+    n_salt = 16
+    salted = runtime.salt_hot_keys(cells_ds, "cell", hot, n_salt=n_salt)
 
-    def count_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"cell": [int(g["cell"].iloc[0])], "part_n": [len(g)]}
+    # two-phase inside the salted keyspace (tile_counts idiom, VERDICT r2
+    # #6): partial np.unique counts per batch collapse each batch to one
+    # row per distinct salted key BEFORE the shuffle, then one Sum groupby
+    # on the UNSALTED cell — no per-salted-key pandas group invocations,
+    # and the reduce sees O(partitions) pre-aggregated rows per cell
+    def partial(t: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            t["cell_salted"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"cell": keys // n_salt, "part_n": counts.astype(np.int64)}
         )
 
-    per_salt = (
-        salted.repartition(16)
-        .groupby("cell_salted")
-        .map_groups(count_group, batch_format="pandas")
-    )
-    agg = per_salt.repartition(8).groupby("cell").aggregate(
-        Sum("part_n", alias_name="n")
+    agg = (
+        salted.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("part_n", alias_name="n"))
     )
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -1990,6 +2024,9 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+        "customers_no_orders_bloom": (
+            q_customers_no_orders_bloom, SQL_CUSTOMERS_NO_ORDERS,
+        ),
         "images_hot_salted": (q_images_hot_salted, sql_images_tiles(n_images)),
         "images_features": (q_images_features,
                             sql_images_features(n_images) if include_sql else None),

@@ -67,7 +67,14 @@ def table_from_pandas(df, schema: "pa.Schema | None" = None) -> pa.Table:
 
 def detect_heavy_keys(ds, col: str, threshold: int) -> np.ndarray:
     """Keys with more than ``threshold`` rows, via partial counts (the
-    shuffle moves one row per distinct key per batch, never the data)."""
+    shuffle moves one row per distinct key per batch, never the data).
+
+    The ``n > threshold`` filter runs DISTRIBUTED, inside the aggregate
+    pipeline, so the driver only ever collects the hot keys themselves —
+    O(hot), not O(distinct). Fine-precision cell keys or string keys with
+    10⁶+ distinct values would otherwise materialize the whole distinct-key
+    table driver-side (VERDICT r2 #4)."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -76,13 +83,25 @@ def detect_heavy_keys(ds, col: str, threshold: int) -> np.ndarray:
         )
         return pa.table({col: keys, "partial_n": counts.astype(np.int64)})
 
-    agg = (
+    def keep_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n"], threshold))
+
+    hot = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(col)
         .aggregate(Sum("partial_n", alias_name="n"))
+        .map_batches(keep_hot, batch_format="pyarrow")
     )
-    out = agg.to_pandas()  # one row per distinct key — small for cell keys
-    return out.loc[out["n"] > threshold, col].to_numpy()
+    parts = [
+        b[col].to_numpy(zero_copy_only=False)
+        for b in hot.iter_batches(batch_format="pyarrow")
+        # sort-aggregate can emit schema-less empty blocks (map UDFs are
+        # skipped on them — CLAUDE.md); guard instead of crashing on b[col]
+        if b.num_rows and col in b.column_names
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
 
 
 def check_saltable(key: np.ndarray, n_salt: int) -> None:
@@ -179,6 +198,7 @@ def write_partitioned(
     resume: bool = True,
     lineage: str | None = None,
     expected_partitions: list | None = None,
+    fault_injector=None,
 ):
     """Write one parquet file per partition key with atomic rename + manifest.
 
@@ -191,8 +211,26 @@ def write_partitioned(
     full input-side skipping, partition by a key derivable at the source
     (as ``CellIndex.build`` does with the cell prefix). Returns the
     manifest dict. The partition column should be coarse (e.g. a cell
-    prefix): one file per key."""
+    prefix): one file per key.
+
+    ``resume=False`` means "this is a FRESH run": any ``part-*`` files,
+    ``_done-*`` sidecars and manifest left by earlier runs are deleted
+    before writing, so stale partitions from a prior (possibly crashed) run
+    cannot be absorbed as committed output of this one (ADVICE r2 #2).
+
+    ``fault_injector`` is a chaos-test hook: a picklable callable invoked
+    with the partition key inside each partition's write task, BEFORE the
+    atomic commit. Raising from it simulates a worker dying mid-run —
+    partitions already committed keep their sidecars, nothing else does."""
     os.makedirs(out_dir, exist_ok=True)
+    if not resume:
+        for f in os.listdir(out_dir):
+            if (
+                (f.startswith("_done-") and f.endswith(".json"))
+                or (f.startswith("part-") and f.endswith(".parquet"))
+                or f == os.path.basename(_manifest_path(out_dir))
+            ):
+                os.remove(os.path.join(out_dir, f))
     manifest = load_manifest(out_dir) if resume else {"partitions": {}}
     done = committed_partitions(out_dir) if resume else set()
 
@@ -214,6 +252,8 @@ def write_partitioned(
         import pyarrow.parquet as pq
 
         key = str(g[partition_col].iloc[0])
+        if fault_injector is not None:
+            fault_injector(key)
         # keys may contain path separators (tile ids like "t3/0") — sanitize
         # for the filename, disambiguate with a short key hash; the manifest
         # keeps the raw key
