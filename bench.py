@@ -156,6 +156,12 @@ def run_shuffle_job() -> dict:
     out = knn_ops.knn_shuffle(
         q, r, bits=bits, k=3, ring=1, query_id="query_id", ref_id="ref_id",
         num_partitions=32,  # fixed across CPU levels: same physical plan
+        # the probe DELIBERATELY explodes the big side: its job is to stress
+        # the all-to-all exchange. Production callers should pass
+        # expand_side="refs" when refs are smaller (measured 1.7x less wall
+        # at 8 cpus here) — but that shrinks the exchange until fixed
+        # overhead dominates at 32 cpus, which un-sizes this probe.
+        expand_side="queries",
     )
     n = out.count()
     dt = time.time() - t0

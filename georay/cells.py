@@ -12,6 +12,9 @@ from __future__ import annotations
 import numpy as np
 
 from georay import codec
+# module level (worker-executed `polygon_cover_dataset.strip` must not
+# import georay at runtime — CLAUDE.md invariant)
+from georay.geometry import points_in_ring
 
 _U = np.uint64
 
@@ -155,3 +158,172 @@ def compact_dataset(ds, cell_col: str, bits: int, step: int = 2, anchor_bits: in
         .groupby("anchor")
         .map_groups(per_group, batch_format="pandas")
     )
+
+
+# -------------------------------------------------- polygon cover (polyfill)
+
+
+def cell_centers(x: np.ndarray, y: np.ndarray, bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Grid coordinates → cell-center lon/lat (the polyfill test point).
+
+    Mirrors the SQL-twin formula verbatim: ``(x + 0.5) * 360 / 2^nx - 180``
+    (and the lat analogue) — keep the float expression order identical in
+    any oracle."""
+    nx, ny = codec.split_bits(bits)
+    lon = (x.astype(np.float64) + 0.5) * (360.0 / (1 << nx)) - 180.0
+    lat = (y.astype(np.float64) + 0.5) * (180.0 / (1 << ny)) - 90.0
+    return lon, lat
+
+
+def polygon_cover(ring_lon, ring_lat, bits: int,
+                  chunk: int = 1 << 20) -> np.ndarray:
+    """Cells whose CENTER falls inside the polygon ring — the H3
+    ``polyfill`` analogue over the Morton substrate (SURVEY.md N1 depth).
+
+    Center containment (not overlap) matches H3's polyfill contract: every
+    point of the plane belongs to exactly one covering cell, so covers of
+    adjacent polygons partition their union with no double-counted cells.
+    Non-convex rings supported (crossing-number ray cast). Driver-side
+    numpy, enumerating the polygon's bbox grid in ``chunk``-cell slabs so
+    peak memory is O(chunk); for covers too large for one machine use
+    :func:`polygon_cover_dataset`. Returns sorted uint64 codes at ``bits``.
+    """
+    rx = np.asarray(ring_lon, dtype=np.float64)
+    ry = np.asarray(ring_lat, dtype=np.float64)
+    nx, ny = codec.split_bits(bits)
+    sx, sy = 360.0 / (1 << nx), 180.0 / (1 << ny)
+    x0 = max(int(np.floor((rx.min() + 180.0) / sx)), 0)
+    x1 = min(int(np.floor((rx.max() + 180.0) / sx)), (1 << nx) - 1)
+    y0 = max(int(np.floor((ry.min() + 90.0) / sy)), 0)
+    y1 = min(int(np.floor((ry.max() + 90.0) / sy)), (1 << ny) - 1)
+    if x1 < x0 or y1 < y0:
+        return np.empty(0, dtype=np.uint64)
+    width = x1 - x0 + 1
+    rows_per_slab = max(1, chunk // width)
+    out = []
+    for ys in range(y0, y1 + 1, rows_per_slab):
+        ye = min(ys + rows_per_slab - 1, y1)
+        gx, gy = np.meshgrid(
+            np.arange(x0, x1 + 1, dtype=np.int64),
+            np.arange(ys, ye + 1, dtype=np.int64),
+            indexing="ij",
+        )
+        gx, gy = gx.reshape(-1), gy.reshape(-1)
+        lon, lat = cell_centers(gx, gy, bits)
+        keep = points_in_ring(lon, lat, rx, ry)
+        if keep.any():
+            out.append(codec.interleave(gx[keep], gy[keep], bits))
+    if not out:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(np.concatenate(out))
+
+
+def polygon_cover_compact(ring_lon, ring_lat, bits: int, step: int = 2,
+                          chunk: int = 1 << 20) -> tuple[np.ndarray, np.ndarray]:
+    """Mixed-precision polyfill: the center cover with complete sibling
+    sets promoted to parents (H3 compact of the cover) — the shape to ship
+    when a cover at fine bits would be millions of cells. Lossless:
+    ``uncompact(...) == polygon_cover(...)``."""
+    return compact(polygon_cover(ring_lon, ring_lat, bits, chunk=chunk), bits,
+                   step=step)
+
+
+def polygon_cover_dataset(ring_lon, ring_lat, bits: int,
+                          rows_per_task: int = 64):
+    """Distributed polyfill: the bbox's y-range is split into horizontal
+    strips (``ray.data.range`` over strip ids), each task enumerating and
+    ray-casting only its strip — cover size is unbounded by driver memory
+    and the output stays a streamed Dataset of ``cell:int64`` rows. The
+    ring (small) ships by closure capture once per task."""
+    import pyarrow as pa
+    import ray.data
+
+    rx = np.asarray(ring_lon, dtype=np.float64)
+    ry = np.asarray(ring_lat, dtype=np.float64)
+    nx, ny = codec.split_bits(bits)
+    sx, sy = 360.0 / (1 << nx), 180.0 / (1 << ny)
+    x0 = max(int(np.floor((rx.min() + 180.0) / sx)), 0)
+    x1 = min(int(np.floor((rx.max() + 180.0) / sx)), (1 << nx) - 1)
+    y0 = max(int(np.floor((ry.min() + 90.0) / sy)), 0)
+    y1 = min(int(np.floor((ry.max() + 90.0) / sy)), (1 << ny) - 1)
+    if x1 < x0 or y1 < y0:
+        return ray.data.from_arrow(
+            pa.table({"cell": pa.array([], pa.int64())})
+        )
+    n_strips = (y1 - y0 + rows_per_task) // rows_per_task
+
+    def strip(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["id"].to_numpy(zero_copy_only=False):
+            ys = y0 + int(s) * rows_per_task
+            ye = min(ys + rows_per_task - 1, y1)
+            gx, gy = np.meshgrid(
+                np.arange(x0, x1 + 1, dtype=np.int64),
+                np.arange(ys, ye + 1, dtype=np.int64),
+                indexing="ij",
+            )
+            gx, gy = gx.reshape(-1), gy.reshape(-1)
+            lon, lat = cell_centers(gx, gy, bits)
+            keep = points_in_ring(lon, lat, rx, ry)
+            out.append(codec.interleave(gx[keep], gy[keep], bits))
+        cells = np.concatenate(out) if out else np.empty(0, np.uint64)
+        return pa.table({"cell": np.sort(cells).astype(np.int64)})
+
+    return ray.data.range(n_strips).map_batches(
+        strip, batch_format="pyarrow", batch_size=1
+    )
+
+
+# ---------------------------------------------- web-map tile ids (quadkeys)
+
+
+def cell_to_zxy(code, bits: int) -> tuple[int, np.ndarray, np.ndarray]:
+    """Slippy-map tile id (z, x, y) of an even-bits Morton cell: z = bits/2
+    with a 2^z × 2^z-ish grid (x from lon bits, y from lat bits). Web-map y
+    grows southward from the top; this engine's grid y grows northward from
+    -90°, so y is flipped against the grid height."""
+    if bits % 2:
+        raise ValueError("zxy tiles need an even bit precision")
+    _, ny = codec.split_bits(bits)
+    x, y = codec.deinterleave(code, bits)
+    return bits // 2, x, ((1 << ny) - 1) - y
+
+
+def cell_to_quadkey(code, bits: int):
+    """Bing-maps quadkey strings of even-bits Morton cells, vectorized.
+
+    One base-4 digit per zoom level, MSB-first: digit = 2·y_bit + x_bit in
+    WEB-MAP orientation (y flipped, as in :func:`cell_to_zxy`) — a parent
+    tile's quadkey is the child's string prefix, the property tile pyramids
+    key on. Returns a pyarrow string array (digits built as one uint8
+    matrix, no per-row formatting)."""
+    import pyarrow as pa
+
+    z, x, y = cell_to_zxy(code, bits)
+    x = x.astype(np.uint64)
+    y = y.astype(np.uint64)
+    shifts = np.arange(z - 1, -1, -1, dtype=np.uint64)[None, :]
+    digits = (((y[:, None] >> shifts) & _U(1)) * _U(2)
+              + ((x[:, None] >> shifts) & _U(1)))
+    chars = (digits + _U(48)).astype(np.uint8)  # '0'..'3'
+    n = chars.shape[0]
+    fsb = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(z), n, [None, pa.py_buffer(chars.tobytes())]
+    )
+    return fsb.cast(pa.string())
+
+
+def quadkey_to_cell(quadkeys, bits: int) -> np.ndarray:
+    """Inverse of :func:`cell_to_quadkey` (roundtrip-tested)."""
+    if bits % 2:
+        raise ValueError("zxy tiles need an even bit precision")
+    z = bits // 2
+    _, ny = codec.split_bits(bits)
+    qk = np.asarray(quadkeys, dtype=f"U{z}")
+    # view the fixed-width unicode as a (n, z) uint32 codepoint matrix
+    digits = qk.view(np.uint32).reshape(qk.size, z) - 48
+    shifts = np.arange(z - 1, -1, -1, dtype=np.uint64)[None, :]
+    x = ((digits & 1).astype(np.uint64) << shifts).sum(axis=1)
+    y_web = (((digits >> 1) & 1).astype(np.uint64) << shifts).sum(axis=1)
+    y = _U((1 << ny) - 1) - y_web
+    return codec.interleave(x, y, bits)

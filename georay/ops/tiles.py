@@ -137,3 +137,68 @@ def assemble_raster(ds, bits: int, value_col: str = "n", tile_bits: int = 6):
         .groupby("tile")
         .map_groups(assemble, batch_format="pandas")
     )
+
+
+def pyramid_counts(ds, bits: int, levels: int, cell_col: str = "cell",
+                   cell_bits: int | None = None, combine_partitions: int = 16):
+    """Zoom-pyramid tile counts in ONE pass (web-map tile pyramid: level 0
+    is the base ``bits`` precision, each next level halves both axes — the
+    2-bit Morton parent). Per batch the base partial counts are computed
+    once with ``np.unique``, then every coarser level's partials derive
+    from the previous level's UNIQUE tiles (work per extra level is
+    O(distinct tiles), not O(rows)); a single ``groupby((level, tile))``
+    over all partials finishes the pyramid — one shuffle for all levels,
+    not one per level. Output: ``level, tile_x, tile_y, n``."""
+    from ray.data.aggregate import Sum
+
+    if 2 * (levels - 1) >= bits:
+        raise ValueError("levels exceed the cell hierarchy depth")
+    shift = 0 if cell_bits is None else cell_bits - bits
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if shift:
+            cell = cell >> np.uint64(shift)
+        tiles, counts = np.unique(cell, return_counts=True)
+        counts = counts.astype(np.int64)
+        out_lvl, out_tile, out_n = [], [], []
+        for lvl in range(levels):
+            out_lvl.append(np.full(tiles.size, lvl, dtype=np.int64))
+            out_tile.append(tiles.astype(np.int64))
+            out_n.append(counts)
+            if lvl + 1 < levels:
+                parents = tiles >> np.uint64(2)
+                up, inv = np.unique(parents, return_inverse=True)
+                sums = np.zeros(up.size, dtype=np.int64)
+                np.add.at(sums, inv, counts)
+                tiles, counts = up, sums
+        return pa.table(
+            {
+                "level": np.concatenate(out_lvl),
+                "tile": np.concatenate(out_tile),
+                "partial_n": np.concatenate(out_n),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(["level", "tile"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        lvl = t["level"].to_numpy(zero_copy_only=False)
+        tile = t["tile"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = np.empty(tile.size, dtype=np.int64)
+        y = np.empty(tile.size, dtype=np.int64)
+        for b in np.unique(lvl):
+            sel = lvl == b
+            xb, yb = codec.deinterleave(tile[sel], bits - 2 * int(b))
+            x[sel], y[sel] = xb, yb
+        return pa.table(
+            {"level": pa.array(lvl), "tile_x": pa.array(x),
+             "tile_y": pa.array(y), "n": t["n"]}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -179,6 +179,93 @@ SELECT CAST(({sql_x('10.0', 8)} - {sql_x('-10.0', 8)} + 1)
 """
 
 
+# ------------------------------------------------- polygon cover (polyfill)
+
+# L-shaped test polygon: union of two half-open rectangles (the ray-cast
+# interior of an axis-aligned ring is EXACTLY [xl,xr)×[yb,yt) — derivation
+# in cells.polygon_cover docstring/test). Offsets keep every cell center
+# (lattice -180 + 1.40625·(k+0.5)) off the polygon edges, so strict
+# containment has no ties on either side.
+POLY_L_LON0, POLY_L_LAT0 = -20.0003, -10.0003
+POLY_L_W, POLY_L_H = 30.0, 24.0
+BITS_POLY = BITS_COVER  # 15 → 256 × 128 grid, sx = sy = 1.40625°
+
+
+def poly_l_ring() -> tuple[np.ndarray, np.ndarray]:
+    l0, b0, w, h = POLY_L_LON0, POLY_L_LAT0, POLY_L_W, POLY_L_H
+    rx = np.array([l0, l0 + w, l0 + w, l0 + w / 2, l0 + w / 2, l0])
+    ry = np.array([b0, b0, b0 + h / 2, b0 + h / 2, b0 + h, b0 + h])
+    return rx, ry
+
+
+def _cover_xy(cover_ds):
+    def xy(t: pa.Table) -> pa.Table:
+        x, y = codec.deinterleave(
+            t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            BITS_POLY,
+        )
+        return pa.table({"cx": x.astype(np.int64), "cy": y.astype(np.int64)})
+
+    return cover_ds.map_batches(xy, batch_format="pyarrow")
+
+
+def q_polygon_cover(sf_dir: str):
+    """Distributed polyfill (H3 polygon→cells analogue, SURVEY.md N1): the
+    non-convex L polygon's cell cover at bits=15, enumerated strip-parallel
+    with the crossing-number ray cast per strip — the cover never touches
+    the driver. The SQL twin enumerates the bbox grid and replays center
+    containment as the union of two half-open rectangle predicates (exact
+    ray-cast equivalence for axis-aligned rings)."""
+    rx, ry = poly_l_ring()
+    return _cover_xy(cells.polygon_cover_dataset(rx, ry, BITS_POLY))
+
+
+def q_polygon_cover_compact(sf_dir: str):
+    """Polyfill → H3 compact → distributed uncompact roundtrip: the cover
+    compacted to mixed precision (complete quadtree sibling sets promoted),
+    then re-exploded to bits=15 by ``uncompact_dataset``. Lossless, so the
+    oracle is the SAME enumeration SQL as ``polygon_cover`` — any
+    promotion/expansion defect shows as missing or phantom cells."""
+    import ray.data
+
+    rx, ry = poly_l_ring()
+    codes, code_bits = cells.polygon_cover_compact(rx, ry, BITS_POLY)
+    mixed = ray.data.from_arrow(
+        pa.table(
+            {"cell": pa.array(codes.astype(np.int64)),
+             "cell_bits": pa.array(code_bits.astype(np.int8))}
+        )
+    )
+    return _cover_xy(cells.uncompact_dataset(mixed, BITS_POLY))
+
+
+def _sql_polygon_cover() -> str:
+    nx, ny = codec.split_bits(BITS_POLY)
+    sx, sy = 360.0 / (1 << nx), 180.0 / (1 << ny)
+    l0, b0, w, h = POLY_L_LON0, POLY_L_LAT0, POLY_L_W, POLY_L_H
+    import math
+
+    x0 = max(int(math.floor((l0 + 180.0) / sx)), 0)
+    x1 = min(int(math.floor((l0 + w + 180.0) / sx)), (1 << nx) - 1)
+    y0 = max(int(math.floor((b0 + 90.0) / sy)), 0)
+    y1 = min(int(math.floor((b0 + h + 90.0) / sy)), (1 << ny) - 1)
+    return f"""
+WITH g AS (
+  SELECT xs.range AS cx, ys.range AS cy,
+         (xs.range + 0.5) * {sx!r} - 180.0 AS lon,
+         (ys.range + 0.5) * {sy!r} - 90.0 AS lat
+  FROM range({x0}, {x1 + 1}) xs, range({y0}, {y1 + 1}) ys)
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy FROM g
+WHERE (lon >= {l0!r} AND lon < {l0 + w!r}
+       AND lat >= {b0!r} AND lat < {b0 + h / 2!r})
+   OR (lon >= {l0!r} AND lon < {l0 + w / 2!r}
+       AND lat >= {b0 + h / 2!r} AND lat < {b0 + h!r})
+"""
+
+
+SQL_POLYGON_COVER = _sql_polygon_cover()
+
+
 # ---------------------------------------------------------------- spatial join
 
 
@@ -373,6 +460,83 @@ SELECT {sql_x('lon', 5)} AS tile_x, {sql_y('lat', 5)} AS tile_y,
        COUNT(*) AS n
 FROM p GROUP BY 1, 2
 """
+
+
+PYRAMID_LEVELS = 3
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Zoom-pyramid tile counts (web-map pyramid z → z−1 → z−2) over the
+    lineitem fact points in ONE pass + ONE shuffle: per-batch partials for
+    the base zoom, coarser levels derived from the previous level's unique
+    tiles (O(distinct), not O(rows)), single grouped sum for all levels.
+    The SQL twin is a UNION ALL of per-level aggregates on floor-divided
+    grid coordinates — level ℓ tile (x,y) = base (x>>ℓ, y>>ℓ)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = (
+            t["l_orderkey"].to_numpy(zero_copy_only=False) * 8
+            + t["l_linenumber"].to_numpy(zero_copy_only=False)
+        )
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE)
+        return pa.table({"cell": cell.astype(np.int64)})
+
+    keyed_ds = li.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return tiles.pyramid_counts(keyed_ds, BITS_TILE, levels=PYRAMID_LEVELS)
+
+
+def _sql_tile_pyramid() -> str:
+    base = f"""
+p AS (SELECT {sql_x(sql_lon('l_orderkey * 8 + l_linenumber'), 5)} AS x,
+             {sql_y(sql_lat('l_orderkey * 8 + l_linenumber'), 5)} AS y
+      FROM lineitem)"""
+    parts = [
+        f"""SELECT CAST({lvl} AS BIGINT) AS level, x // {1 << lvl} AS tile_x,
+       y // {1 << lvl} AS tile_y, COUNT(*) AS n FROM p GROUP BY 1, 2, 3"""
+        for lvl in range(PYRAMID_LEVELS)
+    ]
+    return "WITH " + base + "\n" + "\nUNION ALL\n".join(parts)
+
+
+SQL_TILE_PYRAMID = _sql_tile_pyramid()
+
+
+def q_tile_quadkeys(sf_dir: str):
+    """Per-quadkey customer counts: points → even-bits cell → Bing-maps
+    quadkey STRING (web-map y flip; parent = string prefix), then the
+    generic two-phase string-keyed count. The SQL twin rebuilds the digit
+    string with per-level floor-division/parity arithmetic."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def to_qk(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE)
+        return pa.table({"quadkey": cells.cell_to_quadkey(cell, BITS_TILE)})
+
+    qk = cust.map_batches(to_qk, batch_format="pyarrow", zero_copy_batch=True)
+    return tiles.count_by(qk, "quadkey")
+
+
+def _sql_tile_quadkeys() -> str:
+    z = BITS_TILE // 2
+    ny_max = (1 << (BITS_TILE // 2)) - 1  # even bits: ny = bits/2
+    digits = " || ".join(
+        f"CAST((yw // {1 << (z - 1 - i)}) % 2 * 2 + (x // {1 << (z - 1 - i)}) % 2 "
+        f"AS VARCHAR)"
+        for i in range(z)
+    )
+    return f"""
+WITH p AS (SELECT {sql_x(sql_lon('c_custkey'), 5)} AS x,
+                  {ny_max} - {sql_y(sql_lat('c_custkey'), 5)} AS yw
+           FROM customer)
+SELECT {digits} AS quadkey, COUNT(*) AS n FROM p GROUP BY 1
+"""
+
+
+SQL_TILE_QUADKEYS = _sql_tile_quadkeys()
 
 
 # --------------------------------------------------------------- lineitem agg
@@ -1156,6 +1320,7 @@ def q_knn_shuffle(sf_dir: str):
         query_id="c_custkey",
         ref_id="s_suppkey",
         num_partitions=8,
+        expand_side="refs",  # suppliers are 15x fewer: explode the small side
     )
     return out.select_columns(["c_custkey", "s_suppkey", "rank"])
 
@@ -1988,11 +2153,15 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "cell_roundtrip": (q_cell_roundtrip, SQL_CELL_ROUNDTRIP),
         "cell_parent": (q_cell_parent, SQL_CELL_PARENT),
         "cover_grid": (q_cover_grid, SQL_COVER_GRID),
+        "polygon_cover": (q_polygon_cover, SQL_POLYGON_COVER),
+        "polygon_cover_compact": (q_polygon_cover_compact, SQL_POLYGON_COVER),
         "spatial_join": (q_spatial_join, SQL_SPATIAL_JOIN),
         "spatial_join_shuffle": (q_spatial_join_shuffle, SQL_SPATIAL_JOIN),
         "knn_ring1": (q_knn, SQL_KNN),
         "pip_nation": (q_pip, SQL_PIP),
         "tile_counts": (q_tile_counts, SQL_TILE_COUNTS),
+        "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
+        "tile_quadkeys": (q_tile_quadkeys, SQL_TILE_QUADKEYS),
         "q1_lineitem": (q1_lineitem, SQL_Q1),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
         "dedup_docs": (q_dedup_docs, SQL_DEDUP_DOCS),

@@ -424,3 +424,112 @@ def test_knn_adaptive_ring_expansion_is_live_path(ray_session):
         d2 = (rlon - qlon[qi]) ** 2 + (rlat - qlat[qi]) ** 2
         expect = rid[np.lexsort((rid, d2))][:2].tolist()
         assert got == expect
+
+
+# ------------------------------------------------ polygon cover (polyfill)
+
+
+def test_ray_cast_rectangle_half_open_contract():
+    # the SQL twins rely on: ray-cast interior of an axis-aligned ring is
+    # EXACTLY [xl, xr) x [yb, yt) — left/bottom edges inside, right/top out
+    from georay.geometry import make_box_ring, points_in_ring
+
+    rx, ry = make_box_ring(10.0, 20.0, 4.0, 2.0)  # [10,14) x [20,22)
+    lon = np.array([10.0, 13.999, 14.0, 12.0, 12.0, 12.0])
+    lat = np.array([21.0, 21.0, 21.0, 20.0, 21.999, 22.0])
+    assert points_in_ring(lon, lat, rx, ry).tolist() == [
+        True, True, False, True, True, False,
+    ]
+
+
+def test_polygon_cover_matches_sql_enumeration():
+    import duckdb
+
+    from georay import cells, codec
+    from georay.queries import BITS_POLY, SQL_POLYGON_COVER, poly_l_ring
+
+    rx, ry = poly_l_ring()
+    cover = cells.polygon_cover(rx, ry, BITS_POLY)
+    x, y = codec.deinterleave(cover, BITS_POLY)
+    got = sorted(zip(x.tolist(), y.tolist()))
+    want = duckdb.sql(SQL_POLYGON_COVER).df()
+    assert got == sorted(zip(want["cx"].tolist(), want["cy"].tolist()))
+    assert len(got) > 200  # non-trivial cover
+    # tiny slabs must not change the result (chunked enumeration)
+    assert np.array_equal(
+        cells.polygon_cover(rx, ry, BITS_POLY, chunk=7), cover
+    )
+
+
+def test_polygon_cover_compact_roundtrip():
+    from georay import cells
+    from georay.queries import BITS_POLY, poly_l_ring
+
+    rx, ry = poly_l_ring()
+    cover = cells.polygon_cover(rx, ry, BITS_POLY)
+    codes, code_bits = cells.polygon_cover_compact(rx, ry, BITS_POLY)
+    assert codes.size < cover.size  # promotion actually happened
+    assert len(set(code_bits.tolist())) >= 2  # genuinely mixed precision
+    back = np.sort(cells.uncompact(codes, code_bits, BITS_POLY))
+    assert np.array_equal(back, cover)
+
+
+def test_polygon_cover_dataset_matches_numpy(ray_session):
+    from georay import cells
+    from georay.queries import BITS_POLY, poly_l_ring
+
+    rx, ry = poly_l_ring()
+    want = cells.polygon_cover(rx, ry, BITS_POLY)
+    # small rows_per_task -> several strips, exercises the parallel split
+    got = (
+        cells.polygon_cover_dataset(rx, ry, BITS_POLY, rows_per_task=3)
+        .to_pandas()["cell"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    assert np.array_equal(np.sort(got), want)
+
+
+def test_polygon_cover_empty_and_clipped():
+    from georay import cells
+
+    # polygon fully between cell centers -> empty cover
+    rx = np.array([0.01, 0.02, 0.02, 0.01])
+    ry = np.array([0.01, 0.01, 0.02, 0.02])
+    assert cells.polygon_cover(rx, ry, 15).size == 0
+    # polygon beyond the poles clips to the grid without error
+    rx = np.array([-10.0, 10.0, 10.0, -10.0])
+    ry = np.array([80.0, 80.0, 99.0, 99.0])
+    cov = cells.polygon_cover(rx, ry, 15)
+    assert cov.size > 0
+
+
+def test_knn_shuffle_expand_sides_identical(ray_session):
+    import ray.data
+
+    from georay import codec
+    from georay.ops import knn as knn_ops
+
+    rng = np.random.RandomState(11)
+    bits = 8
+
+    def pts(n, id_name, seed):
+        r = np.random.RandomState(seed)
+        i = np.arange(n, dtype=np.int64)
+        lon = r.uniform(-179, 179, n)
+        lat = r.uniform(-89, 89, n)
+        return ray.data.from_arrow(pa.table({
+            id_name: i, "lon": lon, "lat": lat,
+            "cell": codec.encode(lon, lat, bits).astype(np.int64),
+        }))
+
+    outs = []
+    for side in ("queries", "refs"):
+        out = knn_ops.knn_shuffle(
+            pts(800, "query_id", 1), pts(120, "ref_id", 2), bits=bits, k=3,
+            ring=1, num_partitions=2, expand_side=side,
+        ).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        outs.append(out[["query_id", "ref_id", "dist2", "rank"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    assert len(outs[0]) > 0
