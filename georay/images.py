@@ -195,6 +195,28 @@ def content_hash64(data: bytes | np.ndarray) -> int:
 # ------------------------------------------------------------------- synthesis
 
 
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average-hash perceptual signature: grayscale → 8×8 block
+    means → bit k set iff cell k's mean exceeds the median cell mean
+    (little-endian bit order, k = row·8 + col).
+
+    Unlike :func:`content_hash64` (avalanching — any pixel change flips
+    ~32 bits), aHash is LOCALITY-PRESERVING: visually similar images
+    differ in a few bits, so Hamming distance is a near-dup metric and
+    the block-LSH pigeonhole search (ops/minhash.hamming_near_dup_pairs)
+    finds all pairs under an exact cutoff."""
+    g = pixels.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = np.linspace(0, h, 9).astype(np.int64)
+    xs = np.linspace(0, w, 9).astype(np.int64)
+    # 8×8 block means via two reduceat passes — no per-cell Python loop
+    cells = np.add.reduceat(np.add.reduceat(g, ys[:8], axis=0), xs[:8], axis=1)
+    area = (ys[1:] - ys[:8])[:, None] * (xs[1:] - xs[:8])[None, :]
+    cells = cells / area
+    bits = (cells > np.median(cells)).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
 def image_dims(i: int) -> tuple[int, int]:
     """Deterministic (w, h) for row index i (FIXTURES.md F1)."""
     return 32 + (i % 4) * 16, 32 + (i % 3) * 16

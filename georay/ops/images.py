@@ -314,6 +314,27 @@ def sample_video_frames(ds, every_n: int = 10):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
 
 
+def perceptual_hashes(ds, out_col: str = "ahash"):
+    """image_id + 64-bit perceptual aHash per image: decode → grayscale
+    8×8 block means → median threshold (images.ahash64). Stateless tasks;
+    the per-image decode loop is inherent to variable-size codecs (same
+    shape as image_features). Feed the output into
+    ops/minhash.hamming_near_dup_pairs for visual near-dup search — unlike
+    the avalanching content ``phash`` (exact dedup), aHash Hamming distance
+    is a similarity metric."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        out = np.empty(len(fmts), dtype=np.int64)
+        for k in range(len(fmts)):
+            px = images.decode_image(blobs[k], fmts[k])
+            out[k] = np.uint64(images.ahash64(px)).astype(np.int64)
+        return pa.table({"image_id": t["image_id"], out_col: pa.array(out)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
+
+
 def dedup_by_phash(ds):
     """Exact first-wins dedup on the content hash: only (phash, image_idx)
     pairs shuffle, never the binary payloads (SURVEY.md N8)."""

@@ -264,13 +264,20 @@ def _batch_bloom_bits(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarra
 
 
 def build_bloom(keys_ds, col: str, n_bits: int = 1 << 23, n_hashes: int = 4,
-                chunk_bytes: int = 1 << 16) -> np.ndarray:
+                chunk_bytes: int = 1 << 16,
+                driver_or_bytes: int = 1 << 22) -> np.ndarray:
     """Distributed Bloom-bitset build over a key Dataset — the key column
     never collects to the driver. Each batch sets its bits locally and
     emits only its NONZERO ``chunk_bytes``-sized bitset chunks as
     ``(chunk_id, blob)`` rows; a per-chunk groupby ORs them; the driver
     assembles the fixed-size bitset from at most ``n_bits/8/chunk_bytes``
-    reduced rows. ``n_bits`` must be a multiple of ``8 * chunk_bytes``."""
+    reduced rows. ``n_bits`` must be a multiple of ``8 * chunk_bytes``.
+
+    Small bitsets (``n_bits/8 <= driver_or_bytes``) skip the chunk groupby
+    and OR the per-batch partials on the driver as they stream in — the
+    driver traffic is bounded by batches x bitset size, which at 4 MiB is
+    cheaper than an all-to-all exchange. The shuffle path only engages for
+    bitsets too large to absorb driver-side (the 10^10-key regime)."""
     import pandas as pd
 
     from georay.runtime import table_from_pandas
@@ -290,6 +297,20 @@ def build_bloom(keys_ds, col: str, n_bits: int = 1 << 23, n_hashes: int = 4,
             }
         )
 
+    reduced = keys_ds.map_batches(partial, batch_format="pyarrow")
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    if n_bits // 8 <= driver_or_bytes:
+        # driver-OR fast path: no shuffle, partial chunks OR'd as they arrive
+        for b in reduced.iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0 or "chunk_id" not in b.column_names:
+                continue
+            for cid, blob in zip(b["chunk_id"].to_pylist(),
+                                 b["blob"].to_pylist()):
+                s = cid * chunk_bytes
+                bits[s : s + chunk_bytes] |= np.frombuffer(blob, dtype=np.uint8)
+        return bits
+
     def orit(g: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(chunk_bytes, dtype=np.uint8)
         for b in g["blob"]:
@@ -298,12 +319,7 @@ def build_bloom(keys_ds, col: str, n_bits: int = 1 << 23, n_hashes: int = 4,
             {"chunk_id": [int(g["chunk_id"].iloc[0])], "blob": [acc.tobytes()]}
         )
 
-    reduced = (
-        keys_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("chunk_id")
-        .map_groups(orit, batch_format="pandas")
-    )
-    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    reduced = reduced.groupby("chunk_id").map_groups(orit, batch_format="pandas")
     for b in reduced.iter_batches(batch_format="pyarrow"):
         if b.num_rows == 0 or "chunk_id" not in b.column_names:
             continue  # schema-less empty aggregate blocks (CLAUDE.md)

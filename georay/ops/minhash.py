@@ -69,15 +69,35 @@ class MinHasher:
 
 
 def minhash_signatures(ds, n_hashes: int = 64, shingle_k: int = 5,
-                       concurrency=(1, 8)):
-    """doc_id + list<int64> minhash signature per doc (actor pool)."""
-    return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"n_hashes": n_hashes, "shingle_k": shingle_k},
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=concurrency,
-    )
+                       concurrency=(1, 8), compute: str = "tasks"):
+    """doc_id + list<int64> minhash signature per doc.
+
+    Default is stateless tasks with the permutation state built once per
+    worker process (``per_process`` cache): the state is tiny and
+    seed-deterministic, and an actor pool would reserve CPUs and pay
+    multi-second spin-up that starves colocated read stages on single-node
+    runs (CLAUDE.md invariant). ``compute="actors"`` keeps a dedicated pool
+    for multi-node runs where pinning the stage is worth the reservation."""
+    if compute == "actors":
+        return ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"n_hashes": n_hashes, "shingle_k": shingle_k},
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=concurrency,
+        )
+
+    from georay.runtime import per_process
+
+    key = f"georay-minhasher-{n_hashes}-{shingle_k}"
+
+    def fn(t: pa.Table) -> pa.Table:
+        inst = per_process(
+            key, lambda: MinHasher(n_hashes=n_hashes, shingle_k=shingle_k)
+        )
+        return inst(t)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024)
 
 
 def _bucket_pairs(ids: np.ndarray, max_bucket: int | None,
@@ -195,8 +215,15 @@ def jaccard_verify(pairs_ds, docs_table: pa.Table, shingle_k: int = 5,
                 }
             )
 
+    from georay.runtime import per_process
+
+    state_key = f"georay-mh-verify-{docs_ref.hex()}-{shingle_k}"
+
+    def verify_fn(t: pa.Table) -> pa.Table:
+        return per_process(state_key, Verify)(t)
+
     return pairs_ds.map_batches(
-        Verify, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        verify_fn, batch_format="pyarrow", batch_size=4096
     )
 
 
@@ -381,89 +408,142 @@ class SimHasher:
         )
 
 
-def simhash_signatures(ds, concurrency=(1, 8)):
-    """doc_id + deterministic 64-bit simhash per doc."""
-    return ds.map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
-    )
+def simhash_signatures(ds, concurrency=(1, 8), compute: str = "tasks"):
+    """doc_id + deterministic 64-bit simhash per doc. Stateless tasks by
+    default (regex + vocab cache live in a per-process singleton); pass
+    ``compute="actors"`` for a pinned pool (see minhash_signatures)."""
+    if compute == "actors":
+        return ds.map_batches(
+            SimHasher, batch_format="pyarrow", batch_size=2048,
+            concurrency=concurrency,
+        )
+
+    from georay.runtime import per_process
+
+    def fn(t: pa.Table) -> pa.Table:
+        return per_process("georay-simhasher", SimHasher)(t)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 6, n_blocks: int = 8,
                            concurrency=(1, 8), max_bucket: int | None = 4096):
-    """Near-dup pairs by SimHash block-LSH: split the 64-bit hash into
-    ``n_blocks`` equal blocks and bucket by (block_idx, block_value); pairs
-    within a bucket are verified by exact Hamming distance.
+    """Near-dup pairs by SimHash block-LSH over document text — computes
+    the 64-bit simhash then delegates to the generic
+    :func:`hamming_near_dup_pairs` (shared with image perceptual hashes)."""
+    sigs = simhash_signatures(ds, concurrency=concurrency)
+    return hamming_near_dup_pairs(
+        sigs, id_col="doc_id", hash_col="simhash",
+        max_hamming=max_hamming, n_blocks=n_blocks, max_bucket=max_bucket,
+        log_prefix="georay.simhash",
+    )
+
+
+def hamming_near_dup_pairs(sig_ds, id_col: str = "doc_id",
+                           hash_col: str = "simhash", max_hamming: int = 6,
+                           n_blocks: int = 8, max_bucket: int | None = 4096,
+                           num_partitions: int = 16,
+                           log_prefix: str = "georay.hamming"):
+    """Near-dup pairs under Hamming distance over ANY int64 hash column
+    (simhash of documents, perceptual aHash of images, ...): split the
+    64-bit hash into ``n_blocks`` equal blocks and bucket by (block_idx,
+    block_value); pairs within a bucket are verified by exact Hamming
+    distance.
 
     EXACT for ``max_hamming < n_blocks`` (pigeonhole: fewer flipped bits
     than blocks → some block is untouched on both sides); approximate
     beyond that. ``max_bucket`` caps degenerate-bucket pair explosion
-    (logged, in-chunk pairs only — pass ``None`` for strict exactness)."""
+    (logged, in-chunk pairs only — pass ``None`` for strict exactness).
+
+    Plan (ONE shuffle, no per-bucket Python): rows explode to ``n_blocks``
+    (bucket, id, sig) rows where ``bucket = blk << width | block_value``,
+    salted into ``num_partitions`` parts by a multiplicative hash of the
+    bucket key — complete buckets co-locate, parallelism is the partition
+    count (not the block count). Inside each part every bucket is paired in
+    one vectorized pass (dense-rank quicksort + triangular-rank decode,
+    pairs.grouped_pair_indices) and Hamming is a SWAR popcount. A
+    pair is emitted only by its FIRST matching block (lowest equal block),
+    so output pairs are globally unique with NO second dedup shuffle.
+    Cap caveat: a pair the cap skips in its first matching block is lost
+    even if a later block's bucket would have paired it — cap events are
+    logged, never silent."""
     if max_hamming >= n_blocks:
         import warnings
 
         warnings.warn(
-            f"simhash LSH is approximate for max_hamming={max_hamming} >= "
+            f"hamming LSH is approximate for max_hamming={max_hamming} >= "
             f"n_blocks={n_blocks}", stacklevel=2,
         )
-    import pandas as pd
+    from georay.ops.pairs import grouped_pair_indices, popcount64
 
-    sigs = simhash_signatures(ds, concurrency=concurrency)
+    width = 64 // n_blocks
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        width = 64 // n_blocks
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         mask = np.uint64((1 << width) - 1)
-        out_ids, out_blk, out_val, out_sig = [], [], [], []
+        out_ids, out_bucket, out_sig = [], [], []
         for b in range(n_blocks):
+            val = ((sh >> np.uint64(b * width)) & mask).astype(np.int64)
             out_ids.append(ids)
-            out_blk.append(np.full(ids.size, b, dtype=np.int64))
-            out_val.append(((sh >> np.uint64(b * width)) & mask).astype(np.int64))
+            out_bucket.append((b << width) | val)
             out_sig.append(sh.astype(np.int64))
+        bucket = np.concatenate(out_bucket)
+        with np.errstate(over="ignore"):
+            part = (
+                (bucket.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)
+            ).astype(np.int64) % num_partitions
         return pa.table(
             {
-                "doc_id": np.concatenate(out_ids),
-                "blk": np.concatenate(out_blk),
-                "val": np.concatenate(out_val),
+                "id": np.concatenate(out_ids),
+                "bucket": bucket,
                 "sig": np.concatenate(out_sig),
+                "part": part,
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        # arrow output: metadata-free block schema for the dedup groupby
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sig = g["sig"].to_numpy().astype(np.uint64)
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_numpy(zero_copy_only=False)
         if ids.size < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        # index-space pairing so the sig lookup stays aligned; the shared
-        # helper logs any capped bucket (never silent)
-        ia, ib = bucket_pair_indices(
-            ids.size, max_bucket,
-            f"(blk={int(g['blk'].iloc[0])}, val={int(g['val'].iloc[0])})",
-            log_prefix="georay.simhash",
+            return empty
+        bucket = g["bucket"].to_numpy(zero_copy_only=False)
+        sig = g["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # group by bucket, id-ascending within bucket (deterministic cap
+        # chunking), using dense ranks + ONE introsort — stable/radix sorts
+        # intermittently run 10-40x slower on this VM (CLAUDE.md)
+        ub, br = np.unique(bucket, return_inverse=True)
+        ui, ir = np.unique(ids, return_inverse=True)
+        order = np.argsort(br * np.int64(ui.size) + ir, kind="quicksort")
+        sizes = np.bincount(br, minlength=ub.size).astype(np.int64)
+        ia, ib = grouped_pair_indices(
+            sizes, max_bucket, f"(part={int(g['part'][0].as_py())})",
+            log_prefix=log_prefix,
         )
-        x = sig[ia] ^ sig[ib]
-        ham = np.zeros(x.size, dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= max_hamming
+        if ia.size == 0:
+            return empty
+        ga, gb = order[ia], order[ib]
+        x = sig[ga] ^ sig[gb]
+        ham = popcount64(x)
+        # first-matching-block dedup: this pair's bucket block index must
+        # be the LOWEST block where the two hashes agree
+        blk = (bucket[ga].view(np.uint64) >> np.uint64(width)).astype(np.int64)
+        mask = np.uint64((1 << width) - 1)
+        dup = np.zeros(x.size, dtype=bool)
+        for k in range(n_blocks - 1):
+            dup |= (k < blk) & (((x >> np.uint64(k * width)) & mask) == 0)
+        keep = (ham <= max_hamming) & ~dup
         return pa.table(
-            {"id_a": pa.array(ids[ia][keep].astype(np.int64)),
-             "id_b": pa.array(ids[ib][keep].astype(np.int64)),
+            {"id_a": pa.array(ids[ga][keep].astype(np.int64)),
+             "id_b": pa.array(ids[gb][keep].astype(np.int64)),
              "hamming": pa.array(ham[keep])}
         )
 
-    from ray.data.aggregate import Min
-
     return (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .repartition(16)
-        .groupby(["blk", "val"])
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        sig_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
     )

@@ -965,6 +965,86 @@ FROM img JOIN th ON th.pmod = img.pix % 768
 """
 
 
+def q_images_ahash_neardup(sf_dir: str):
+    """Visual near-dup pairs by perceptual aHash at Hamming ≤ 2 through the
+    generic block-LSH pigeonhole path (exact for max_hamming < n_blocks):
+    decode → 8×8 block-mean aHash → 8-block LSH buckets → exact Hamming
+    verify → (id_a, id_b, hamming). Unlike images_dedup (avalanching
+    content hash, exact copies only), this finds visually-close non-copies
+    too — the fixture's gradient patterns put ~200 of the 768 pixel classes
+    within 2 bits of another class."""
+    import pyarrow.compute as pc
+
+    from georay import fixtures
+    from georay.ops import images as img_ops
+    from georay.ops import minhash as mh
+
+    ds = fixtures.read_images(sf_dir, columns=["image_id", "fmt", "bytes"])
+    hashes = img_ops.perceptual_hashes(ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+        return pa.table({"img_idx": idx, "ahash": t["ahash"]})
+
+    sigs = hashes.map_batches(project, batch_format="pyarrow")
+    return mh.hamming_near_dup_pairs(
+        sigs, id_col="img_idx", hash_col="ahash", max_hamming=2, n_blocks=8,
+        log_prefix="georay.ahash",
+    ).select_columns(["id_a", "id_b", "hamming"])
+
+
+_AHASH_TABLE_CACHE: dict[int, str] = {}
+
+
+def _sql_ahash_values() -> str:
+    """(pmod, ahash) literal rows for one pixel period through the same
+    encode→decode→ahash path the stage runs (decode matters: q6 is lossy,
+    so the stored-byte hash differs from the raw-pixel hash)."""
+    cached = _AHASH_TABLE_CACHE.get(0)
+    if cached is None:
+        from georay import images
+        from georay.fixtures import PIXEL_PERIOD
+
+        rows = []
+        for p in range(PIXEL_PERIOD):
+            w, h = images.image_dims(p)
+            fmt = images.image_fmt(p)
+            blob = images.encode_image(images.synth_pixels(p, w, h), fmt)
+            px = images.decode_image(blob, fmt)
+            ah = int(np.uint64(images.ahash64(px)).astype(np.int64))
+            rows.append(f"({p}, {ah})")
+        cached = ",\n  ".join(rows)
+        _AHASH_TABLE_CACHE[0] = cached
+    return cached
+
+
+def sql_images_ahash_neardup(n: int) -> str:
+    """SQL twin: class-level Hamming pairs over the 768-entry aHash literal
+    table (bit_count(xor(...)) — DuckDB popcounts two's-complement BIGINT
+    exactly like the uint64 view), expanded to image pairs via the pixel
+    period. The class join is deliberately UNordered: image pair i<j joins
+    through the (class(i), class(j)) direction only, so each pair appears
+    exactly once."""
+    return f"""
+WITH img AS ({_sql_img(n)}),
+ah(pmod, ahash) AS (VALUES
+  {_sql_ahash_values()}
+),
+cp AS (
+  SELECT a.pmod AS pa, b.pmod AS pb,
+         CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hm
+  FROM ah a, ah b
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+)
+SELECT CAST(ia.i AS BIGINT) AS id_a, CAST(ib.i AS BIGINT) AS id_b,
+       cp.hm AS hamming
+FROM cp
+JOIN img ia ON ia.pix % 768 = cp.pa
+JOIN img ib ON ib.pix % 768 = cp.pb
+WHERE ia.i < ib.i
+"""
+
+
 def q_images_pip(sf_dir: str):
     """Image points vs the fixture tile-polygon set (non-convex hexagons,
     antimeridian split pair, pole tile) on the PIP stage. Hard-checked: the
@@ -1940,6 +2020,7 @@ def q_customers_no_orders_bloom(sf_dir: str):
     return join_ops.bloom_semi_join(
         cust, orders, on="c_custkey", right_on="o_custkey", anti=True,
         n_bits=1 << 16, n_hashes=4,
+        num_partitions=4,  # sized to sf0.01's verify band; 100 TB uses more
     )
 
 
@@ -2199,6 +2280,10 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "images_hot_salted": (q_images_hot_salted, sql_images_tiles(n_images)),
         "images_features": (q_images_features,
                             sql_images_features(n_images) if include_sql else None),
+        "images_ahash_neardup": (
+            q_images_ahash_neardup,
+            sql_images_ahash_neardup(n_images) if include_sql else None,
+        ),
         "audio_features": (q_audio_features, sql_audio_features(n_audio)),
         "video_frames": (q_video_frames, sql_video_frames(n_video)),
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),

@@ -315,6 +315,23 @@ def test_bloom_fpr_bound(ray_session):
     assert 0 < fpr < 0.015
 
 
+def test_bloom_build_driver_or_equals_shuffle(ray_session):
+    import ray.data
+
+    from georay.ops.join import build_bloom
+
+    keys = np.random.RandomState(7).randint(0, 1 << 40, size=20_000)
+    keys_ds = ray.data.from_arrow(
+        pa.table({"k": keys.astype(np.int64)})
+    ).repartition(8)
+    fast = build_bloom(keys_ds, "k", n_bits=1 << 16, chunk_bytes=1 << 10)
+    slow = build_bloom(
+        keys_ds, "k", n_bits=1 << 16, chunk_bytes=1 << 10, driver_or_bytes=0
+    )
+    assert (fast == slow).all()
+    assert fast.any()
+
+
 def test_bloom_semi_join_matches_sorted_array(ray_session):
     import ray.data
 
