@@ -459,14 +459,24 @@ def hamming_near_dup_pairs(sig_ds, id_col: str = "doc_id",
     (bucket, id, sig) rows where ``bucket = blk << width | block_value``,
     salted into ``num_partitions`` parts by a multiplicative hash of the
     bucket key — complete buckets co-locate, parallelism is the partition
-    count (not the block count). Inside each part every bucket is paired in
-    one vectorized pass (dense-rank quicksort + triangular-rank decode,
-    pairs.grouped_pair_indices) and Hamming is a SWAR popcount. A
-    pair is emitted only by its FIRST matching block (lowest equal block),
-    so output pairs are globally unique with NO second dedup shuffle.
-    Cap caveat: a pair the cap skips in its first matching block is lost
-    even if a later block's bucket would have paired it — cap events are
-    logged, never silent."""
+    count (not the block count). Inside each part the work runs at the
+    DISTINCT-SIGNATURE level: rows collapse to (bucket, sig) groups first,
+    candidate enumeration + SWAR-popcount Hamming verify run over sig
+    GROUPS (pairs.grouped_pair_indices over the per-bucket group counts),
+    and only the qualifying group pairs expand to id pairs — output-sized
+    work. On duplicate-heavy corpora (exact copies, few distinct hashes)
+    this is the difference between O(distinct²) and O(n²) candidates: the
+    naive row-level plan measured 10+ min at 10⁵ images over 768 distinct
+    aHashes; this plan runs in seconds on identical input. Identical-sig
+    pairs (Hamming 0) expand once, from the block-0 bucket.
+
+    A pair is emitted only by its FIRST matching block (lowest equal
+    block), so output pairs are globally unique with NO second dedup
+    shuffle. ``max_bucket`` caps the number of distinct sig-groups paired
+    per bucket AND the per-group expansion of identical-sig pairs; a pair
+    the cap skips in its first matching block is lost even if a later
+    block's bucket would have paired it — cap events are logged, never
+    silent."""
     if max_hamming >= n_blocks:
         import warnings
 
@@ -474,7 +484,9 @@ def hamming_near_dup_pairs(sig_ds, id_col: str = "doc_id",
             f"hamming LSH is approximate for max_hamming={max_hamming} >= "
             f"n_blocks={n_blocks}", stacklevel=2,
         )
-    from georay.ops.pairs import grouped_pair_indices, popcount64
+    from georay.ops.pairs import (
+        grouped_pair_indices, popcount64, subset_pair_indices,
+    )
 
     width = 64 // n_blocks
     empty = pa.table({"id_a": pa.array([], pa.int64()),
@@ -512,34 +524,80 @@ def hamming_near_dup_pairs(sig_ds, id_col: str = "doc_id",
             return empty
         bucket = g["bucket"].to_numpy(zero_copy_only=False)
         sig = g["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        # group by bucket, id-ascending within bucket (deterministic cap
-        # chunking), using dense ranks + ONE introsort — stable/radix sorts
+        label = f"(part={int(g['part'][0].as_py())})"
+        # collapse rows to distinct (bucket, sig) groups; rows ordered by
+        # (group, id) via dense ranks + ONE introsort — stable/radix sorts
         # intermittently run 10-40x slower on this VM (CLAUDE.md)
         ub, br = np.unique(bucket, return_inverse=True)
+        usig, sr = np.unique(sig, return_inverse=True)
+        combo = br.astype(np.int64) * np.int64(usig.size) + sr
+        uc, cr, ccount = np.unique(combo, return_inverse=True,
+                                   return_counts=True)
         ui, ir = np.unique(ids, return_inverse=True)
-        order = np.argsort(br * np.int64(ui.size) + ir, kind="quicksort")
-        sizes = np.bincount(br, minlength=ub.size).astype(np.int64)
-        ia, ib = grouped_pair_indices(
-            sizes, max_bucket, f"(part={int(g['part'][0].as_py())})",
-            log_prefix=log_prefix,
+        order = np.argsort(cr * np.int64(ui.size) + ir, kind="quicksort")
+        sorted_ids = ids[order].astype(np.int64)
+        row_start = np.zeros(uc.size + 1, dtype=np.int64)
+        np.cumsum(ccount, out=row_start[1:])
+        combo_bucket = (uc // usig.size).astype(np.int64)  # dense bucket rank
+        combo_sig = usig[uc % usig.size]
+        blk_of_bucket = (ub.view(np.uint64) >> np.uint64(width)).astype(np.int64)
+
+        out_a, out_b, out_h = [], [], []
+
+        # identical-sig (Hamming 0) pairs: every block agrees, so the
+        # first-matching-block rule assigns them to the block-0 bucket
+        if max_hamming >= 0:
+            intra = np.flatnonzero(
+                (blk_of_bucket[combo_bucket] == 0) & (ccount >= 2)
+            )
+            if intra.size:
+                ia0, ib0 = subset_pair_indices(
+                    ccount, row_start[:-1], intra, max_bucket,
+                    f"{label}[ham0]", log_prefix=log_prefix,
+                )
+                out_a.append(sorted_ids[ia0])  # ids ascend within a group
+                out_b.append(sorted_ids[ib0])
+                out_h.append(np.zeros(ia0.size, dtype=np.int64))
+
+        # cross-sig candidates at the sig-GROUP level: per bucket, pair its
+        # distinct sig-groups (uc is combo-sorted → groups of one bucket
+        # are consecutive)
+        gsizes = np.bincount(combo_bucket, minlength=ub.size).astype(np.int64)
+        cia, cib = grouped_pair_indices(
+            gsizes, max_bucket, label, log_prefix=log_prefix
         )
-        if ia.size == 0:
+        if cia.size:
+            x = combo_sig[cia] ^ combo_sig[cib]
+            ham = popcount64(x)
+            # first-matching-block dedup: this pair's bucket block index
+            # must be the LOWEST block where the two hashes agree
+            blk = blk_of_bucket[combo_bucket[cia]]
+            mask = np.uint64((1 << width) - 1)
+            dup = np.zeros(x.size, dtype=bool)
+            for k in range(n_blocks - 1):
+                dup |= (k < blk) & (((x >> np.uint64(k * width)) & mask) == 0)
+            keep = (ham <= max_hamming) & ~dup
+            cia, cib, ham = cia[keep], cib[keep], ham[keep]
+            if cia.size:
+                # expand qualifying group pairs to id pairs (output-sized)
+                ma, mb = ccount[cia], ccount[cib]
+                tot = ma * mb
+                offs = np.zeros(cia.size, dtype=np.int64)
+                np.cumsum(tot[:-1], out=offs[1:])
+                pidx = np.repeat(np.arange(cia.size, dtype=np.int64), tot)
+                r = np.arange(int(tot.sum()), dtype=np.int64) - offs[pidx]
+                A = sorted_ids[row_start[cia][pidx] + r // mb[pidx]]
+                B = sorted_ids[row_start[cib][pidx] + r % mb[pidx]]
+                out_a.append(np.minimum(A, B))
+                out_b.append(np.maximum(A, B))
+                out_h.append(ham[pidx])
+
+        if not out_a:
             return empty
-        ga, gb = order[ia], order[ib]
-        x = sig[ga] ^ sig[gb]
-        ham = popcount64(x)
-        # first-matching-block dedup: this pair's bucket block index must
-        # be the LOWEST block where the two hashes agree
-        blk = (bucket[ga].view(np.uint64) >> np.uint64(width)).astype(np.int64)
-        mask = np.uint64((1 << width) - 1)
-        dup = np.zeros(x.size, dtype=bool)
-        for k in range(n_blocks - 1):
-            dup |= (k < blk) & (((x >> np.uint64(k * width)) & mask) == 0)
-        keep = (ham <= max_hamming) & ~dup
         return pa.table(
-            {"id_a": pa.array(ids[ga][keep].astype(np.int64)),
-             "id_b": pa.array(ids[gb][keep].astype(np.int64)),
-             "hamming": pa.array(ham[keep])}
+            {"id_a": pa.array(np.concatenate(out_a)),
+             "id_b": pa.array(np.concatenate(out_b)),
+             "hamming": pa.array(np.concatenate(out_h))}
         )
 
     return (

@@ -113,12 +113,30 @@ def grouped_pair_indices(
     :func:`bucket_pair_indices`."""
     sizes = np.asarray(sizes, dtype=np.int64)
     starts = np.concatenate([[0], np.cumsum(sizes[:-1])])
-    if max_bucket is None or not (sizes > max_bucket).any():
-        return _tri_decode(sizes, starts, np.arange(sizes.size))
-    big = sizes > max_bucket
-    ia_n, ib_n = _tri_decode(sizes, starts, np.flatnonzero(~big))
+    return subset_pair_indices(
+        sizes, starts, np.arange(sizes.size), max_bucket, label, log_prefix
+    )
+
+
+def subset_pair_indices(
+    sizes: np.ndarray, starts: np.ndarray, which: np.ndarray,
+    max_bucket: int | None, label: str, log_prefix: str = "georay.pairs",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`grouped_pair_indices` but over an explicit SUBSET of
+    groups with explicit start offsets — callers with interleaved layouts
+    (e.g. only the block-0 sig-groups of a combo array) select ``which``
+    groups without re-packing anything."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    which = np.asarray(which, dtype=np.int64)
+    big = which[sizes[which] > max_bucket] if max_bucket is not None else \
+        np.empty(0, dtype=np.int64)
+    if big.size == 0:
+        return _tri_decode(sizes, starts, which)
+    small = which[sizes[which] <= max_bucket]
+    ia_n, ib_n = _tri_decode(sizes, starts, small)
     ia_l, ib_l = [ia_n], [ib_n]
-    for i in np.flatnonzero(big):
+    for i in big:
         ca, cb = bucket_pair_indices(
             int(sizes[i]), max_bucket, f"{label}[bucket #{i}]", log_prefix
         )
