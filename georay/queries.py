@@ -19,7 +19,7 @@ from georay.ops import join as join_ops
 from georay.ops import knn as knn_ops
 from georay.ops import pip as pip_ops
 from georay.ops import spatial, tiles
-from georay.ops.spatial import HASH_LON, sql_lat, sql_lon, sql_x, sql_y
+from georay.ops.spatial import HASH_LAT, HASH_LON, sql_lat, sql_lon, sql_x, sql_y
 from georay import runtime
 
 BITS_ENC = 24  # 4096 x 4096 grid
@@ -1955,6 +1955,64 @@ FROM e JOIN r ON e.event_type = r.event_type
 """
 
 
+def q_trajectory_stats(sf_dir: str):
+    """Per-user trajectory summary over the event stream: each event gets a
+    deterministic synthetic capture point (milli-degree integer grid), legs
+    are consecutive points in (ts, event_id) order, and the per-user stats
+    (leg count, exact integer squared distances, elapsed time, distinct
+    BITS_TILE cells visited) come from ONE groupby(user) shuffle +
+    vectorized local diffs (ops.trajectory). SQL twin uses LAG windows."""
+    from georay.ops import trajectory as traj
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(eid)
+        cx, cy = codec.xy_from_lonlat(lon, lat, BITS_TILE)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "us": pa.array(us),
+                "event_id": t["event_id"],
+                "xi": pa.array((eid * HASH_LON) % 360000),
+                "yi": pa.array((eid * HASH_LAT) % 180000),
+                "cell": pa.array(cx * 32 + cy),
+            }
+        )
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return traj.trajectory_stats(
+        pts, "user_id", "us", "event_id", "xi", "yi", cell_col="cell"
+    )
+
+
+SQL_TRAJECTORY = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         (event_id * {HASH_LON}) % 360000 AS xi,
+         (event_id * {HASH_LAT}) % 180000 AS yi,
+         {sql_x(sql_lon('event_id'), 5)} * 32
+           + {sql_y(sql_lat('event_id'), 5)} AS cell
+  FROM events),
+l AS (
+  SELECT user_id, us, cell,
+         xi - LAG(xi) OVER w AS dx,
+         yi - LAG(yi) OVER w AS dy
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_legs,
+       CAST(COALESCE(SUM(dx*dx + dy*dy), 0) AS BIGINT) AS sum_d2,
+       CAST(COALESCE(MAX(dx*dx + dy*dy), 0) AS BIGINT) AS max_d2,
+       CAST(CASE WHEN COUNT(*) > 1 THEN MAX(us) - MIN(us)
+                 ELSE 0 END AS BIGINT) AS sum_dt_us,
+       COUNT(DISTINCT cell) AS n_cells
+FROM l GROUP BY user_id
+"""
+
+
 def q_top_customers(sf_dir: str):
     """Global sort + limit (distributed range-partitioned sort): top 50
     customers by account balance, deterministic tie-break on key."""
@@ -2272,6 +2330,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "events_session": (q_events_session, SQL_EVENTS_SESSION),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
+        "trajectory_stats": (q_trajectory_stats, SQL_TRAJECTORY),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "customers_no_orders_bloom": (
