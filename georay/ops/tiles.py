@@ -202,3 +202,68 @@ def pyramid_counts(ds, bits: int, levels: int, cell_col: str = "cell",
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def focal_sum(raster_ds, bits: int, cell_col: str = "cell",
+              value_col: str = "n", combine_partitions: int = 8,
+              num_partitions: int = 8):
+    """3×3 k-ring focal (neighborhood) sum over an aggregated raster.
+
+    Scatter-gather formulation: every occupied cell SCATTERS its value to
+    itself + its 8 neighbors (codec.neighbors semantics — longitude wraps
+    at the antimeridian, latitude clamps at the poles, off-grid neighbors
+    dropped), contributions partial-combine per batch, one small
+    ``groupby(cell).sum`` gathers them, and an inner hash join back to the
+    occupied set restricts output to occupied cells (windows centred on
+    empty cells are not emitted). Because the 3×3 ring is symmetric,
+    scattering equals gathering — no second neighbor pass.
+
+    The exchange is O(occupied cells × 9) rows pre-combined down to
+    O(distinct touched cells × batches) — never O(input points); run this
+    AFTER a tile/count aggregate, not on raw points.
+
+    Output: ``cell_col, value_col, focal_sum, n_nb`` (n_nb counts the
+    occupied cells in the window, for a mean = focal_sum / n_nb).
+    """
+    from ray.data.aggregate import Sum
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbr, valid = codec.neighbors(cell, bits)
+        parts_c = [cell]
+        parts_v = [val]
+        for j in range(8):
+            ok = valid[:, j]
+            parts_c.append(nbr[ok, j])
+            parts_v.append(val[ok])
+        tgt = np.concatenate(parts_c)
+        contrib = np.concatenate(parts_v)
+        u, inv = np.unique(tgt, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, contrib)
+        c = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table(
+            {cell_col: u.astype(np.int64), "p_sum": s, "p_cnt": c}
+        )
+
+    gathered = (
+        raster_ds.map_batches(scatter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(cell_col)
+        .aggregate(Sum("p_sum", alias_name="focal_sum"),
+                   Sum("p_cnt", alias_name="n_nb"))
+        # merge aggregate output blocks: combine partitions exceeding the
+        # group count emit SCHEMA-LESS empty blocks that Acero (the join
+        # below) rejects (CLAUDE.md invariant)
+        .repartition(num_partitions)
+    )
+
+    return raster_ds.join(
+        gathered,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(cell_col,),
+        right_suffix="_r",
+    )

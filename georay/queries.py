@@ -2013,6 +2013,47 @@ FROM l GROUP BY user_id
 """
 
 
+def q_raster_focal(sf_dir: str):
+    """3×3 focal (neighborhood) sum over the customer-point raster at
+    BITS_TILE: two-phase count-by-cell, then ops.tiles.focal_sum
+    (scatter to codec.neighbors ring → groupby-sum → inner join back to
+    occupied cells). The SQL twin is a wraparound self-join on grid
+    coordinates — exercising the neighbor semantics (lon wrap, lat clamp)
+    relationally."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    pts = spatial.points_with_cells(cust, "c_custkey", BITS_TILE, xy=False)
+    raster = tiles.count_by(pts.select_columns(["cell"]), "cell")
+    out = tiles.focal_sum(raster, BITS_TILE, cell_col="cell", value_col="n")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        return pa.table(
+            {
+                "tile_x": pa.array(x), "tile_y": pa.array(y),
+                "n": t["n"], "focal_n": t["focal_sum"], "n_nb": t["n_nb"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_RASTER_FOCAL = f"""
+WITH pts AS (
+  SELECT {sql_x(sql_lon('c_custkey'), 5)} AS x,
+         {sql_y(sql_lat('c_custkey'), 5)} AS y
+  FROM customer),
+g AS (SELECT x, y, COUNT(*) AS n FROM pts GROUP BY x, y)
+SELECT a.x AS tile_x, a.y AS tile_y, CAST(a.n AS BIGINT) AS n,
+       CAST(SUM(b.n) AS BIGINT) AS focal_n,
+       CAST(COUNT(*) AS BIGINT) AS n_nb
+FROM g a JOIN g b
+  ON ((b.x - a.x + 32) % 32) IN (0, 1, 31)
+ AND b.y BETWEEN a.y - 1 AND a.y + 1
+GROUP BY a.x, a.y, a.n
+"""
+
+
 def q_top_customers(sf_dir: str):
     """Global sort + limit (distributed range-partitioned sort): top 50
     customers by account balance, deterministic tie-break on key."""
@@ -2331,6 +2372,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
         "trajectory_stats": (q_trajectory_stats, SQL_TRAJECTORY),
+        "raster_focal": (q_raster_focal, SQL_RASTER_FOCAL),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "customers_no_orders_bloom": (
