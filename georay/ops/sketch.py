@@ -1,0 +1,170 @@
+"""Mergeable sketches for approximate distinct counting + deterministic
+hash-ordered sampling.
+
+Both are built on ONE shared 64-bit mixer — splitmix64 (Steele et al.,
+"Fast splittable pseudorandom number generators", OOPSLA 2014; public
+domain reference constants) — implemented twice with bit-identical
+results: vectorized numpy over uint64 here, and modular UBIGINT/HUGEINT
+arithmetic in SQL (:func:`sql_splitmix64`, same idiom as the FNV-1a
+simhash oracle in queries.py). That makes sketch CONTENTS (not just
+estimates) oracle-comparable: the k minimum hash values a distributed
+KMV run keeps are exactly the ``ORDER BY hash LIMIT k`` rows of SQL.
+
+KMV (k minimum values; Bar-Yossef et al. 2002): keep the k smallest
+distinct hash values of a column; estimate NDV as ``(k-1) * 2^64 /
+h_(k)``. Partials are k-sized sets from each batch — trivially mergeable
+(union → k smallest), so the exchange is O(k × batches), never O(rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_U = np.uint64
+_M64 = "18446744073709551616"  # 2^64 (HUGEINT modulus in the SQL twin)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wrapping arithmetic)."""
+    z = np.asarray(x).astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += _U(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U(27))) * _U(0x94D049BB133111EB)
+        z ^= z >> _U(31)
+    return z
+
+
+def _sql_wrap64(expr: str) -> str:
+    return f"CAST(((({expr}) % {_M64}) + {_M64}) % {_M64} AS UBIGINT)"
+
+
+def _sql_mul64(a: str, b: int) -> str:
+    """(a * b) mod 2^64 for UBIGINT ``a`` and a 64-bit constant, split into
+    32-bit halves so no HUGEINT intermediate exceeds 2^97 (a full 64×64
+    product overflows the 127-bit HUGEINT)."""
+    lo, hi = b & 0xFFFFFFFF, b >> 32
+    return _sql_wrap64(
+        f"CAST({a} AS HUGEINT) * {lo} "
+        f"+ ((CAST({a} AS HUGEINT) * {hi}) % 4294967296) * 4294967296"
+    )
+
+
+def sql_splitmix64(col: str) -> str:
+    """DuckDB expression computing splitmix64 of BIGINT ``col`` as UBIGINT,
+    bit-identical to :func:`splitmix64` (mod-2^64 via HUGEINT, xor/shift on
+    UBIGINT). Negative inputs reinterpret as two's-complement uint64.
+    The expression duplicates subterms (no CTEs) — for per-row use over
+    tables prefer :func:`sql_splitmix64_subquery`, which is linear-size."""
+    z0 = _sql_wrap64(f"CAST({col} AS HUGEINT) + 11400714819323198485")
+    z1 = _sql_mul64(f"xor({z0}, {z0} >> 30)", 0xBF58476D1CE4E5B9)
+    z2 = _sql_mul64(f"xor({z1}, {z1} >> 27)", 0x94D049BB133111EB)
+    return f"xor({z2}, {z2} >> 31)"
+
+
+def sql_splitmix64_subquery(src: str, col: str, out: str = "hu") -> str:
+    """Parenthesized subquery: all columns of ``src`` (a table name, CTE
+    name, or parenthesized subquery) plus ``out`` = splitmix64(col) as
+    UBIGINT — staged through aliased columns so the SQL stays linear-size."""
+    z0 = _sql_wrap64(f"CAST({col} AS HUGEINT) + 11400714819323198485")
+    s1 = f"(SELECT *, {z0} AS sm_z0 FROM {src})"
+    z1 = _sql_mul64("xor(sm_z0, sm_z0 >> 30)", 0xBF58476D1CE4E5B9)
+    s2 = f"(SELECT *, {z1} AS sm_z1 FROM {s1})"
+    z2 = _sql_mul64("xor(sm_z1, sm_z1 >> 27)", 0x94D049BB133111EB)
+    s3 = f"(SELECT *, {z2} AS sm_z2 FROM {s2})"
+    return (
+        f"(SELECT * EXCLUDE (sm_z0, sm_z1, sm_z2), "
+        f"xor(sm_z2, sm_z2 >> 31) AS {out} FROM {s3})"
+    )
+
+
+def sql_signed64(uexpr: str) -> str:
+    """Reinterpret a UBIGINT expression as two's-complement BIGINT (the
+    Arrow/pandas-friendly wire type both sides emit)."""
+    return (
+        f"CAST(CASE WHEN ({uexpr}) >= 9223372036854775808 "
+        f"THEN CAST(({uexpr}) AS HUGEINT) - {_M64} "
+        f"ELSE CAST(({uexpr}) AS HUGEINT) END AS BIGINT)"
+    )
+
+
+def kmv_sketch(ds, col: str, k: int = 256):
+    """Distributed KMV sketch of ``col``'s distinct count.
+
+    Per-batch partial: hash the batch's DISTINCT keys, keep the k smallest
+    (unsigned order). Merge: union the k-sized partials and keep the k
+    smallest distinct overall — the partials are tiny, so the final merge
+    runs in one task. Output rows (``rank`` 1..k, ``h`` signed-int64 hash,
+    unsigned-ascending), bit-comparable with ``SELECT DISTINCT hash ORDER
+    BY hash LIMIT k``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.unique(t[col].to_numpy(zero_copy_only=False))
+        h = np.unique(splitmix64(keys.astype(np.int64).view(np.uint64)))
+        return pa.table({"h": h[:k].view(np.int64)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        h = np.unique(t["h"].to_numpy(zero_copy_only=False).view(np.uint64))
+        h = h[:k]
+        return pa.table(
+            {"rank": np.arange(1, h.size + 1, dtype=np.int64),
+             "h": h.view(np.int64)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+def kmv_estimate(sketch_df, k: int = 256) -> float:
+    """NDV estimate from a materialized sketch (pandas/arrow rows of the
+    kmv_sketch output). Exact count when the sketch is not full."""
+    h = np.asarray(sketch_df["h"], dtype=np.int64).view(np.uint64)
+    if h.size < k:
+        return float(h.size)
+    kth = float(np.sort(h)[k - 1])
+    return (k - 1) * (2.0 ** 64) / kth
+
+
+def stratified_sample(ds, stratum_col: str, key_col: str, k: int):
+    """Deterministic per-stratum sample: the k rows whose splitmix64(key)
+    sorts first within each stratum (ties broken by key). Reproducible
+    across runs/cluster sizes — the SQL twin is ``ROW_NUMBER() OVER
+    (PARTITION BY stratum ORDER BY hash, key) <= k``.
+
+    Two-phase: per-batch local top-k per stratum (output O(k × strata ×
+    batches)), then one groupby(stratum) shuffle of the survivors for the
+    exact global top-k. Scale contract: k × strata fits a worker.
+    """
+    import pandas as pd
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        h = splitmix64(df[key_col].to_numpy(np.int64).view(np.uint64))
+        df = df.assign(_h=h.view(np.int64))
+        df = df.sort_values([stratum_col, "_h", key_col],
+                            key=_unsigned_sort_key, kind="quicksort")
+        return df.groupby(stratum_col, sort=False).head(k)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", key_col], key=_unsigned_sort_key,
+                            kind="quicksort").head(k)
+        out = df.drop(columns=["_h"]).reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .groupby(stratum_col)
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def _unsigned_sort_key(s):
+    """sort key: order the signed-int64 hash column by its uint64 bits."""
+    if s.name == "_h":
+        return s.to_numpy(np.int64).view(np.uint64)
+    return s

@@ -20,6 +20,10 @@ from georay.ops import knn as knn_ops
 from georay.ops import pip as pip_ops
 from georay.ops import spatial, tiles
 from georay.ops.spatial import HASH_LAT, HASH_LON, sql_lat, sql_lon, sql_x, sql_y
+from georay.ops.sketch import (
+    sql_signed64 as sketch_sql_signed,
+    sql_splitmix64_subquery as sketch_sql_subquery,
+)
 from georay import runtime
 
 BITS_ENC = 24  # 4096 x 4096 grid
@@ -2054,6 +2058,48 @@ GROUP BY a.x, a.y, a.n
 """
 
 
+def q_distinct_kmv(sf_dir: str):
+    """KMV distinct-count sketch of orders.o_custkey (k=256): per-batch
+    k-smallest distinct splitmix64 hashes, merged once — the exchange is
+    O(k × batches). The oracle compares the full SKETCH CONTENT (the k
+    minimum hash values), not just an estimate: both sides share the
+    bit-exact splitmix64 (ops.sketch)."""
+    from georay.ops import sketch as sketch_ops
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    return sketch_ops.kmv_sketch(orders, "o_custkey", k=256)
+
+
+SQL_DISTINCT_KMV = f"""
+WITH h AS (
+  SELECT DISTINCT hu
+  FROM {sketch_sql_subquery('(SELECT o_custkey FROM orders)', 'o_custkey')}),
+r AS (SELECT hu, ROW_NUMBER() OVER (ORDER BY hu) AS rank FROM h)
+SELECT CAST(rank AS BIGINT) AS rank, {sketch_sql_signed('hu')} AS h
+FROM r WHERE rank <= 256
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 20 documents per language whose
+    splitmix64(doc_id) sorts first — reproducible across runs and cluster
+    sizes. Two-phase local/global top-k per stratum (ops.sketch)."""
+    from georay.ops import sketch as sketch_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sketch_ops.stratified_sample(docs, "lang", "doc_id", k=20)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT lang, doc_id, rank FROM (
+  SELECT lang, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hu, doc_id)
+              AS BIGINT) AS rank
+  FROM {sketch_sql_subquery('(SELECT doc_id, lang FROM documents)', 'doc_id')})
+WHERE rank <= 20
+"""
+
+
 def q_top_customers(sf_dir: str):
     """Global sort + limit (distributed range-partitioned sort): top 50
     customers by account balance, deterministic tie-break on key."""
@@ -2373,6 +2419,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
         "trajectory_stats": (q_trajectory_stats, SQL_TRAJECTORY),
         "raster_focal": (q_raster_focal, SQL_RASTER_FOCAL),
+        "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "customers_no_orders_bloom": (
