@@ -215,3 +215,87 @@ def dedup_by_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text",
         .aggregate(Min(id_col, alias_name="doc_id_first"), Count(alias_name="n_copies"))
         .select_columns(["doc_id_first", "n_copies"])
     )
+
+
+def tfidf_topk(ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text",
+               num_partitions: int = 8, combine_partitions: int = 8):
+    """Top-k distinctive terms per document, ranked by ``(tf DESC, df ASC,
+    term ASC)`` — a deterministic INTEGER-EXACT tf-idf ordering (idf =
+    ln(N/df) is strictly decreasing in df, so for equal tf the idf order IS
+    the ascending-df order; no float scores cross the oracle boundary).
+    Callers wanting the float tf·idf compute it from the emitted (tf, df).
+
+    Plan: tokenize + per-doc term counts inside ``map_batches`` (one
+    explode, no per-row loop) and MATERIALIZE the (doc, term, tf) rows —
+    they are consumed twice (document frequency + the join) and re-running
+    tokenization over 100 TB of text twice costs more than spilling the
+    much smaller term rows. df is a two-phase count over terms, joined back
+    with a hash join on the term, then ONE doc-hash-bucketed shuffle takes
+    the per-doc top-k — O(num_partitions) pandas groups, each ranking many
+    docs in one vectorized sort + cumcount (the knn.py:334 merge idiom, not
+    a per-doc ``map_groups``). Tokenizer: ``[\\w']+`` lowercased —
+    identical to the LangId/simhash SQL twins.
+
+    Output: ``id_col, w, tf, df, rank`` (rank 1..k per doc).
+    """
+    import re
+
+    import pandas as pd
+
+    from georay.ops.tiles import count_by
+    from georay.runtime import table_from_pandas
+
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    tf_schema = pa.schema(
+        [(id_col, pa.int64()), ("w", pa.string()), ("tf", pa.int64())]
+    )
+    out_schema = tf_schema.append(pa.field("df", pa.int64())).append(
+        pa.field("rank", pa.int64())
+    )
+
+    def tf_rows(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].str.findall(word_re).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        out = pd.DataFrame(
+            {id_col: df[id_col].to_numpy()[row], "w": toks.to_numpy()}
+        ).groupby([id_col, "w"], as_index=False).size()
+        return table_from_pandas(
+            out.rename(columns={"size": "tf"}), schema=tf_schema
+        )
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        tf_rows, batch_format="pandas"
+    ).materialize()
+
+    df_counts = count_by(
+        tf.select_columns(["w"]), "w", out_col="df",
+        combine_partitions=combine_partitions,
+    ).repartition(num_partitions)  # merge aggregate blocks: Acero rejects
+    # schema-less empties (CLAUDE.md invariant)
+
+    joined = tf.join(
+        df_counts, join_type="inner", num_partitions=num_partitions,
+        on=("w",), right_suffix="_r",
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((ids * np.uint64(0x9E3779B1))
+                  % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    def topk_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            [id_col, "tf", "df", "w"], ascending=[True, False, True, True],
+            kind="quicksort",  # total order: (doc, w) rows are unique
+        ).reset_index(drop=True)
+        g["rank"] = g.groupby(id_col).cumcount().to_numpy() + 1
+        return table_from_pandas(g[g["rank"] <= k], schema=out_schema)
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(topk_bucket, batch_format="pandas")
+    )

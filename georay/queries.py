@@ -1535,6 +1535,35 @@ FROM t
 """
 
 
+def q_tfidf(sf_dir: str):
+    """Top-5 distinctive terms per document ranked by the integer-exact
+    tf-idf order (tf DESC, df ASC, w ASC) — ops.text.tfidf_topk: tokenize
+    once, two-phase df count, hash join on the term, doc-hash-bucketed
+    top-k."""
+    from georay.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.tfidf_topk(docs, k=5).select_columns(
+        ["doc_id", "w", "tf", "df", "rank"]
+    )
+
+
+SQL_TFIDF = r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+              FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+ranked AS (
+  SELECT doc_id, tf.w AS w, tf, df,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tf DESC, df ASC, tf.w ASC
+         ) AS BIGINT) AS rank
+  FROM tf JOIN df USING (w))
+SELECT doc_id, w, tf, df, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_simhash_neardup(sf_dir: str):
     """SimHash block-LSH near-dup, hard-checked: with max_hamming=6 <
     n_blocks=8 the blocking is EXACT (pigeonhole), so the result equals the
@@ -2407,6 +2436,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "knn_cogroup": (q_knn_cogroup, SQL_KNN),
         "langid_confusion": (q_langid, SQL_LANGID),
         "quality_scores": (q_quality, SQL_QUALITY),
+        "tfidf_topk": (q_tfidf, SQL_TFIDF),
         "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
         "raster_assembly": (q_raster, sql_raster(n_images)),

@@ -289,3 +289,83 @@ def test_cosine_pairs_brute_exact(ray_session, emb_table):
     ds = ray.data.from_arrow(emb_table).repartition(5)
     got = sim.cosine_pairs_brute(ds, emb_table, threshold=0.45).to_pandas()
     assert set(zip(got["id_a"], got["id_b"])) == want
+
+
+def test_tfidf_topk_known_corpus(ray_session):
+    """Hand-checkable corpus: ties broken by (df ASC, w ASC); rank dense
+    1..k per doc; rare terms beat common ones at equal tf."""
+    import pandas as pd
+    import ray
+
+    from georay.ops import text as text_ops
+
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "apple apple banana common",
+                "banana banana cherry common",
+                "common common common durian",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(corpus).repartition(2)
+    got = (
+        text_ops.tfidf_topk(ds, k=2, num_partitions=4, combine_partitions=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # df: apple=1 banana=2 cherry=1 common=3 durian=1
+    want = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2, 2, 3, 3],
+            "w": ["apple", "banana", "banana", "cherry", "common", "durian"],
+            "tf": [2, 1, 2, 1, 3, 1],
+            "df": [1, 2, 2, 1, 3, 1],
+            "rank": [1, 2, 1, 2, 1, 2],
+        }
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_tfidf_topk_brute_parity(ray_session, docs_table):
+    """Full-corpus parity vs an in-memory pandas oracle at sf0.001."""
+    import re
+
+    import pandas as pd
+    import ray
+
+    from georay.ops import text as text_ops
+
+    df = docs_table.select(["doc_id", "text"]).to_pandas()
+    rows = []
+    for did, text in zip(df["doc_id"], df["text"]):
+        toks = [w.lower() for w in re.findall(r"[\w']+", text)]
+        s = pd.Series(toks).value_counts()
+        for w, tf in s.items():
+            rows.append((did, w, int(tf)))
+    tf = pd.DataFrame(rows, columns=["doc_id", "w", "tf"])
+    dfc = tf.groupby("w", as_index=False).size().rename(columns={"size": "df"})
+    j = tf.merge(dfc, on="w")
+    j = j.sort_values(
+        ["doc_id", "tf", "df", "w"], ascending=[True, False, True, True]
+    ).reset_index(drop=True)
+    j["rank"] = j.groupby("doc_id").cumcount() + 1
+    want = j[j["rank"] <= 3].reset_index(drop=True)
+
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        text_ops.tfidf_topk(ds, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "w", "tf", "df", "rank"]].astype(
+            {"tf": "int64", "df": "int64", "rank": "int64"}
+        ),
+        want[["doc_id", "w", "tf", "df", "rank"]].astype(
+            {"tf": "int64", "df": "int64", "rank": "int64"}
+        ),
+    )
