@@ -564,3 +564,173 @@ def knn_cogroup(
 
     local = u.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
     return _merge_topk_stage(local, query_id, ref_id, k)
+
+
+def dwithin_ring_for(radius: float, bits: int) -> int:
+    """Smallest Chebyshev cell ring guaranteed to contain every point within
+    Euclidean degree distance ``radius``: |dlon|,|dlat| <= r, and two points
+    whose lon differ by <= r sit at most floor(r/cell_w)+1 x-cells apart
+    (same for lat), so the ring below never misses a true pair."""
+    from georay import codec
+
+    lon_err, lat_err = codec.error_with_precision(bits)
+    return int(max(radius // lon_err, radius // lat_err)) + 1
+
+
+def dwithin_ring(
+    queries_ds,
+    refs_table: pa.Table,
+    bits: int,
+    radius: float,
+    query_cols: list[str] | None = None,
+    ref_id: str = "ref_id",
+    cell_col: str = "cell",
+):
+    """All (query, ref) pairs within Euclidean degree distance ``radius``
+    (dist² <= radius², squared-degree metric — the same frozen expression
+    order as the kNN family, so the SQL twin is bit-exact). Broadcast
+    variant: refs shipped once as a cell-sorted lookup, candidates gathered
+    from the ring returned by :func:`dwithin_ring_for` (EXACT — the ring
+    provably covers the radius), then one vectorized distance filter. No
+    shuffle at all; use :func:`dwithin_shuffle` when refs don't fit a
+    broadcast. Output: query_cols, ``ref_id``, ``dist2``.
+    """
+    import ray
+
+    ring = dwithin_ring_for(radius, bits)
+    r2 = np.float64(radius) * np.float64(radius)
+    rcell = refs_table[cell_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(rcell, kind="stable")
+    packed = {
+        "cell": rcell[order],
+        "lon": refs_table["lon"].to_numpy(zero_copy_only=False)[order],
+        "lat": refs_table["lat"].to_numpy(zero_copy_only=False)[order],
+        "id": refs_table[ref_id].to_numpy(zero_copy_only=False)[order],
+    }
+    refs_ref = ray.put(packed)
+    key = refs_ref.hex() + "-dwithin"
+
+    class DWithin:
+        def __init__(self):
+            self.refs = ray.get(refs_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            refs = self.refs
+            qcell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            qlon = t["lon"].to_numpy(zero_copy_only=False)
+            qlat = t["lat"].to_numpy(zero_copy_only=False)
+            n = qcell.shape[0]
+            ring_cells, valid = cells.k_ring(qcell, bits, ring)
+            flat_cells = ring_cells.reshape(-1).astype(np.int64)
+            flat_q = np.repeat(np.arange(n), ring_cells.shape[1])
+            ok = valid.reshape(-1)
+            flat_cells, flat_q = flat_cells[ok], flat_q[ok]
+            if (2 * ring + 1) > (1 << codec_split_nx(bits)):
+                combo = flat_q.astype(np.int64) * np.int64(1 << bits) + flat_cells
+                _, first = np.unique(combo, return_index=True)
+                flat_cells, flat_q = flat_cells[first], flat_q[first]
+            lo = np.searchsorted(refs["cell"], flat_cells, side="left")
+            hi = np.searchsorted(refs["cell"], flat_cells, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                qsel = np.empty(0, np.int64)
+                rsel = np.empty(0, np.int64)
+                dist = np.empty(0, np.float64)
+            else:
+                qidx = np.repeat(flat_q, counts)
+                starts = np.repeat(np.cumsum(counts) - counts, counts)
+                ridx = np.arange(total) - starts + np.repeat(lo, counts)
+                dx = qlon[qidx] - refs["lon"][ridx]
+                dy = qlat[qidx] - refs["lat"][ridx]
+                dist = dx * dx + dy * dy
+                keep = dist <= r2
+                qsel, rsel, dist = qidx[keep], ridx[keep], dist[keep]
+            keep_cols = query_cols or list(t.column_names)
+            base = t.take(pa.array(qsel))
+            cols = {name: base[name] for name in keep_cols}
+            cols[ref_id] = pa.array(refs["id"][rsel])
+            cols["dist2"] = pa.array(dist)
+            return pa.table(cols)
+
+    from georay.runtime import per_process
+
+    def fn(t: pa.Table) -> pa.Table:
+        inst = per_process(key, DWithin)
+        return inst(t)
+
+    return queries_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dwithin_shuffle(
+    queries_ds,
+    refs_ds,
+    bits: int,
+    radius: float,
+    query_id: str = "query_id",
+    ref_id: str = "ref_id",
+    cell_col: str = "cell",
+    num_partitions: int = 32,
+    expand_side: str = "queries",
+):
+    """Big×big distance-within join: ring-explode one side (the ring from
+    :func:`dwithin_ring_for` provably covers ``radius``), hash-join on cell,
+    one vectorized distance filter. Unlike kNN there is NO per-query reduce
+    — a pair's membership depends only on the pair — so this is a single
+    exchange with streaming filter output. ``expand_side`` as in
+    :func:`knn_shuffle` (ring membership is symmetric; explode the smaller
+    side). Output: ``query_id, ref_id, dist2``.
+    """
+    ring = dwithin_ring_for(radius, bits)
+    r2 = np.float64(radius) * np.float64(radius)
+
+    def explode(t: pa.Table) -> pa.Table:
+        qcell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ring_cells, valid = cells.k_ring(qcell, bits, ring)
+        m = ring_cells.shape[1]
+        idx = np.repeat(np.arange(qcell.shape[0]), m)
+        flat_ok = valid.reshape(-1)
+        idx = idx[flat_ok]
+        flat_cells = ring_cells.reshape(-1)[flat_ok].astype(np.int64)
+        if (2 * ring + 1) > (1 << codec_split_nx(bits)):
+            combo = idx.astype(np.int64) * np.int64(1 << bits) + flat_cells
+            _, first = np.unique(combo, return_index=True)
+            idx, flat_cells = idx[first], flat_cells[first]
+        base = t.drop_columns([cell_col]).take(pa.array(idx))
+        return base.append_column(cell_col, pa.array(flat_cells))
+
+    if expand_side == "queries":
+        left = queries_ds.map_batches(explode, batch_format="pyarrow")
+        right = refs_ds
+    elif expand_side == "refs":
+        left = queries_ds
+        right = refs_ds.map_batches(explode, batch_format="pyarrow")
+    else:
+        raise ValueError(f"expand_side must be 'queries' or 'refs', got {expand_side!r}")
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(cell_col,),
+        left_suffix="_q",
+        right_suffix="_r",
+    )
+
+    def dist_filter(t: pa.Table) -> pa.Table:
+        dx = t["lon_q"].to_numpy(zero_copy_only=False) - t["lon_r"].to_numpy(
+            zero_copy_only=False
+        )
+        dy = t["lat_q"].to_numpy(zero_copy_only=False) - t["lat_r"].to_numpy(
+            zero_copy_only=False
+        )
+        dist = dx * dx + dy * dy
+        keep = dist <= r2
+        return pa.table(
+            {
+                query_id: t[query_id].filter(pa.array(keep)),
+                ref_id: t[ref_id].filter(pa.array(keep)),
+                "dist2": pa.array(dist[keep]),
+            }
+        )
+
+    return joined.map_batches(dist_filter, batch_format="pyarrow")

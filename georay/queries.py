@@ -394,6 +394,60 @@ SELECT c_custkey, s_suppkey, rank FROM (
 """
 
 
+# ------------------------------------------------------------------- dwithin
+
+DWITHIN_RADIUS = 12.0  # degrees; ring 2 at BITS_JOIN (16x16 grid)
+
+
+def q_dwithin(sf_dir: str):
+    """All (customer, supplier) pairs within 12 squared-degree distance —
+    broadcast proximity join (ops.knn.dwithin_ring): refs shipped once,
+    ring-2 candidate gather (ring provably covers the radius), vectorized
+    distance filter, zero shuffles."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    supp = _small_points(
+        _read_table(sf_dir, "supplier", columns=["s_suppkey"]), "s_suppkey", BITS_JOIN
+    )
+    out = knn_ops.dwithin_ring(
+        cust, supp, bits=BITS_JOIN, radius=DWITHIN_RADIUS,
+        query_cols=["c_custkey"], ref_id="s_suppkey",
+    )
+    return out.select_columns(["c_custkey", "s_suppkey", "dist2"])
+
+
+def q_dwithin_shuffle(sf_dir: str):
+    """Big×big distance-within join: ring-explode the smaller side, ONE
+    hash shuffle on cell, streaming distance filter (no per-query reduce —
+    pair membership is per-pair). Same SQL twin as the broadcast path."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey"])
+    supp = spatial.points_with_cells(supp, "s_suppkey", BITS_JOIN, xy=False)
+    out = knn_ops.dwithin_shuffle(
+        cust, supp, bits=BITS_JOIN, radius=DWITHIN_RADIUS,
+        query_id="c_custkey", ref_id="s_suppkey",
+        num_partitions=8, expand_side="refs",
+    )
+    return out.select_columns(["c_custkey", "s_suppkey", "dist2"])
+
+
+SQL_DWITHIN = f"""
+WITH c AS ({{c_cte}}),
+     s AS ({{s_cte}})
+SELECT c.c_custkey, s.s_suppkey,
+       (c.lon - s.lon) * (c.lon - s.lon)
+     + (c.lat - s.lat) * (c.lat - s.lat) AS dist2
+FROM c JOIN s
+  ON (c.lon - s.lon) * (c.lon - s.lon)
+   + (c.lat - s.lat) * (c.lat - s.lat)
+     <= {DWITHIN_RADIUS} * {DWITHIN_RADIUS}
+""".format(
+    c_cte=_sql_point_cte("customer", "c_custkey", BITS_JOIN),
+    s_cte=_sql_point_cte("supplier", "s_suppkey", BITS_JOIN),
+)
+
+
 # ------------------------------------------------------------------------ PIP
 
 PIP_W, PIP_H = 30.0, 20.0
@@ -2413,6 +2467,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "spatial_join": (q_spatial_join, SQL_SPATIAL_JOIN),
         "spatial_join_shuffle": (q_spatial_join_shuffle, SQL_SPATIAL_JOIN),
         "knn_ring1": (q_knn, SQL_KNN),
+        "dwithin": (q_dwithin, SQL_DWITHIN),
+        "dwithin_shuffle": (q_dwithin_shuffle, SQL_DWITHIN),
         "pip_nation": (q_pip, SQL_PIP),
         "tile_counts": (q_tile_counts, SQL_TILE_COUNTS),
         "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),

@@ -371,3 +371,70 @@ def test_knn_ring_tiny_grid_wrap_dedup(ray_session):
     ).to_pandas()
     dup = out.groupby(["lkey", "rkey"]).size()
     assert (dup == 1).all(), "duplicate (query, ref) pairs in top-k"
+
+
+def _oracle_dwithin(lt, rt, radius):
+    qlon, qlat = lt["lon"].to_numpy(), lt["lat"].to_numpy()
+    rlon, rlat = rt["lon"].to_numpy(), rt["lat"].to_numpy()
+    qk, rk = lt["lkey"].to_numpy(), rt["rkey"].to_numpy()
+    dx = qlon[:, None] - rlon[None, :]
+    dy = qlat[:, None] - rlat[None, :]
+    d2 = dx * dx + dy * dy
+    qi, ri = np.nonzero(d2 <= radius * radius)
+    return set(zip(qk[qi], rk[ri]))
+
+
+def test_dwithin_ring_matches_brute(ray_session, point_tables):
+    """Fine grid (32x32) with radius spanning >1 cell: the auto ring must
+    cover the radius exactly (no missed pairs vs the O(n^2) oracle)."""
+    import ray
+
+    left, right = point_tables
+    bits, radius = 10, 7.5
+    lt = _with_cells(left, "lkey", bits)
+    rt = _with_cells(right, "rkey", bits)
+    assert knn_ops.dwithin_ring_for(radius, bits) == 2  # 11.25-deg lon cells
+    out = knn_ops.dwithin_ring(
+        ray.data.from_arrow(lt).repartition(5), rt,
+        bits=bits, radius=radius, query_cols=["lkey"], ref_id="rkey",
+    ).to_pandas()
+    assert set(zip(out["lkey"], out["rkey"])) == _oracle_dwithin(lt, rt, radius)
+    assert (out["dist2"] <= radius * radius).all()
+
+
+def test_dwithin_shuffle_matches_broadcast(ray_session, point_tables):
+    import ray
+
+    left, right = point_tables
+    bits, radius = 8, 10.0
+    lt = _with_cells(left, "lkey", bits)
+    rt = _with_cells(right, "rkey", bits)
+    ring = knn_ops.dwithin_ring_for(radius, bits)
+    assert ring == 1
+    out = knn_ops.dwithin_shuffle(
+        ray.data.from_arrow(lt).repartition(5),
+        ray.data.from_arrow(rt).repartition(3),
+        bits=bits, radius=radius, query_id="lkey", ref_id="rkey",
+        num_partitions=4, expand_side="refs",
+    ).to_pandas()
+    assert set(zip(out["lkey"], out["rkey"])) == _oracle_dwithin(lt, rt, radius)
+
+
+def test_dwithin_boundary_inclusive(ray_session):
+    """A pair at EXACTLY the radius is kept (<=, not <) — both points on
+    the same parallel, lon difference == radius."""
+    import ray
+
+    bits, radius = 8, 5.0
+    lt = pa.table({"lkey": np.array([1], np.int64),
+                   "lon": np.array([0.0]), "lat": np.array([0.0])})
+    rt = pa.table({"rkey": np.array([2], np.int64),
+                   "lon": np.array([5.0]), "lat": np.array([0.0])})
+    lt = spatial.add_cell(lt, bits)
+    rt = spatial.add_cell(rt, bits)
+    out = knn_ops.dwithin_ring(
+        ray.data.from_arrow(lt), rt,
+        bits=bits, radius=radius, query_cols=["lkey"], ref_id="rkey",
+    ).to_pandas()
+    assert list(zip(out["lkey"], out["rkey"])) == [(1, 2)]
+    assert out["dist2"].iloc[0] == 25.0
