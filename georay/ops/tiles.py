@@ -267,3 +267,60 @@ def focal_sum(raster_ds, bits: int, cell_col: str = "cell",
         on=(cell_col,),
         right_suffix="_r",
     )
+
+
+def zonal_stats(ds, zone_col: str, value_col: str, combine_partitions: int = 4):
+    """Per-zone (count, sum, min, max) of an INTEGER value column — zonal
+    statistics over any zone key (polygon id from ``ops.pip.pip_assign``,
+    tile prefix, admin code). Two-phase: each batch collapses to one row
+    per distinct zone (np.unique + bincount/add.at/minimum.at), so only
+    O(zones × batches) partial rows reach the exchange; integer sums make
+    the result order-independent (callers pre-scale floats, as everywhere
+    in this repo). Output: zone_col, n, sum_v, min_v, max_v."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    s = ds.schema()  # Ray Data Schema: parallel .names / .types (pa types)
+    zone_type = dict(zip(s.names, s.types))[zone_col]
+
+    partial_schema = pa.schema(
+        [
+            (zone_col, zone_type),
+            ("partial_n", pa.int64()),
+            ("partial_sum", pa.int64()),
+            ("partial_min", pa.int64()),
+            ("partial_max", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        zones = t[zone_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uz, inv, counts = np.unique(zones, return_inverse=True, return_counts=True)
+        sums = np.zeros(uz.size, dtype=np.int64)
+        np.add.at(sums, inv, vals)
+        mins = np.full(uz.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, vals)
+        maxs = np.full(uz.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(maxs, inv, vals)
+        return pa.table(
+            {
+                zone_col: pa.array(uz, zone_type),
+                "partial_n": pa.array(counts.astype(np.int64)),
+                "partial_sum": pa.array(sums),
+                "partial_min": pa.array(mins),
+                "partial_max": pa.array(maxs),
+            },
+            schema=partial_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(zone_col)
+        .aggregate(
+            Sum("partial_n", alias_name="n"),
+            Sum("partial_sum", alias_name="sum_v"),
+            Min("partial_min", alias_name="min_v"),
+            Max("partial_max", alias_name="max_v"),
+        )
+    )

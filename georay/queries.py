@@ -1121,10 +1121,10 @@ def q_images_pip(sf_dir: str):
                           combine_partitions=1)
 
 
-def sql_images_pip(n: int) -> str:
-    """SQL twin of q_images_pip: every fixture ring is a box (5-pt closed
-    ring) or a notched box ("hexagon", 6 vertices); the strict ray-cast
-    interior of both is the union of two half-open rectangles
+def _sql_tile_rects() -> str:
+    """VALUES rows for the fixture tile polygons: every ring is a box (5-pt
+    closed ring) or a notched box ("hexagon", 6 vertices); the strict
+    ray-cast interior of both is the union of two half-open rectangles
     [x0,x1) × [y0,ym) ∪ [xm,x1) × [ym,y1)  (a plain box has xm=x0, ym=y1).
     Ring coordinates are embedded as repr() float literals — bit-exact
     round-trip into DuckDB doubles."""
@@ -1143,16 +1143,60 @@ def sql_images_pip(n: int) -> str:
         rows.append(
             f"('{tid}', {x0!r}, {x1!r}, {y0!r}, {y1!r}, {xm!r}, {ym!r})"
         )
-    values = ",\n  ".join(rows)
+    return ",\n  ".join(rows)
+
+
+_SQL_TILE_PRED = """
+  ON (p.lat >= t.y0 AND p.lat < t.ym AND p.lon >= t.x0 AND p.lon < t.x1)
+  OR (p.lat >= t.ym AND p.lat < t.y1 AND p.lon >= t.xm AND p.lon < t.x1)
+"""
+
+
+def sql_images_pip(n: int) -> str:
+    """SQL twin of q_images_pip — see :func:`_sql_tile_rects` for the
+    half-open-rectangle reconstruction of the ray-cast interiors."""
     return f"""
 WITH p AS ({_sql_img_coords(n)}),
 t(tile_id, x0, x1, y0, y1, xm, ym) AS (VALUES
-  {values}
+  {_sql_tile_rects()}
 )
 SELECT tile_id, COUNT(*) AS n_points
 FROM p JOIN t
-  ON (p.lat >= t.y0 AND p.lat < t.ym AND p.lon >= t.x0 AND p.lon < t.x1)
-  OR (p.lat >= t.ym AND p.lat < t.y1 AND p.lon >= t.xm AND p.lon < t.x1)
+{_SQL_TILE_PRED}
+GROUP BY tile_id
+"""
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-polygon (count, sum, min, max) of the image
+    width — PIP zone assignment (actor-held polygon index) feeding the
+    two-phase integer zonal aggregate (ops.tiles.zonal_stats)."""
+    from georay import fixtures
+    from georay.ops import pip as pip_ops
+
+    ids, _zooms, rings = fixtures.make_tiles()
+    ds = fixtures.read_images(sf_dir, columns=["w", "lon", "lat"])
+    pairs = pip_ops.pip_assign(
+        ds, ids, rings, bits=10, keep_cols=["w"], poly_id_col="tile_id"
+    )
+    return tiles.zonal_stats(pairs, "tile_id", "w", combine_partitions=1)
+
+
+def sql_zonal_stats(n: int) -> str:
+    """w replays the fixture dims closed form: w = 32 + (pix % 4)·16 with
+    the duplicate-injection pixel index (images.image_dims, FIXTURES.md F1)."""
+    return f"""
+WITH c AS ({_sql_img_coords(n)}),
+img AS ({_sql_img(n)}),
+p AS (SELECT c.i, lon, lat, 32 + (pix % 4) * 16 AS w
+      FROM c JOIN img ON c.i = img.i),
+t(tile_id, x0, x1, y0, y1, xm, ym) AS (VALUES
+  {_sql_tile_rects()}
+)
+SELECT tile_id, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sum_v,
+       CAST(MIN(w) AS BIGINT) AS min_v, CAST(MAX(w) AS BIGINT) AS max_v
+FROM p JOIN t
+{_SQL_TILE_PRED}
 GROUP BY tile_id
 """
 
@@ -2482,6 +2526,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "images_decode": (q_images_decode, sql_images_decode(n_images)),
         "images_tiles": (q_images_tiles, sql_images_tiles(n_images)),
         "images_pip": (q_images_pip, sql_images_pip(n_images)),
+        "zonal_stats": (q_zonal_stats, sql_zonal_stats(n_images)),
         "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
         "minhash_neardup_shuffle": (q_minhash_neardup_shuffle, SQL_MINHASH_NEARDUP),
         "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),

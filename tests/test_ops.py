@@ -438,3 +438,30 @@ def test_dwithin_boundary_inclusive(ray_session):
     ).to_pandas()
     assert list(zip(out["lkey"], out["rkey"])) == [(1, 2)]
     assert out["dist2"].iloc[0] == 25.0
+
+
+def test_zonal_stats_matches_pandas(ray_session):
+    import ray
+
+    rng = np.random.RandomState(7)
+    zones = rng.choice(["a", "b", "c", "hot"], size=5000, p=[0.2, 0.2, 0.1, 0.5])
+    vals = rng.randint(-1000, 1000, size=5000).astype(np.int64)
+    t = pa.table({"zone": pa.array(zones), "v": pa.array(vals)})
+    out = (
+        tiles.zonal_stats(
+            ray.data.from_arrow(t).repartition(8), "zone", "v",
+            combine_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("zone")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"zone": zones, "v": vals})
+        .groupby("zone", as_index=False)
+        .agg(n=("v", "size"), sum_v=("v", "sum"), min_v=("v", "min"),
+             max_v=("v", "max"))
+        .sort_values("zone")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[want.columns.tolist()], want)
