@@ -323,3 +323,129 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
         .groupby(["id_a", "id_b"])
         .aggregate(Max("cos", alias_name="cos"))
     )
+
+
+def fixed_matrix(col) -> np.ndarray:
+    """(n, d) view of a FixedSizeList column — zero-copy values buffer."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    d = arr.type.list_size
+    return arr.values.to_numpy(zero_copy_only=False).reshape(len(arr), d)
+
+
+def kmeans_lloyd(ds, k: int = 8, iters: int = 3, id_col: str = "vec_id",
+                 emb_col: str = "embedding", scale: int = 1 << 20,
+                 combine_partitions: int = 2):
+    """Distributed Lloyd's k-means over an embedding column, DETERMINISTIC
+    regardless of batch order / partitioning:
+
+    - embeddings are int-scaled ONCE (``floor(x · 2²⁰)`` — floor, not
+      round: identical semantics in numpy and SQL) and materialized (the
+      int table is consumed ``iters + 1`` times);
+    - per-iteration partials are INTEGER (cluster, dim) → (Σxᵢ, count)
+      rows — k·d rows per batch regardless of batch size, summed exactly by
+      an order-independent groupby, so the centroid ``s/c`` is the same
+      float64 on every run;
+    - assignment = argmin of squared-L2 in the scaled domain, ties broken
+      by lowest cluster id (np.argmin ⟷ ``ORDER BY dist, cluster``).
+
+    Only the distance SUM's float addition order differs from a SQL
+    replica — argmin decisions are robust to last-ulp noise on non-
+    degenerate data (same contract as the embed_neardup threshold compare).
+    Init: the k smallest ``id_col`` rows, cluster j = rank of the id.
+    Output: ``id_col, cluster`` for every row. Empty clusters keep their
+    previous centroid on both sides.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def to_int(t: pa.Table) -> pa.Table:
+        mat = emb_matrix(t[emb_col]).astype(np.float64)
+        xi = np.floor(mat * float(scale)).astype(np.int64)
+        n, d = xi.shape
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "xi": pa.FixedSizeListArray.from_arrays(
+                    pa.array(xi.reshape(-1)), d
+                ),
+            }
+        )
+
+    ints = ds.map_batches(
+        to_int, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    dim = None
+    for name, typ in zip(ints.schema().names, ints.schema().types):
+        if name == "xi":
+            dim = typ.list_size
+
+    # ---- init: the k smallest ids, found distributed (each batch collapses
+    # to its own k smallest rows, the driver merges O(batches·k) rows —
+    # never the full id column)
+    def local_min_k(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="quicksort")[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    cand = pa.concat_tables(
+        ray.get(ints.map_batches(
+            local_min_k, batch_format="pyarrow").to_arrow_refs())
+    )
+    order = np.argsort(cand[id_col].to_numpy(zero_copy_only=False),
+                       kind="stable")[:k]
+    cent = fixed_matrix(cand["xi"]).astype(np.float64)[order]
+
+    cluster_rep = np.repeat(np.arange(k, dtype=np.int64), dim)
+    dim_tile = np.tile(np.arange(dim, dtype=np.int64), k)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            C = ray.get(_ref)
+            Xi = fixed_matrix(t["xi"])
+            X = Xi.astype(np.float64)
+            D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = D.argmin(1)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, C.shape[1]), np.int64)
+            np.add.at(sums, a, Xi)
+            return pa.table(
+                {
+                    "cluster": pa.array(cluster_rep),
+                    "d": pa.array(dim_tile),
+                    "s": pa.array(sums.reshape(-1)),
+                    "c": pa.array(np.repeat(counts, C.shape[1])),
+                }
+            )
+
+        agg = (
+            ints.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .repartition(combine_partitions)
+            .groupby(["cluster", "d"])
+            .aggregate(Sum("s", alias_name="s_sum"), Sum("c", alias_name="c_sum"))
+            .to_pandas()
+        )
+        s_mat = np.zeros((k, dim))
+        c_mat = np.zeros((k, dim))
+        s_mat[agg["cluster"].to_numpy(), agg["d"].to_numpy()] = agg["s_sum"]
+        c_mat[agg["cluster"].to_numpy(), agg["d"].to_numpy()] = agg["c_sum"]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cent = np.where(c_mat > 0, s_mat / c_mat, cent)
+
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table, _ref=ref) -> pa.Table:
+        C = ray.get(_ref)
+        X = fixed_matrix(t["xi"]).astype(np.float64)
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(D.argmin(1).astype(np.int64)),
+            }
+        )
+
+    return ints.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)

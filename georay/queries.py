@@ -1735,6 +1735,79 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+KMEANS_K, KMEANS_ITERS, KMEANS_SCALE, EMB_DIM = 8, 3, 1 << 20, 64
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table — the iterative
+    class: int-scaled embeddings + exact integer (Σx, n) partials make every
+    iteration's centroids batch-order-independent, so 3 unrolled iterations
+    land on the same assignment as the SQL replica (ops.similarity
+    .kmeans_lloyd for the determinism contract)."""
+    from georay.ops import similarity as sim
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.kmeans_lloyd(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE
+    )
+
+
+def sql_kmeans(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+               scale: int = KMEANS_SCALE, dim: int = EMB_DIM) -> str:
+    """Unrolled Lloyd's replica: e = int-scaled (vec_id, d, xi) rows;
+    c0 = the k smallest vec_ids (cluster j = id rank); each iteration is a
+    plain CTE pair (argmin assignment via ROW_NUMBER ORDER BY dist,
+    cluster — the np.argmin tie-break — then exact integer re-sums with a
+    LEFT-JOIN COALESCE keeping empty clusters' previous centroids)."""
+    parts = [
+        f"e AS (SELECT vec_id, i AS d, CAST(FLOOR(CAST(embedding[i + 1] AS "
+        f"DOUBLE) * {float(scale)!r}) AS BIGINT) AS xi "
+        f"FROM embeddings, range(0, {dim}) t(i))",
+        f"init AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) "
+        f"- 1 AS BIGINT) AS cluster FROM "
+        f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS (SELECT init.cluster, e.d, e.xi AS s, CAST(1 AS BIGINT) AS c "
+        "FROM e JOIN init ON e.vec_id = init.vec_id)",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cluster FROM ("
+            f"  SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+            f"    PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM ("
+            f"    SELECT e.vec_id, p.cluster,"
+            f"           SUM((e.xi - p.s / CAST(p.c AS DOUBLE))"
+            f"             * (e.xi - p.s / CAST(p.c AS DOUBLE))) AS dist"
+            f"    FROM e JOIN {prev} p ON e.d = p.d"
+            f"    GROUP BY e.vec_id, p.cluster)) WHERE rn = 1)"
+        )
+        parts.append(
+            f"n{it} AS (SELECT a.cluster, e.d, CAST(SUM(e.xi) AS BIGINT) AS s,"
+            f" CAST(COUNT(*) AS BIGINT) AS c"
+            f" FROM a{it} a JOIN e ON a.vec_id = e.vec_id"
+            f" GROUP BY a.cluster, e.d)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT p.cluster, p.d, COALESCE(n.s, p.s) AS s,"
+            f" COALESCE(n.c, p.c) AS c FROM {prev} p"
+            f" LEFT JOIN n{it} n ON n.cluster = p.cluster AND n.d = p.d)"
+        )
+    # the engine's OUTPUT assignment runs against the post-loop centroids
+    # (c{iters}) — one extra argmin beyond the last update
+    parts.append(
+        f"afinal AS (SELECT vec_id, cluster FROM ("
+        f"  SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+        f"    PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM ("
+        f"    SELECT e.vec_id, p.cluster,"
+        f"           SUM((e.xi - p.s / CAST(p.c AS DOUBLE))"
+        f"             * (e.xi - p.s / CAST(p.c AS DOUBLE))) AS dist"
+        f"    FROM e JOIN c{iters} p ON e.d = p.d"
+        f"    GROUP BY e.vec_id, p.cluster)) WHERE rn = 1)"
+    )
+    body = ",\n".join(parts)
+    return f"WITH\n{body}\nSELECT vec_id, cluster FROM afinal"
+
+
 RASTER_TILE_BITS = 4
 
 
@@ -2540,6 +2613,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "tfidf_topk": (q_tfidf, SQL_TFIDF),
         "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
+        "kmeans_clusters": (q_kmeans, sql_kmeans()),
         "raster_assembly": (q_raster, sql_raster(n_images)),
         "compact_cells": (q_compact, SQL_COMPACT),
         "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),

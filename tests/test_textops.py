@@ -369,3 +369,82 @@ def test_tfidf_topk_brute_parity(ray_session, docs_table):
             {"tf": "int64", "df": "int64", "rank": "int64"}
         ),
     )
+
+
+def _kmeans_replica(ids, emb, k, iters, scale=1 << 20):
+    """Single-process mirror of ops.similarity.kmeans_lloyd."""
+    xi = np.floor(emb.astype(np.float64) * scale).astype(np.int64)
+    order = np.argsort(ids, kind="stable")[:k]
+    cent = xi[order].astype(np.float64)
+    for _ in range(iters):
+        D = ((xi[:, None, :].astype(np.float64) - cent[None, :, :]) ** 2).sum(-1)
+        a = D.argmin(1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = xi[m].sum(0) / m.sum()
+    D = ((xi[:, None, :].astype(np.float64) - cent[None, :, :]) ** 2).sum(-1)
+    return D.argmin(1)
+
+
+def test_kmeans_partition_invariant(ray_session, emb_table):
+    """Identical assignment whatever the block layout (the integer-partials
+    determinism contract)."""
+    import pandas as pd
+    import ray
+
+    from georay.ops import similarity as sim
+
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(emb_table).repartition(parts)
+        out = (
+            sim.kmeans_lloyd(ds, k=5, iters=2)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    ids = emb_table["vec_id"].to_numpy()
+    emb = sim.emb_matrix(emb_table["embedding"])
+    want = _kmeans_replica(ids, emb, k=5, iters=2)
+    got = outs[0].set_index("vec_id")["cluster"]
+    assert (got.loc[ids].to_numpy() == want).all()
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """Two identical init points: one cluster empties after the first
+    assignment; the engine must keep its centroid (no NaN/crash) and match
+    the replica."""
+    import ray
+
+    from georay.ops import similarity as sim
+
+    rng = np.random.RandomState(3)
+    emb = np.vstack(
+        [
+            np.full((1, 8), 0.5, np.float32),
+            np.full((1, 8), 0.5, np.float32),  # duplicate init point
+            rng.normal(-0.5, 0.01, (20, 8)).astype(np.float32),
+        ]
+    )
+    ids = np.arange(emb.shape[0], dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1)), 8
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (
+        sim.kmeans_lloyd(ds, k=3, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = _kmeans_replica(ids, emb, k=3, iters=3)
+    assert (out["cluster"].to_numpy() == want).all()
+    assert out["cluster"].nunique() >= 2
