@@ -387,13 +387,13 @@ def kmeans_lloyd(ds, k: int = 8, iters: int = 3, id_col: str = "vec_id",
         keep = np.argsort(ids, kind="quicksort")[:k]
         return t.take(pa.array(np.sort(keep)))
 
-    cand = pa.concat_tables(
-        ray.get(ints.map_batches(
-            local_min_k, batch_format="pyarrow").to_arrow_refs())
-    )
-    order = np.argsort(cand[id_col].to_numpy(zero_copy_only=False),
-                       kind="stable")[:k]
-    cent = fixed_matrix(cand["xi"]).astype(np.float64)[order]
+    # plain to_pandas on the tiny per-batch partials (to_arrow_refs +
+    # ray.get here intermittently trips a Ray core refcount CHECK crash —
+    # reference_count.cc:581 — when the intermediate dataset is GC'd while
+    # its refs are being inlined)
+    cand = ints.map_batches(local_min_k, batch_format="pyarrow").to_pandas()
+    order = np.argsort(cand[id_col].to_numpy(), kind="stable")[:k]
+    cent = np.stack(cand["xi"].to_numpy()[order]).astype(np.float64)
 
     cluster_rep = np.repeat(np.arange(k, dtype=np.int64), dim)
     dim_tile = np.tile(np.arange(dim, dtype=np.int64), k)

@@ -2280,6 +2280,42 @@ FROM r WHERE rank <= 256
 """
 
 
+def q_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (p25/p50/p90/p99) of lineitem
+    quantity via distributed integer histograms — no sort, the exchange
+    moves O(groups × 50 distinct values × batches) rows
+    (ops.sketch.grouped_quantiles; the quantile_disc index rule is pinned
+    empirically in tests)."""
+    from georay.ops import sketch as sketch_ops
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    ints = li.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+    return sketch_ops.grouped_quantiles(
+        ints, "l_returnflag", "qty", qs=(0.25, 0.5, 0.9, 0.99)
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.99) AS BIGINT) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: the 20 documents per language whose
     splitmix64(doc_id) sorts first — reproducible across runs and cluster
@@ -2625,6 +2661,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "trajectory_stats": (q_trajectory_stats, SQL_TRAJECTORY),
         "raster_focal": (q_raster_focal, SQL_RASTER_FOCAL),
         "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
+        "grouped_quantiles": (q_quantiles, SQL_QUANTILES),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),

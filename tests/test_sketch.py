@@ -100,3 +100,38 @@ def test_stratified_sample_deterministic(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert (a.groupby("stratum")["rank"].max() == 10).all()
     assert (a.groupby("stratum")["rank"].min() == 1).all()
+
+
+def test_grouped_quantiles_matches_duckdb_rule(ray_session):
+    """Random histograms vs DuckDB quantile_disc — pins the
+    max(0, ceil(q·n)-1) index rule the distributed op uses."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from georay.ops import sketch as sketch_ops
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1]),
+            "v": rng.randint(-50, 50, size=n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (
+        sketch_ops.grouped_quantiles(ds, "g", "v", qs=(0.1, 0.5, 0.9))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT g, CAST(quantile_disc(v, 0.1) AS BIGINT) AS p10,
+                  CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50,
+                  CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90
+           FROM t GROUP BY g ORDER BY g"""
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
