@@ -65,3 +65,104 @@ def trajectory_stats(ds, key_col: str, ts_col: str, order_col: str,
         .groupby(key_col)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def leg_cell_cover(ds, key_col: str, ts_col: str, order_col: str,
+                   x_col: str, y_col: str, cell_size: int,
+                   nx: int, ny: int):
+    """Supercover line rasterization of trajectory legs — which grid cells
+    does each consecutive-point segment cross? Completes the vector trio
+    (point→cell: codec.encode; polygon→cells: cells.polygon_cover;
+    line→cells: here).
+
+    Coordinates are INTEGER grid units (milli-degrees in the harness);
+    cells are ``cell_size``-sized boxes, ``nx × ny`` of them. A cell is
+    covered when (a) it lies in the segment's floor-div bbox index range —
+    note this is LOW-EDGE-EXCLUSIVE when the segment only touches a cell's
+    low gridline from outside, the same half-open convention as the PIP
+    rectangles — and (b) the segment's line straddles or touches the cell's
+    corner box (min/max of the four int64 corner cross-products brackets
+    zero). All arithmetic is int64 (cross products bounded by extent² <
+    2⁶³), so the SQL twin is bit-exact BY CONSTRUCTION — no float geometry
+    anywhere.
+
+    One shuffle (groupby key), then per key: sort by (ts, order), build
+    legs, enumerate each leg's bbox candidate cells with the offsets idiom
+    (no per-leg Python loop), filter by the straddle test, and aggregate
+    per leg. Output one row per leg: ``key_col, seq (0-based),
+    n_cov (covered cells), sum_code (Σ cx·ny + cy — a content checksum)``.
+    """
+    from georay.runtime import table_from_pandas
+
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("seq", pa.int64()),
+            ("n_cov", pa.int64()),
+            ("sum_code", pa.int64()),
+        ]
+    )
+    s = np.int64(cell_size)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame | pa.Table:
+        g = g.sort_values([ts_col, order_col], kind="quicksort")
+        x = g[x_col].to_numpy(dtype=np.int64)
+        y = g[y_col].to_numpy(dtype=np.int64)
+        n_legs = x.size - 1
+        if n_legs <= 0:
+            return table_from_pandas(
+                pd.DataFrame({key_col: [], "seq": [], "n_cov": [],
+                              "sum_code": []}), schema=out_schema)
+        x1, x2 = x[:-1], x[1:]
+        y1, y2 = y[:-1], y[1:]
+        cx_lo = np.minimum(x1, x2) // s
+        cx_hi = np.minimum(np.maximum(x1, x2) // s, np.int64(nx - 1))
+        cy_lo = np.minimum(y1, y2) // s
+        cy_hi = np.minimum(np.maximum(y1, y2) // s, np.int64(ny - 1))
+        w = (cx_hi - cx_lo + 1)
+        h = (cy_hi - cy_lo + 1)
+        counts = w * h
+        total = int(counts.sum())
+        leg = np.repeat(np.arange(n_legs, dtype=np.int64), counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        local = np.arange(total, dtype=np.int64) - starts
+        cx = cx_lo[leg] + local // h[leg]
+        cy = cy_lo[leg] + local % h[leg]
+        # corner cross products vs the segment line (int64 exact)
+        dx = (x2 - x1)[leg]
+        dy = (y2 - y1)[leg]
+        bx1, bx2 = cx * s, (cx + 1) * s
+        by1, by2 = cy * s, (cy + 1) * s
+        d_a = dx * (by1 - y1[leg]) - dy * (bx1 - x1[leg])
+        d_b = dx * (by1 - y1[leg]) - dy * (bx2 - x1[leg])
+        d_c = dx * (by2 - y1[leg]) - dy * (bx1 - x1[leg])
+        d_d = dx * (by2 - y1[leg]) - dy * (bx2 - x1[leg])
+        dmin = np.minimum(np.minimum(d_a, d_b), np.minimum(d_c, d_d))
+        dmax = np.maximum(np.maximum(d_a, d_b), np.maximum(d_c, d_d))
+        keep = (dmin <= 0) & (dmax >= 0)
+        leg_k, cx_k, cy_k = leg[keep], cx[keep], cy[keep]
+        n_cov = np.bincount(leg_k, minlength=n_legs).astype(np.int64)
+        code = cx_k * np.int64(ny) + cy_k
+        sum_code = np.zeros(n_legs, dtype=np.int64)
+        np.add.at(sum_code, leg_k, code)
+        return table_from_pandas(
+            pd.DataFrame(
+                {
+                    key_col: np.full(n_legs, g[key_col].iloc[0],
+                                     dtype=np.int64),
+                    "seq": np.arange(n_legs, dtype=np.int64),
+                    "n_cov": n_cov,
+                    "sum_code": sum_code,
+                }
+            ),
+            schema=out_schema,
+        )
+
+    cols = [key_col, ts_col, order_col, x_col, y_col]
+    return (
+        ds.select_columns(cols)
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )

@@ -2192,6 +2192,88 @@ def q_trajectory_stats(sf_dir: str):
     )
 
 
+LINE_COVER_S, LINE_COVER_NX, LINE_COVER_NY = 11250, 32, 16
+
+
+def q_line_cover(sf_dir: str):
+    """Supercover line rasterization of trajectory legs on a 32×16 grid —
+    per-leg covered-cell count + content checksum, all-int64 geometry
+    (ops.trajectory.leg_cell_cover), so the SQL twin is exact by
+    construction."""
+    from georay.ops import trajectory as traj
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "us": pa.array(us),
+                "event_id": t["event_id"],
+                "xi": pa.array((eid * HASH_LON) % 360000),
+                "yi": pa.array((eid * HASH_LAT) % 180000),
+            }
+        )
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return traj.leg_cell_cover(
+        pts, "user_id", "us", "event_id", "xi", "yi",
+        cell_size=LINE_COVER_S, nx=LINE_COVER_NX, ny=LINE_COVER_NY,
+    )
+
+
+SQL_LINE_COVER = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         (event_id * {HASH_LON}) % 360000 AS xi,
+         (event_id * {HASH_LAT}) % 180000 AS yi
+  FROM events),
+l AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER w - 2 AS BIGINT) AS seq,
+         LAG(xi) OVER w AS x1, LAG(yi) OVER w AS y1,
+         xi AS x2, yi AS y2
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+legs AS (SELECT * FROM l WHERE x1 IS NOT NULL),
+candx AS (
+  SELECT user_id, seq, x1, y1, x2, y2,
+         unnest(range(LEAST(x1, x2) // {LINE_COVER_S},
+                      LEAST(GREATEST(x1, x2) // {LINE_COVER_S},
+                            {LINE_COVER_NX - 1}) + 1)) AS cx
+  FROM legs),
+cand AS (
+  SELECT user_id, seq, x1, y1, x2, y2, cx,
+         unnest(range(LEAST(y1, y2) // {LINE_COVER_S},
+                      LEAST(GREATEST(y1, y2) // {LINE_COVER_S},
+                            {LINE_COVER_NY - 1}) + 1)) AS cy
+  FROM candx),
+hit AS (
+  SELECT user_id, seq, cx, cy
+  FROM (
+    SELECT user_id, seq, cx, cy,
+      (x2 - x1) * (cy * {LINE_COVER_S} - y1)
+        - (y2 - y1) * (cx * {LINE_COVER_S} - x1) AS da,
+      (x2 - x1) * (cy * {LINE_COVER_S} - y1)
+        - (y2 - y1) * ((cx + 1) * {LINE_COVER_S} - x1) AS db,
+      (x2 - x1) * ((cy + 1) * {LINE_COVER_S} - y1)
+        - (y2 - y1) * (cx * {LINE_COVER_S} - x1) AS dc,
+      (x2 - x1) * ((cy + 1) * {LINE_COVER_S} - y1)
+        - (y2 - y1) * ((cx + 1) * {LINE_COVER_S} - x1) AS dd
+    FROM cand)
+  WHERE LEAST(da, db, dc, dd) <= 0 AND GREATEST(da, db, dc, dd) >= 0)
+SELECT legs.user_id, legs.seq,
+       CAST(COALESCE(n_cov, 0) AS BIGINT) AS n_cov,
+       CAST(COALESCE(sum_code, 0) AS BIGINT) AS sum_code
+FROM legs LEFT JOIN (
+  SELECT user_id, seq, COUNT(*) AS n_cov,
+         SUM(cx * {LINE_COVER_NY} + cy) AS sum_code
+  FROM hit GROUP BY user_id, seq) h
+  ON legs.user_id = h.user_id AND legs.seq = h.seq
+"""
+
+
 SQL_TRAJECTORY = f"""
 WITH p AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -2659,6 +2741,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
         "trajectory_stats": (q_trajectory_stats, SQL_TRAJECTORY),
+        "line_cover": (q_line_cover, SQL_LINE_COVER),
         "raster_focal": (q_raster_focal, SQL_RASTER_FOCAL),
         "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
         "grouped_quantiles": (q_quantiles, SQL_QUANTILES),

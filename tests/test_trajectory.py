@@ -79,3 +79,95 @@ def test_trajectory_singleton_and_duplicate_ts(ray_session):
     assert s.loc[1, "n_legs"] == 2
     assert s.loc[1, "sum_d2"] == 25 and s.loc[1, "max_d2"] == 16
     assert s.loc[1, "sum_dt_us"] == 0
+
+
+def test_leg_cell_cover_horizontal_and_diagonal(ray_session):
+    """Hand-checked segments: horizontal leg covers its 3 row cells;
+    corner-touching diagonal includes the touched neighbors (closed-box
+    straddle test)."""
+    import pandas as pd
+    import ray
+
+    from georay.ops import trajectory as traj
+
+    s, nx, ny = 11250, 32, 16
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2],
+            "us": [0, 1, 0, 1],
+            "oid": [0, 1, 2, 3],
+            "xi": [100, 30000, 0, 22500],
+            "yi": [100, 100, 0, 22500],
+        }
+    )
+    out = (
+        traj.leg_cell_cover(
+            ray.data.from_pandas(df).repartition(2), "k", "us", "oid",
+            "xi", "yi", cell_size=s, nx=nx, ny=ny,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1 horizontal: cells (0,0),(1,0),(2,0)
+    assert out.loc[0, "n_cov"] == 3 and out.loc[0, "sum_code"] == (0 + 16 + 32)
+    # k=2 diagonal via corner (11250,11250) and (22500,22500): band cells
+    # (0,0),(1,1),(2,2) + corner-touchers (0,1),(1,0),(1,2),(2,1)
+    assert out.loc[1, "n_cov"] == 7
+    codes = {0 * 16 + 0, 1 * 16 + 1, 2 * 16 + 2, 0 * 16 + 1, 1 * 16 + 0,
+             1 * 16 + 2, 2 * 16 + 1}
+    assert out.loc[1, "sum_code"] == sum(codes)
+
+
+def test_leg_cell_cover_matches_replica(ray_session):
+    """Random trajectories vs a per-cell brute-force replica."""
+    import pandas as pd
+    import ray
+
+    from georay.ops import trajectory as traj
+
+    rng = np.random.RandomState(5)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 12, n),
+            "us": rng.randint(0, 10**6, n),
+            "oid": np.arange(n),
+            "xi": rng.randint(0, 360000, n),
+            "yi": rng.randint(0, 180000, n),
+        }
+    )
+    s, nx, ny = 11250, 32, 16
+    got = (
+        traj.leg_cell_cover(
+            ray.data.from_pandas(df).repartition(5), "k", "us", "oid",
+            "xi", "yi", cell_size=s, nx=nx, ny=ny,
+        )
+        .to_pandas()
+        .sort_values(["k", "seq"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["us", "oid"])
+        x, y = g["xi"].to_numpy(np.int64), g["yi"].to_numpy(np.int64)
+        for i in range(len(g) - 1):
+            x1, y1, x2, y2 = x[i], y[i], x[i + 1], y[i + 1]
+            ncv, sc = 0, 0
+            for cx in range(min(x1, x2) // s, min(max(x1, x2) // s, nx - 1) + 1):
+                for cy in range(min(y1, y2) // s,
+                                min(max(y1, y2) // s, ny - 1) + 1):
+                    dx, dy = int(x2 - x1), int(y2 - y1)
+                    ds_ = [dx * (by - y1) - dy * (bx - x1)
+                           for bx in (cx * s, (cx + 1) * s)
+                           for by in (cy * s, (cy + 1) * s)]
+                    if min(ds_) <= 0 <= max(ds_):
+                        ncv += 1
+                        sc += cx * ny + cy
+            rows.append((k, i, ncv, sc))
+    want = pd.DataFrame(rows, columns=["k", "seq", "n_cov", "sum_code"])
+    want = want.sort_values(["k", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_cov": "int64", "sum_code": "int64"}),
+        want.astype({c: "int64" for c in want.columns}),
+    )
