@@ -413,3 +413,122 @@ def bloom_semi_join(ds, keys_ds, on: str, right_on: str | None = None,
         lambda t: classify(t, False), batch_format="pyarrow", zero_copy_batch=True
     )
     return misses.union(verified)
+
+
+def box_overlap_join(
+    a_ds,
+    b_ds,
+    cell_size: int,
+    nx: int,
+    ny: int,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+    num_partitions: int = 16,
+    emit_area: bool = True,
+    coalesce: int | None = None,
+):
+    """Spatial join of EXTENDED objects: all (a, b) box pairs whose CLOSED
+    integer rectangles overlap. Inputs carry ``<id>, x0, y0, x1, y1``
+    (int64 grid units, 0 <= x <= nx·cell_size).
+
+    ``coalesce``: repartition both exploded sides to this many blocks
+    before the exchange — shuffle cost scales with block count (CLAUDE.md),
+    so small inputs read as many tiny blocks should set it; huge inputs
+    already carry full blocks and leave it None.
+
+    Plan: each box flat-maps to the grid cells its rectangle overlaps
+    (``(x1-x0)/cell_size``-bounded, offsets idiom), the sides hash-join on
+    the cell, and the exact closed-overlap filter runs per batch. A pair
+    overlapping many shared cells is emitted EXACTLY ONCE with zero dedup
+    shuffle — the REPORT-ONCE trick: only the unique cell containing the
+    intersection's min corner ``(max(ax0,bx0) // s, max(ay0,by0) // s)``
+    reports the pair (that cell is always in both covers). All arithmetic
+    int64 → the SQL inequality-join twin is bit-exact.
+
+    Output: ``a_id, b_id`` (+ ``inter_area`` int64 when ``emit_area``).
+    """
+    s = np.int64(cell_size)
+
+    def explode(prefix: str, id_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            x0 = t["x0"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y0 = t["y0"].to_numpy(zero_copy_only=False).astype(np.int64)
+            x1 = t["x1"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y1 = t["y1"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cx_lo, cx_hi = x0 // s, np.minimum(x1 // s, np.int64(nx - 1))
+            cy_lo, cy_hi = y0 // s, np.minimum(y1 // s, np.int64(ny - 1))
+            w = cx_hi - cx_lo + 1
+            h = cy_hi - cy_lo + 1
+            counts = w * h
+            total = int(counts.sum())
+            row = np.repeat(np.arange(x0.size, dtype=np.int64), counts)
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            local = np.arange(total, dtype=np.int64) - starts
+            cx = cx_lo[row] + local // h[row]
+            cy = cy_lo[row] + local % h[row]
+            ids = t[id_col].to_numpy(zero_copy_only=False)[row]
+            return pa.table(
+                {
+                    f"{prefix}id": pa.array(ids),
+                    f"{prefix}x0": pa.array(x0[row]),
+                    f"{prefix}y0": pa.array(y0[row]),
+                    f"{prefix}x1": pa.array(x1[row]),
+                    f"{prefix}y1": pa.array(y1[row]),
+                    "cell": pa.array(cx * np.int64(ny) + cy),
+                }
+            )
+
+        return fn
+
+    left = a_ds.map_batches(explode("a_", a_id), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = b_ds.map_batches(explode("b_", b_id), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    if coalesce is not None:
+        left = left.repartition(coalesce)
+        right = right.repartition(coalesce)
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("cell",),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def overlap_once(t: pa.Table) -> pa.Table:
+        ax0 = t["a_x0"].to_numpy(zero_copy_only=False)
+        ay0 = t["a_y0"].to_numpy(zero_copy_only=False)
+        ax1 = t["a_x1"].to_numpy(zero_copy_only=False)
+        ay1 = t["a_y1"].to_numpy(zero_copy_only=False)
+        bx0 = t["b_x0"].to_numpy(zero_copy_only=False)
+        by0 = t["b_y0"].to_numpy(zero_copy_only=False)
+        bx1 = t["b_x1"].to_numpy(zero_copy_only=False)
+        by1 = t["b_y1"].to_numpy(zero_copy_only=False)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        ix0 = np.maximum(ax0, bx0)
+        iy0 = np.maximum(ay0, by0)
+        ix1 = np.minimum(ax1, bx1)
+        iy1 = np.minimum(ay1, by1)
+        overlap = (ix0 <= ix1) & (iy0 <= iy1)
+        owner = (np.minimum(ix0 // s, np.int64(nx - 1)) * np.int64(ny)
+                 + np.minimum(iy0 // s, np.int64(ny - 1)))
+        keep = overlap & (owner == cell)
+        cols = {
+            "a_id": t["a_id"].filter(pa.array(keep)),
+            "b_id": t["b_id"].filter(pa.array(keep)),
+        }
+        if emit_area:
+            cols["inter_area"] = pa.array(
+                ((ix1 - ix0) * (iy1 - iy0))[keep].astype(np.int64)
+            )
+        return pa.table(cols)
+
+    out = joined.map_batches(overlap_once, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def rename(t: pa.Table) -> pa.Table:
+        names = [a_id, b_id] + (["inter_area"] if emit_area else [])
+        return t.rename_columns(names)
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

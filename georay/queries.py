@@ -448,6 +448,73 @@ FROM c JOIN s
 )
 
 
+# ---------------------------------------------------------------- box join
+
+BOX_S, BOX_NX, BOX_NY = 11250, 32, 16
+
+
+def _int_boxes(t: pa.Table, key: str, base_w: int, mod_w: int) -> pa.Table:
+    """Deterministic integer box per key on the 360000×180000 milli-degree
+    grid (clipped to the domain)."""
+    k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    xi = (k * HASH_LON) % 360000
+    yi = (k * HASH_LAT) % 180000
+    hw = base_w + (k * 7) % mod_w
+    hh = base_w + (k * 11) % mod_w
+    return pa.table(
+        {
+            key: t[key],
+            "x0": pa.array(np.maximum(xi - hw, 0)),
+            "y0": pa.array(np.maximum(yi - hh, 0)),
+            "x1": pa.array(np.minimum(xi + hw, 360000)),
+            "y1": pa.array(np.minimum(yi + hh, 180000)),
+        }
+    )
+
+
+def _sql_int_boxes(table: str, key: str, base_w: int, mod_w: int) -> str:
+    return f"""
+SELECT {key},
+  GREATEST(({key} * {HASH_LON}) % 360000 - ({base_w} + ({key} * 7) % {mod_w}), 0) AS x0,
+  GREATEST(({key} * {HASH_LAT}) % 180000 - ({base_w} + ({key} * 11) % {mod_w}), 0) AS y0,
+  LEAST(({key} * {HASH_LON}) % 360000 + ({base_w} + ({key} * 7) % {mod_w}), 360000) AS x1,
+  LEAST(({key} * {HASH_LAT}) % 180000 + ({base_w} + ({key} * 11) % {mod_w}), 180000) AS y1
+FROM {table}"""
+
+
+def q_box_join(sf_dir: str):
+    """Spatial join of EXTENDED objects (box overlap, closed rectangles):
+    each box flat-maps to its grid cells, ONE hash join on the cell, exact
+    integer overlap filter — and the REPORT-ONCE trick (only the cell
+    holding the intersection's min corner emits the pair) replaces any
+    dedup shuffle (ops.join.box_overlap_join)."""
+    from georay.ops import join as join_ops
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: _int_boxes(t, "c_custkey", 1500, 2500),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        lambda t: _int_boxes(t, "s_suppkey", 4000, 6000),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return join_ops.box_overlap_join(
+        cust, supp, cell_size=BOX_S, nx=BOX_NX, ny=BOX_NY,
+        a_id="c_custkey", b_id="s_suppkey", num_partitions=8, coalesce=4,
+    )
+
+
+SQL_BOX_JOIN = f"""
+WITH a AS ({_sql_int_boxes('customer', 'c_custkey', 1500, 2500)}),
+     b AS ({_sql_int_boxes('supplier', 's_suppkey', 4000, 6000)})
+SELECT a.c_custkey, b.s_suppkey,
+       CAST((LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+          * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS BIGINT) AS inter_area
+FROM a JOIN b
+  ON a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+"""
+
+
 # ------------------------------------------------------------------------ PIP
 
 PIP_W, PIP_H = 30.0, 20.0
@@ -2704,6 +2771,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "knn_ring1": (q_knn, SQL_KNN),
         "dwithin": (q_dwithin, SQL_DWITHIN),
         "dwithin_shuffle": (q_dwithin_shuffle, SQL_DWITHIN),
+        "box_join": (q_box_join, SQL_BOX_JOIN),
         "pip_nation": (q_pip, SQL_PIP),
         "tile_counts": (q_tile_counts, SQL_TILE_COUNTS),
         "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),

@@ -465,3 +465,67 @@ def test_zonal_stats_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out[want.columns.tolist()], want)
+
+
+def test_box_overlap_join_matches_brute(ray_session):
+    """Random + degenerate (point, edge-touching) boxes vs O(n·m) brute
+    force; the report-once trick must emit every overlapping pair exactly
+    once."""
+    import ray
+
+    rng = np.random.RandomState(13)
+    s, nx, ny = 11250, 32, 16
+
+    def boxes(n, key0, max_half, idc):
+        cx = rng.randint(0, 360000, n).astype(np.int64)
+        cy = rng.randint(0, 180000, n).astype(np.int64)
+        hw = rng.randint(0, max_half, n).astype(np.int64)
+        hh = rng.randint(0, max_half, n).astype(np.int64)
+        return pa.table(
+            {
+                idc: np.arange(key0, key0 + n, dtype=np.int64),
+                "x0": np.maximum(cx - hw, 0),
+                "y0": np.maximum(cy - hh, 0),
+                "x1": np.minimum(cx + hw, 360000),
+                "y1": np.minimum(cy + hh, 180000),
+            }
+        )
+
+    a = boxes(300, 0, 30000, "aid")
+    b = boxes(80, 1000, 50000, "bid")
+    # inject exact edge-touch and identical-box pairs
+    a = pa.concat_tables([a, pa.table({
+        "aid": np.array([900, 901], np.int64),
+        "x0": np.array([0, 50000], np.int64),
+        "y0": np.array([0, 50000], np.int64),
+        "x1": np.array([11250, 61250], np.int64),
+        "y1": np.array([11250, 61250], np.int64)})])
+    b = pa.concat_tables([b, pa.table({
+        "bid": np.array([2000, 2001], np.int64),
+        "x0": np.array([11250, 50000], np.int64),
+        "y0": np.array([11250, 50000], np.int64),
+        "x1": np.array([22500, 61250], np.int64),
+        "y1": np.array([22500, 61250], np.int64)})])
+
+    from georay.ops import join as join_ops
+
+    got = join_ops.box_overlap_join(
+        ray.data.from_arrow(a).repartition(5),
+        ray.data.from_arrow(b).repartition(3),
+        cell_size=s, nx=nx, ny=ny, a_id="aid", b_id="bid",
+        num_partitions=4, coalesce=3,
+    ).to_pandas()
+    assert len(got) == len(got.drop_duplicates(["aid", "bid"]))  # report-once
+
+    ax0, ay0 = a["x0"].to_numpy(), a["y0"].to_numpy()
+    ax1, ay1 = a["x1"].to_numpy(), a["y1"].to_numpy()
+    bx0, by0 = b["x0"].to_numpy(), b["y0"].to_numpy()
+    bx1, by1 = b["x1"].to_numpy(), b["y1"].to_numpy()
+    ov = ((ax0[:, None] <= bx1[None, :]) & (bx0[None, :] <= ax1[:, None])
+          & (ay0[:, None] <= by1[None, :]) & (by0[None, :] <= ay1[:, None]))
+    ai, bi = np.nonzero(ov)
+    want = set(zip(a["aid"].to_numpy()[ai], b["bid"].to_numpy()[bi]))
+    assert set(zip(got["aid"], got["bid"])) == want
+    # the injected corner-touch pair (900, 2000) has zero intersection area
+    row = got[(got["aid"] == 900) & (got["bid"] == 2000)]
+    assert len(row) == 1 and row["inter_area"].iloc[0] == 0
