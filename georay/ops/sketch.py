@@ -170,6 +170,172 @@ def _unsigned_sort_key(s):
     return s
 
 
+def hll_registers(ds, col: str, p: int = 8, combine_partitions: int = 2):
+    """Distributed HyperLogLog sketch of ``col``'s distinct count
+    (Flajolet et al. 2007), with the REGISTER CONTENTS (not the float
+    estimate) as the oracle-comparable output.
+
+    register = top ``p`` bits of splitmix64(key); rank = 1 + trailing
+    zeros of the remaining ``64-p`` bits (the Flajolet–Martin variant of
+    the geometric observable — integer-exact in SQL as
+    ``bit_count(xor(w, w-1))``, no float log2 anywhere). Per-batch
+    partials are (register, max rank) rows — at most ``2^p`` per batch,
+    idempotent under max, so duplicate keys across batches are free and
+    the exchange is O(2^p × batches) regardless of row count. Output:
+    ``register, max_rank`` for OBSERVED registers (absent register ⇒ 0).
+    """
+    from ray.data.aggregate import Max
+
+    from georay.ops.pairs import popcount64
+
+    wbits = np.uint64(64 - p)
+    wmask = np.uint64((1 << (64 - p)) - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.unique(t[col].to_numpy(zero_copy_only=False))
+        h = splitmix64(keys.astype(np.int64).view(np.uint64))
+        reg = (h >> wbits).astype(np.int64)
+        w = h & wmask
+        with np.errstate(over="ignore"):
+            rank = np.where(
+                w == 0, np.int64(64 - p + 1), popcount64(w ^ (w - _U(1)))
+            ).astype(np.int64)
+        u, inv = np.unique(reg, return_inverse=True)
+        mx = np.zeros(u.size, dtype=np.int64)
+        np.maximum.at(mx, inv, rank)
+        return pa.table({"register": u, "p_rank": mx})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby("register")
+        .aggregate(Max("p_rank", alias_name="max_rank"))
+    )
+
+
+def hll_estimate(sketch_df, p: int = 8) -> float:
+    """NDV estimate from materialized hll_registers rows (bias-corrected
+    harmonic mean + linear counting for the small range, per the paper)."""
+    m = 1 << p
+    ranks = np.zeros(m, dtype=np.int64)
+    ranks[np.asarray(sketch_df["register"], dtype=np.int64)] = np.asarray(
+        sketch_df["max_rank"], dtype=np.int64
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -ranks.astype(np.float64)))
+    zeros = int(np.sum(ranks == 0))
+    if e <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))  # linear counting
+    return float(e)
+
+
+def _mg_prune(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Misra–Gries prune to ≤ k entries: subtract the (k+1)-th largest
+    count from all and keep positives (undercounts by ≤ that amount)."""
+    if keys.size <= k:
+        return keys, counts
+    cut = np.partition(counts, counts.size - k - 1)[counts.size - k - 1]
+    counts = counts - cut
+    keep = counts > 0
+    return keys[keep], counts[keep]
+
+
+# sentinel key carrying the exact total row count through the MG merges
+# (pruning never touches it); caller keys must not collide with it
+_MG_TOTAL_KEY = np.int64(-(2**62) - 11)
+
+
+def mg_candidates(ds, col: str, sketch_k: int, combine_partitions: int = 8):
+    """Misra–Gries frequent-item candidates over ``col``: per-batch exact
+    counts pruned to ``sketch_k`` entries, hierarchically merged (sum by
+    key, prune again — Agarwal et al., "Mergeable summaries", PODS 2012),
+    so the exchange after the first stage is O(sketch_k × blocks), never
+    O(distinct keys). GUARANTEE: total undercount ≤ n/(sketch_k+1), so
+    every key with true count > n/(sketch_k+1) survives to the output.
+
+    Output: one row per surviving key (``col``, ``mg_count`` lower-bound
+    count) plus the exact row total under the reserved sentinel key.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(arr, return_counts=True)
+        u, c = _mg_prune(u, c.astype(np.int64), sketch_k)
+        u = np.concatenate([u, [_MG_TOTAL_KEY]])
+        c = np.concatenate([c, [np.int64(arr.size)]])
+        return pa.table({col: u, "mg_count": c})
+
+    def merge(t: pa.Table) -> pa.Table:
+        keys = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["mg_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, cnt)
+        is_total = u == _MG_TOTAL_KEY
+        ku, kc = _mg_prune(u[~is_total], s[~is_total], sketch_k)
+        return pa.table(
+            {
+                col: np.concatenate([ku, u[is_total]]),
+                "mg_count": np.concatenate([kc, s[is_total]]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def heavy_hitters(ds, col: str, num: int, den: int,
+                  sketch_k: int | None = None, combine_partitions: int = 8):
+    """EXACT heavy hitters: keys whose count × den > total × num, found
+    with a sketch-pruned two-pass plan — pass 1 builds the MG candidate
+    set (tiny, ≤ sketch_k keys; guaranteed to contain every true heavy
+    hitter since sketch_k+1 > den/num ⇒ n·num/den > n/(sketch_k+1)),
+    pass 2 broadcasts it and exact-counts ONLY candidate rows (two-phase
+    partials), so no O(distinct-keys) state ever assembles anywhere.
+    Output: ``col, n`` for the exact heavy keys. ``ds`` is consumed twice
+    — pass a re-readable (lazy) dataset, not a stream.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    if sketch_k is None:
+        sketch_k = max(2 * den // num, 16)
+    if sketch_k + 1 <= den // num:
+        raise ValueError("sketch_k too small for the threshold guarantee")
+
+    cand = mg_candidates(ds, col, sketch_k, combine_partitions).to_pandas()
+    keys = cand[col].to_numpy().astype(np.int64)
+    total = int(cand.loc[keys == _MG_TOTAL_KEY, "mg_count"].iloc[0])
+    cand_keys = np.sort(keys[keys != _MG_TOTAL_KEY])
+    keys_ref = ray.put(cand_keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = ray.get(keys_ref)
+        arr = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = arr[np.isin(arr, ck)]
+        u, c = np.unique(arr, return_counts=True)
+        return pa.table({col: u, "partial_n": c.astype(np.int64)})
+
+    exact = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(min(combine_partitions, 4))
+        .groupby(col)
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(n * den > total * num))
+
+    return exact.map_batches(threshold, batch_format="pyarrow")
+
+
 def grouped_quantiles(ds, group_col: str, value_col: str,
                       qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
                       combine_partitions: int = 2):

@@ -217,6 +217,110 @@ def dedup_by_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def ngram_span_stats(ds, k: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text", num_partitions: int = 8,
+                     combine_partitions: int = 8):
+    """Substring-level duplicate-span detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring shape, at token-k-gram granularity): for every k-token
+    window of every document, count how often that exact span occurs in
+    the WHOLE corpus, and report per document how many of its spans are
+    duplicated (corpus occurrence ≥ 2, within-doc repeats included).
+
+    Plan — only 64-bit gram hashes ever shuffle, never text:
+    1. ``map_batches`` tokenizes (split on ' ', empties kept — identical
+       to the SQL twin's ``string_split``) and emits one (gram_hash,
+       doc_id) row per window. Fully vectorized via the offsets idiom:
+       tokens factorize per batch, only DISTINCT tokens are string-hashed,
+       and the k-gram hash is a k-term polynomial combine of consecutive
+       token hashes (k shifted multiply-adds, no per-window loop).
+       Each token fingerprint passes through splitmix64 BEFORE the
+       polynomial combine: the byte-level fingerprint is itself a
+       polynomial in the same base, so combining raw fingerprints
+       aliases across token boundaries (g("w1","w23") == g("w2","w13") —
+       caught by the unit test); the mixer destroys that linear
+       structure. Grouping by this hash ≡ grouping by the token tuple ≡
+       grouping by the gram string, up to 2^-64 collisions (the
+       fingerprint_dedup disclaimer; the oracle groups by the string).
+    2. The gram rows MATERIALIZE (consumed twice — occurrence counting
+       and the join back; re-tokenizing 100 TB twice costs more than
+       spilling the hash rows).
+    3. Two-phase count by gram hash, hash join back on the gram hash,
+       then a two-phase per-doc rollup.
+
+    Output: ``id_col, n_spans, n_dup_spans`` for docs with ≥ k tokens.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from georay.ops.tiles import count_by
+
+    def gram_rows(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        tok_lists = df[text_col].str.split(" ")
+        lens = tok_lists.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in tok_lists]) if len(df) else \
+            np.empty(0, dtype=object)
+        from georay.ops.sketch import splitmix64
+
+        codes, uniq = pd.factorize(flat)
+        tok_h = (
+            splitmix64(fingerprint64(np.asarray(uniq, dtype=object)))[codes]
+            if uniq.size else np.empty(0, dtype=np.uint64)
+        )
+        n_grams = np.maximum(lens - k + 1, 0)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        gram_offs = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
+        base = np.repeat(offs, n_grams)
+        ramp = np.arange(int(n_grams.sum()), dtype=np.int64) - np.repeat(
+            gram_offs, n_grams
+        )
+        starts = base + ramp
+        powers = _fp_powers(k)
+        g = np.zeros(starts.size, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                g += tok_h[starts + j] * powers[k - 1 - j]
+        doc = np.repeat(df[id_col].to_numpy().astype(np.int64), n_grams)
+        return pa.table({"g": g.view(np.int64), id_col: doc})
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        gram_rows, batch_format="pandas"
+    ).materialize()
+
+    counts = count_by(
+        grams.select_columns(["g"]), "g", out_col="n_occ",
+        combine_partitions=combine_partitions,
+    ).repartition(num_partitions)  # merge aggregate blocks: Acero rejects
+    # schema-less empties (CLAUDE.md invariant)
+
+    joined = grams.join(
+        counts, join_type="inner", num_partitions=num_partitions,
+        on=("g",), right_suffix="_r",
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        doc = t[id_col].to_numpy(zero_copy_only=False)
+        dup = (t["n_occ"].to_numpy(zero_copy_only=False) >= 2).astype(np.int64)
+        u, inv, cnt = np.unique(doc, return_inverse=True, return_counts=True)
+        d = np.zeros(u.size, dtype=np.int64)
+        np.add.at(d, inv, dup)
+        return pa.table(
+            {id_col: u, "p_spans": cnt.astype(np.int64), "p_dup": d}
+        )
+
+    return (
+        joined.map_batches(doc_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(id_col)
+        .aggregate(Sum("p_spans", alias_name="n_spans"),
+                   Sum("p_dup", alias_name="n_dup_spans"))
+    )
+
+
 def tfidf_topk(ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text",
                num_partitions: int = 8, combine_partitions: int = 8):
     """Top-k distinctive terms per document, ranked by ``(tf DESC, df ASC,

@@ -2744,6 +2744,143 @@ def flagship_resumable(sf_dir: str, out_dir: str, n_images: int | None = None,
     )
 
 
+# ------------------------------------------- round-3 additions: spans / rank /
+# HLL / heavy hitters
+
+
+def q_dup_spans(sf_dir: str):
+    """Substring-level duplicate-span detection: per document, how many of
+    its 8-token windows occur ≥2× in the whole corpus (only 64-bit gram
+    hashes shuffle — see ops.text.ngram_span_stats)."""
+    from georay.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.ngram_span_stats(docs, k=8)
+
+
+SQL_DUP_SPANS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id,
+         array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS g
+  FROM toks, UNNEST(range(1, CAST(len(ts) AS BIGINT) - 6)) AS t(i)
+),
+c AS (SELECT g, COUNT(*) AS n_occ FROM grams GROUP BY g)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(COUNT(*) FILTER (n_occ >= 2) AS BIGINT) AS n_dup_spans
+FROM grams JOIN c USING (g)
+GROUP BY doc_id
+"""
+
+
+def q_top_orders_monthly(sf_dir: str):
+    """Top-5 orders by price per calendar month — the ROW_NUMBER() <= k
+    shape via two-phase grouped top-k (ops.rank.grouped_topk): only per-
+    batch survivors shuffle, never all rows. Integer cents (same ROUND
+    idiom as top_customers) + orderkey tie-break = total order."""
+    import pandas as pd
+
+    from georay.ops.rank import grouped_topk
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"]
+        return pd.DataFrame(
+            {
+                "month": (d.dt.year * 12 + d.dt.month).to_numpy(np.int64),
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100
+                ).astype(np.int64),
+            }
+        )
+
+    prepped = orders.map_batches(prep, batch_format="pandas")
+    return grouped_topk(
+        prepped, ["month"], ["cents", "o_orderkey"], [False, True], k=5
+    )
+
+
+SQL_TOP_ORDERS_MONTHLY = """
+SELECT month, o_orderkey, cents, rank FROM (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month,
+         o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY year(o_orderdate) * 12 + month(o_orderdate)
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+         ) AS rank
+  FROM orders) WHERE rank <= 5
+"""
+
+
+def q_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch — the oracle compares REGISTER
+    CONTENTS (register, max rank), not the float estimate, so the whole
+    distributed max-merge is bit-checked."""
+    from georay.ops import sketch
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return sketch.hll_registers(ev, "user_id", p=8)
+
+
+_M56 = 1 << 56
+
+SQL_HLL_USERS = f"""
+WITH h AS (SELECT hu FROM
+           {sketch_sql_subquery('(SELECT user_id FROM events)', 'user_id')}),
+r AS (SELECT CAST(hu >> 56 AS BIGINT) AS register,
+             hu % CAST({_M56} AS UBIGINT) AS w FROM h)
+SELECT register,
+       MAX(CASE WHEN w = 0 THEN 57
+           ELSE CAST(bit_count(xor(w,
+                CAST((CAST(w AS HUGEINT) + {_M56 - 1}) % {_M56} AS UBIGINT)
+           )) AS BIGINT) END) AS max_rank
+FROM r GROUP BY register
+"""
+
+
+def q_heavy_cells(sf_dir: str):
+    """EXACT heavy-hitter cells (>1% of all image captures — catches the 3
+    hot urban cells at ~3.3% each, background tiles are ~0.1%): Misra–Gries
+    candidate sketch pass + exact recount of candidates only, so no
+    O(distinct-cells) state ever assembles (ops.sketch.heavy_hitters)."""
+    from georay import fixtures
+    from georay.ops import sketch
+
+    ds = fixtures.read_images(sf_dir, columns=["lon", "lat"])
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cell = codec.encode(lon, lat, BITS_TILE)
+        return pa.table({"cell": cell.astype(np.int64)})
+
+    cells_ds = ds.map_batches(to_cell, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    hh = sketch.heavy_hitters(cells_ds, "cell", num=1, den=100, sketch_k=128)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        return pa.table({"tile_x": x, "tile_y": y, "n": t["n"]})
+
+    return hh.map_batches(finalize, batch_format="pyarrow")
+
+
+def sql_heavy_cells(n: int) -> str:
+    return f"""
+WITH p AS ({_sql_img_coords(n)}),
+c AS (SELECT {sql_x('lon', 5)} AS tile_x, {sql_y('lat', 5)} AS tile_y,
+             COUNT(*) AS n
+      FROM p GROUP BY 1, 2)
+SELECT tile_x, tile_y, n FROM c WHERE n * 100 > {n}
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -2829,4 +2966,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "audio_features": (q_audio_features, sql_audio_features(n_audio)),
         "video_frames": (q_video_frames, sql_video_frames(n_video)),
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
+        "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+        "top_orders_monthly": (q_top_orders_monthly, SQL_TOP_ORDERS_MONTHLY),
+        "hll_users": (q_hll_users, SQL_HLL_USERS),
+        "heavy_cells": (q_heavy_cells, sql_heavy_cells(n_images)),
     }

@@ -550,3 +550,65 @@ def test_knn_shuffle_expand_sides_identical(ray_session):
         outs.append(out[["query_id", "ref_id", "dist2", "rank"]])
     pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
     assert len(outs[0]) > 0
+
+
+# ------------------------------------------------------------- grouped top-k
+
+
+def test_grouped_topk_matches_pandas_rank(ray_session):
+    import ray.data
+
+    from georay.ops.rank import grouped_topk
+
+    rng = np.random.RandomState(23)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "grp": rng.randint(0, 40, size=n).astype(np.int64),
+            "val": rng.randint(0, 50, size=n).astype(np.int64),  # heavy ties
+            "uid": np.arange(n, dtype=np.int64),
+        }
+    )
+    want = df.sort_values(
+        ["grp", "val", "uid"], ascending=[True, False, True]
+    ).groupby("grp").head(3).copy()
+    want["rank"] = want.groupby("grp").cumcount() + 1
+    want = want.sort_values(["grp", "rank"]).reset_index(drop=True)
+
+    for blocks in (1, 11):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(blocks)
+        got = (
+            grouped_topk(ds, ["grp"], ["val", "uid"], [False, True], k=3)
+            .to_pandas().sort_values(["grp", "rank"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["grp", "val", "uid", "rank"]], want, check_dtype=True
+        )
+
+
+def test_grouped_topk_string_keys(ray_session):
+    import ray.data
+
+    from georay.ops.rank import grouped_topk
+
+    df = pd.DataFrame(
+        {
+            "grp": ["aa", "bb", "aa", "cc", "bb", "aa"],
+            "v": np.array([5, 1, 9, 4, 2, 7], dtype=np.int64),
+        }
+    )
+    got = (
+        grouped_topk(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+            ["grp"], ["v"], [False], k=2, num_buckets=2,
+        )
+        .to_pandas().sort_values(["grp", "rank"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"grp": ["aa", "aa", "bb", "bb", "cc"],
+         "v": np.array([9, 7, 2, 1, 4], dtype=np.int64),
+         "rank": np.array([1, 2, 1, 2, 1], dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)

@@ -135,3 +135,97 @@ def test_grouped_quantiles_matches_duckdb_rule(ray_session):
            FROM t GROUP BY g ORDER BY g"""
     ).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def _hll_brute(keys: np.ndarray, p: int) -> pd.DataFrame:
+    from georay.ops.pairs import popcount64
+
+    h = splitmix64(np.unique(keys).astype(np.int64).view(np.uint64))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    with np.errstate(over="ignore"):
+        rank = np.where(
+            w == 0, np.int64(64 - p + 1), popcount64(w ^ (w - np.uint64(1)))
+        ).astype(np.int64)
+    return (
+        pd.DataFrame({"register": reg, "max_rank": rank})
+        .groupby("register", as_index=False)["max_rank"].max()
+        .sort_values("register").reset_index(drop=True)
+    )
+
+
+def test_hll_registers_match_brute_and_block_invariant(ray_session):
+    import ray.data
+
+    from georay.ops.sketch import hll_registers
+
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 5000, size=20_000).astype(np.int64)  # heavy dups
+    want = _hll_brute(keys, p=8)
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(blocks)
+        got = (
+            hll_registers(ds, "k", p=8).to_pandas()
+            .sort_values("register").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_hll_estimate_accuracy():
+    from georay.ops.sketch import hll_estimate
+
+    for ndv in (150, 3000, 60_000):
+        keys = np.arange(ndv, dtype=np.int64) * 7919 + 13
+        est = hll_estimate(_hll_brute(keys, p=8), p=8)
+        assert abs(est - ndv) / ndv < 0.25, (ndv, est)
+
+
+# -------------------------------------------------------- MG heavy hitters
+
+
+def test_heavy_hitters_exact_with_many_distinct_keys(ray_session):
+    import ray.data
+
+    from georay.ops.sketch import heavy_hitters
+
+    # 3 planted heavy keys (4% each) over 50k distinct background keys —
+    # far more distinct keys than the sketch holds
+    rng = np.random.RandomState(11)
+    n = 60_000
+    bg = rng.randint(1_000, 51_000, size=n).astype(np.int64)
+    hot = np.repeat(np.array([7, 8, 9], dtype=np.int64), int(0.04 * n))
+    keys = np.concatenate([bg[: n - hot.size], hot])
+    rng.shuffle(keys)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(9)
+
+    got = heavy_hitters(ds, "k", num=1, den=50, sketch_k=128).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+
+    u, c = np.unique(keys, return_counts=True)
+    mask = c * 50 > keys.size
+    want = pd.DataFrame({"k": u[mask], "n": c[mask].astype(np.int64)})
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_mg_candidates_guarantee_and_size(ray_session):
+    import ray.data
+
+    from georay.ops.sketch import _MG_TOTAL_KEY, mg_candidates
+
+    rng = np.random.RandomState(3)
+    keys = np.concatenate(
+        [rng.randint(0, 30_000, size=40_000),
+         np.full(2_000, 77)]  # one 4.8% key
+    ).astype(np.int64)
+    out = mg_candidates(
+        ray.data.from_arrow(pa.table({"k": keys})).repartition(8), "k", 64
+    ).to_pandas()
+    ks = out["k"].to_numpy()
+    assert (ks == _MG_TOTAL_KEY).sum() == 1
+    assert int(out.loc[ks == _MG_TOTAL_KEY, "mg_count"].iloc[0]) == keys.size
+    cand = ks[ks != _MG_TOTAL_KEY]
+    assert cand.size <= 64  # sketch never exceeds its capacity
+    assert 77 in cand  # the guaranteed heavy key survives the merges

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -448,3 +449,59 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     want = _kmeans_replica(ids, emb, k=3, iters=3)
     assert (out["cluster"].to_numpy() == want).all()
     assert out["cluster"].nunique() >= 2
+
+
+# --------------------------------------------------------- n-gram span dedup
+
+
+def _brute_span_stats(docs: list[tuple[int, str]], k: int) -> pd.DataFrame:
+    from collections import Counter
+
+    grams = []
+    for did, text in docs:
+        toks = text.split(" ")
+        for i in range(max(len(toks) - k + 1, 0)):
+            grams.append((did, " ".join(toks[i : i + k])))
+    occ = Counter(g for _, g in grams)
+    rows = {}
+    for did, g in grams:
+        n, d = rows.get(did, (0, 0))
+        rows[did] = (n + 1, d + (1 if occ[g] >= 2 else 0))
+    return pd.DataFrame(
+        [(did, n, d) for did, (n, d) in sorted(rows.items())],
+        columns=["doc_id", "n_spans", "n_dup_spans"],
+    )
+
+
+def test_ngram_span_stats_vs_brute(ray_session):
+    import ray.data
+
+    from georay.ops.text import ngram_span_stats
+
+    rng = np.random.RandomState(19)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for did in range(60):
+        toks = [vocab[j] for j in rng.randint(0, 40, size=rng.randint(2, 30))]
+        docs.append((did, " ".join(toks)))
+    # plant an exact 12-token span shared by three docs, and a doc-internal
+    # repeat of a 4-gram (k=4 run below must count within-doc repeats)
+    span = " ".join(vocab[7:19])
+    docs[5] = (5, docs[5][1] + " " + span)
+    docs[9] = (9, span + " " + docs[9][1])
+    docs[33] = (33, span)
+    docs[40] = (40, "a b c d x a b c d")
+    tab = pa.table(
+        {"doc_id": np.array([d for d, _ in docs], dtype=np.int64),
+         "text": [t for _, t in docs]}
+    )
+    for k in (4, 8):
+        want = _brute_span_stats(docs, k)
+        got = (
+            ngram_span_stats(
+                ray.data.from_arrow(tab).repartition(5), k=k,
+                num_partitions=3, combine_partitions=2,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
