@@ -24,12 +24,13 @@ import pandas as pd
 import pyarrow as pa
 
 
+from georay.ops.sketch import splitmix64  # module level: worker-executed
+from georay.ops.text import fingerprint64  # (foreign-cwd drivers, CLAUDE.md)
+
+
 def _key_hash(arr: np.ndarray) -> np.ndarray:
     """uint64 hash of a group-key column (int-like via splitmix64, strings
     via the rolling fingerprint)."""
-    from georay.ops.sketch import splitmix64
-    from georay.ops.text import fingerprint64
-
     if arr.dtype.kind in "iu":
         return splitmix64(arr.astype(np.int64).view(np.uint64))
     return fingerprint64(arr.astype(object))

@@ -11,6 +11,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from georay.ops.sketch import splitmix64  # module level: worker-executed
+# code must not import georay lazily (foreign-cwd drivers, CLAUDE.md)
+
 # Tiny per-language stopword profiles (top function words). Enough signal to
 # separate the 5 corpus languages; a real deployment would plug a fastText
 # model into the same actor shape.
@@ -263,8 +266,6 @@ def ngram_span_stats(ds, k: int = 8, id_col: str = "doc_id",
         flat = np.concatenate([np.asarray(t, dtype=object)
                                for t in tok_lists]) if len(df) else \
             np.empty(0, dtype=object)
-        from georay.ops.sketch import splitmix64
-
         codes, uniq = pd.factorize(flat)
         tok_h = (
             splitmix64(fingerprint64(np.asarray(uniq, dtype=object)))[codes]
