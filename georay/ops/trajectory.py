@@ -67,6 +67,65 @@ def trajectory_stats(ds, key_col: str, ts_col: str, order_col: str,
     )
 
 
+def od_matrix(ds, key_col: str, ts_col: str, order_col: str, cell_col: str,
+              num_partitions: int = 8):
+    """Origin→destination transition matrix over trajectory legs: how many
+    legs go from cell A to cell B, across all keys.
+
+    One ``groupby(key)`` shuffle co-locates each key's points; per key the
+    time-sorted consecutive-cell transitions collapse LOCALLY to distinct
+    ``(o_cell, d_cell, part_n)`` rows (lexsort run-length — no per-leg
+    Python loop), then ONE small Sum groupby merges the partials. The wide
+    exchange carries at most one row per distinct pair per key, never one
+    row per leg — the tile_counts two-phase shape applied to transitions.
+    Self-loop legs (consecutive points in the same cell) are counted.
+    Output: ``(o_cell, d_cell, n)``.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from georay.runtime import table_from_pandas
+
+    out_schema = pa.schema(
+        [("o_cell", pa.int64()), ("d_cell", pa.int64()),
+         ("part_n", pa.int64())]
+    )
+
+    def per_key(g: pd.DataFrame):
+        g = g.sort_values([ts_col, order_col], kind="quicksort")
+        c = g[cell_col].to_numpy(dtype=np.int64)
+        if c.size < 2:
+            return table_from_pandas(
+                pd.DataFrame({"o_cell": [], "d_cell": [], "part_n": []}),
+                schema=out_schema,
+            )
+        o, d = c[:-1], c[1:]
+        order = np.lexsort((d, o))
+        o_s, d_s = o[order], d[order]
+        new = np.empty(o_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (o_s[1:] != o_s[:-1]) | (d_s[1:] != d_s[:-1])
+        idx = np.flatnonzero(new)
+        counts = np.diff(np.append(idx, o_s.size)).astype(np.int64)
+        return table_from_pandas(
+            pd.DataFrame(
+                {"o_cell": o_s[idx], "d_cell": d_s[idx], "part_n": counts}
+            ),
+            schema=out_schema,
+        )
+
+    partials = (
+        ds.select_columns([key_col, ts_col, order_col, cell_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )
+    return (
+        partials.repartition(num_partitions)
+        .groupby(["o_cell", "d_cell"])
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+
+
 def leg_cell_cover(ds, key_col: str, ts_col: str, order_col: str,
                    x_col: str, y_col: str, cell_size: int,
                    nx: int, ny: int):

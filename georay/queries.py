@@ -2366,6 +2366,183 @@ FROM l GROUP BY user_id
 """
 
 
+def q_od_matrix(sf_dir: str):
+    """Origin→destination matrix over per-user event trajectories: legs are
+    consecutive events in (ts, event_id) order, each endpoint mapped to its
+    BITS_TILE cell; counts per (origin cell, destination cell) pair come
+    from one groupby(user) shuffle + local run-length collapse + a small
+    Sum groupby (ops.trajectory.od_matrix). SQL twin is a LAG window."""
+    from georay.ops import trajectory as traj
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(eid)
+        cx, cy = codec.xy_from_lonlat(lon, lat, BITS_TILE)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "us": pa.array(us),
+                "event_id": t["event_id"],
+                "cell": pa.array((cx * 32 + cy).astype(np.int64)),
+            }
+        )
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return traj.od_matrix(pts, "user_id", "us", "event_id", "cell")
+
+
+SQL_OD_MATRIX = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {sql_x(sql_lon('event_id'), 5)} * 32
+           + {sql_y(sql_lat('event_id'), 5)} AS cell
+  FROM events),
+l AS (
+  SELECT LAG(cell) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS o_cell,
+         cell AS d_cell
+  FROM p)
+SELECT CAST(o_cell AS BIGINT) AS o_cell, CAST(d_cell AS BIGINT) AS d_cell,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM l WHERE o_cell IS NOT NULL GROUP BY o_cell, d_cell
+"""
+
+
+# 1997-01-01 00:00:00 UTC in epoch microseconds — mid-range of the
+# fixture's orders/lineitem date span, mirroring TPC-H Q3's date split
+REVENUE_CUTOFF_US = 852_076_800_000_000
+
+
+def q_revenue_topk(sf_dir: str):
+    """TPC-H Q3 shape — segment-filtered customers ⋈ date-filtered orders ⋈
+    lineitem revenue, top-10 orders by revenue. Plan: lineitem revenue is
+    pre-aggregated per batch in exact integer units (cents × (100 −
+    discount_pct), order-independent), the small BUILDING customer key set
+    broadcast semi-joins the date-filtered orders (dimension side — the
+    Bloom path in ops.join covers the 10^10-key scale), ONE hash join
+    matches revenue partials to qualifying orders, a Sum groupby merges the
+    partials, and a distributed sort + limit finishes."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    cust = _read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ].to_numpy()
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = pa.array(us < REVENUE_CUTOFF_US)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(keep),
+                "o_custkey": t["o_custkey"].filter(keep),
+            }
+        )
+
+    orders_b = join_ops.broadcast_semi_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys, on="o_custkey",
+    ).select_columns(["o_orderkey"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = us > REVENUE_CUTOFF_US
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        pct = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        rev = cents * (100 - pct)
+        keys_u, inv = np.unique(key, return_inverse=True)
+        part = np.zeros(keys_u.size, dtype=np.int64)
+        np.add.at(part, inv, rev)
+        return pa.table({"o_orderkey": pa.array(keys_u), "part_rev": pa.array(part)})
+
+    partials = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    joined = partials.join(
+        orders_b, join_type="inner", num_partitions=8, on=("o_orderkey",)
+    )
+    agg = joined.groupby("o_orderkey").aggregate(
+        Sum("part_rev", alias_name="revenue_u")
+    )
+    return agg.sort(
+        ["revenue_u", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+SQL_REVENUE_TOPK = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_u
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey
+ORDER BY revenue_u DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """EXACT COUNT(DISTINCT user) per event type at shuffle-bounded cost:
+    batch-local pair dedup (Arrow group_by — repeated users inside a batch
+    never leave it) → one (event_type, user_id) groupby collapses global
+    duplicates → per-batch partial counts → tiny Sum groupby. The wide
+    exchange carries distinct pairs only; no per-group user set ever
+    assembles on one node (contrast hll_users / distinct_kmv: the sketched
+    approximations of the same question)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ev.map_batches(local_dedup, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = (
+        pairs.repartition(8)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            t["event_type"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"event_type": pa.array(keys), "part_n": pa.array(counts.astype(np.int64))}
+        )
+
+    return (
+        distinct.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("event_type")
+        .aggregate(Sum("part_n", alias_name="n_users"))
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_raster_focal(sf_dir: str):
     """3×3 focal (neighborhood) sum over the customer-point raster at
     BITS_TILE: two-phase count-by-cell, then ops.tiles.focal_sum
@@ -2969,5 +3146,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
         "top_orders_monthly": (q_top_orders_monthly, SQL_TOP_ORDERS_MONTHLY),
         "hll_users": (q_hll_users, SQL_HLL_USERS),
+        "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
+        "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
+        "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
         "heavy_cells": (q_heavy_cells, sql_heavy_cells(n_images)),
     }

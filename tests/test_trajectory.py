@@ -119,6 +119,49 @@ def test_leg_cell_cover_horizontal_and_diagonal(ray_session):
     assert out.loc[1, "sum_code"] == sum(codes)
 
 
+def test_od_matrix_matches_pandas_oracle(ray_session):
+    """Random keyed cell streams vs a LAG-style pandas replica; includes
+    singleton keys (no legs) and self-loop legs (same cell twice)."""
+    import ray
+
+    from georay.ops import trajectory as traj
+
+    rng = np.random.RandomState(11)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": np.concatenate([rng.randint(0, 9, n - 1), [99]]),  # 99 singleton
+            "us": rng.randint(0, 10**6, n).astype(np.int64),
+            "oid": np.arange(n, dtype=np.int64),
+            "cell": rng.randint(0, 6, n).astype(np.int64),  # few cells → self-loops
+        }
+    )
+    got = (
+        traj.od_matrix(
+            ray.data.from_pandas(df).repartition(4), "k", "us", "oid", "cell"
+        )
+        .to_pandas()
+        .sort_values(["o_cell", "d_cell"])
+        .reset_index(drop=True)
+    )
+    legs = []
+    for _, g in df.groupby("k"):
+        c = g.sort_values(["us", "oid"])["cell"].to_numpy(np.int64)
+        legs += list(zip(c[:-1], c[1:]))
+    want = (
+        pd.DataFrame(legs, columns=["o_cell", "d_cell"])
+        .groupby(["o_cell", "d_cell"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["o_cell", "d_cell"])
+        .reset_index(drop=True)
+    )
+    assert (want["o_cell"] == want["d_cell"]).any()  # self-loops exercised
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+
+
 def test_leg_cell_cover_matches_replica(ray_session):
     """Random trajectories vs a per-cell brute-force replica."""
     import pandas as pd
