@@ -24,12 +24,17 @@ def pip_assign(
     poly_id_col: str = "poly_id",
     concurrency=None,
     backend: str = "cells",
+    anti: bool = False,
 ):
     """Inner-join points to the polygons strictly containing them.
 
     ``rings``: list of (lon_array, lat_array) rings aligned with
     ``poly_ids``. Emits one row per (point, containing polygon) pair with the
     requested point columns plus ``poly_id_col``.
+
+    ``anti=True`` is the spatial ANTI join: emits the points contained in NO
+    polygon (once each, without ``poly_id_col``) — the "outside every zone"
+    filter. Same broadcast index, batch-local complement, still no shuffle.
     """
     import ray
 
@@ -41,6 +46,10 @@ def pip_assign(
         lat = t["lat"].to_numpy(zero_copy_only=False)
         p_idx, g_idx = polyset.contains(lon, lat)
         cols_src = t if keep_cols is None else t.select(keep_cols)
+        if anti:
+            mask = np.ones(t.num_rows, dtype=bool)
+            mask[p_idx] = False  # a point in 2+ polygons is listed 2+ times
+            return cols_src.filter(pa.array(mask))
         base = cols_src.take(pa.array(p_idx))
         ids = np.asarray(polyset.poly_ids)[g_idx]
         return base.append_column(poly_id_col, pa.array(ids))

@@ -1,0 +1,289 @@
+"""EXACT set-similarity self-join via prefix filtering (the AllPairs /
+PPJoin family — Bayardo, Ma & Srikant, WWW'07; Xiao et al., WWW'08).
+
+Finds every pair of documents whose word-token-set Jaccard is ≥ num/den —
+exactly, unlike the MinHash pipeline (ops.minhash) which is probabilistic in
+its CANDIDATE stage. The trick that makes exactness affordable: order all
+tokens by ascending global document frequency (rarest first); a doc with n
+tokens only indexes its first ``p = n − ceil(τ·n) + 1`` tokens (its
+"prefix"). For any pair with J ≥ τ the smallest common token t satisfies
+``pos(t) ≤ |X| − overlap + 1 ≤ p_X`` in BOTH docs (overlap ≥ ceil(τ·|X|)
+from J ≥ τ and |Y| ≥ overlap), so every qualifying pair meets in at least
+one prefix-token bucket — no recall loss, and common tokens (stopwords) are
+almost never indexed, which is what kills the candidate explosion.
+
+Threshold is an integer fraction ``num/den`` end to end: prefix length uses
+integer ceil, the verify keeps ``inter·den ≥ num·union`` — no float ever
+decides membership, so the SQL twin (a plain token self-join) matches
+bit-for-bit. Tokens are 64-bit fingerprints (fingerprint64 → splitmix64);
+grouping by the hash ≡ grouping by the token string up to 2⁻⁶⁴ collisions
+(the fingerprint_dedup disclaimer; the oracle joins on the string).
+
+Scale shape — only ids + 64-bit hashes shuffle; text is tokenized ONCE:
+1. One pass over the text packs each doc's distinct sorted token hashes
+   into a binary blob (one row per doc, materialized — every later stage
+   derives from it, never from the text).
+2. Token rows (hash, doc, set size) unpack batch-locally; document
+   frequency is a two-phase count, hash-joined back (vocabulary is
+   Zipf-bounded but NOT broadcast — the join is the 100 TB path).
+3. Per-doc prefix selection runs in O(num_partitions) pandas groups via
+   the doc-hash bucket idiom (one vectorized sort + cumcount per bucket,
+   not a per-doc map_groups).
+4. Prefix buckets emit candidate pairs (anti-explosion cap from ops.pairs,
+   logged), pairs dedupe in a groupby, and the exact verify hash-joins the
+   pair list back to the packed sets from step 1 — same big-big shape as
+   ops.minhash.jaccard_verify_shuffle, no corpus broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# module level, NOT inside worker-executed functions (CLAUDE.md invariant)
+from georay.ops.minhash import _packed_view
+from georay.ops.pairs import bucket_pairs
+from georay.ops.sketch import splitmix64
+from georay.ops.text import fingerprint64
+from georay.ops.tiles import count_by
+from georay.runtime import table_from_pandas
+
+_WORD_RE = re.compile(r"[\w']+", re.UNICODE)
+
+
+def token_sets(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """One row per doc: packed sorted distinct token hashes + set size.
+
+    Tokenizer: ``[\\w']+`` lowercased — identical to the LangId / simhash /
+    tf-idf twins. Docs with zero tokens keep a row (n=0, empty blob); they
+    can never pair (empty ∩ anything = 0 < τ·union)."""
+    schema = pa.schema(
+        [("sid", pa.int64()), ("sh", pa.binary()), ("n_tok", pa.int64())]
+    )
+
+    def pack(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].str.findall(_WORD_RE).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        pairs = pd.DataFrame({"r": row, "w": toks.to_numpy()}).drop_duplicates()
+        codes, uniq = pd.factorize(pairs["w"].to_numpy())
+        th = (
+            splitmix64(fingerprint64(np.asarray(uniq, dtype=object)))[codes]
+            if uniq.size else np.empty(0, dtype=np.uint64)
+        )
+        r = pairs["r"].to_numpy()
+        blobs, sizes = [], []
+        for i in range(len(df)):
+            s = np.sort(th[r == i])
+            blobs.append(s.tobytes())
+            sizes.append(s.size)
+        return table_from_pandas(
+            pd.DataFrame(
+                {
+                    "sid": df[id_col].to_numpy().astype(np.int64),
+                    "sh": blobs,
+                    "n_tok": np.asarray(sizes, dtype=np.int64),
+                }
+            ),
+            schema=schema,
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        pack, batch_format="pandas"
+    )
+
+
+def _prefix_len(n: np.ndarray, num: int, den: int) -> np.ndarray:
+    """p = n − ceil(num·n/den) + 1 (0 for empty sets) — integer exact."""
+    ceil_tn = (num * n + den - 1) // den
+    return np.where(n > 0, n - ceil_tn + 1, 0)
+
+
+def setsim_join(ds, num: int, den: int, id_col: str = "doc_id",
+                text_col: str = "text", num_partitions: int = 8,
+                combine_partitions: int = 8, max_bucket: int | None = 4096,
+                broadcast_vocab_max: int = 2_000_000):
+    """All pairs with token-set Jaccard ≥ num/den (0 < num ≤ den).
+
+    Returns ``(id_a, id_b, n_inter, n_union, jaccard)`` with id_a < id_b;
+    ``jaccard`` is the single float division inter/union (both sides of the
+    oracle compute it identically, so it is bit-stable).
+
+    The token document-frequency table is BROADCAST (``ray.put`` of two
+    sorted arrays + batch-local searchsorted) when its row count is at most
+    ``broadcast_vocab_max`` — natural-language vocabularies are
+    Zipf-bounded, so this is the common case and saves a whole
+    JoinOperator; bigger vocabularies fall back to the hash join."""
+    if not (0 < num <= den):
+        raise ValueError("threshold must satisfy 0 < num/den <= 1")
+    import ray
+    from ray.data.aggregate import Count
+
+    sets = token_sets(ds, id_col, text_col).materialize()
+
+    def unpack(t: pa.Table) -> pa.Table:
+        vals, counts = _packed_view(t["sh"])
+        sid = t["sid"].to_numpy(zero_copy_only=False)
+        n = t["n_tok"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "th": pa.array(vals.view(np.int64)),
+                "sid": pa.array(np.repeat(sid, counts)),
+                "n_tok": pa.array(np.repeat(n, counts)),
+            }
+        )
+
+    toks = sets.map_batches(unpack, batch_format="pyarrow")
+
+    dfc = count_by(
+        toks.select_columns(["th"]), "th", out_col="df",
+        combine_partitions=combine_partitions,
+    ).materialize()
+
+    if dfc.count() <= broadcast_vocab_max:
+        batches = list(dfc.iter_batches(batch_format="pyarrow"))
+        dft = pa.concat_tables(batches)
+        th_v = dft["th"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_v = dft["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(th_v, kind="quicksort")
+        ref = ray.put((th_v[order], df_v[order]))
+
+        def attach_df(t: pa.Table) -> pa.Table:
+            th_keys, df_vals = ray.get(ref)
+            th = t["th"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(th_keys, th)  # every token is in the table
+            return t.append_column("df", pa.array(df_vals[pos]))
+
+        joined = toks.map_batches(attach_df, batch_format="pyarrow")
+    else:
+        joined = toks.join(
+            dfc.repartition(num_partitions),  # merge aggregate blocks:
+            # Acero rejects schema-less empties (CLAUDE.md invariant)
+            join_type="inner", num_partitions=num_partitions, on=("th",),
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t["sid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            (ids * np.uint64(0x9E3779B1)) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    prefix_schema = pa.schema(
+        [("th", pa.int64()), ("sid", pa.int64()), ("n_tok", pa.int64())]
+    )
+
+    def prefix_bucket(g: pd.DataFrame) -> pa.Table:
+        # rarest-first total order: (df, th) — th breaks frequency ties
+        g = g.sort_values(["sid", "df", "th"], kind="quicksort").reset_index(
+            drop=True
+        )
+        pos = g.groupby("sid").cumcount().to_numpy()
+        n = g["n_tok"].to_numpy(np.int64)
+        p = _prefix_len(n, num, den)
+        keep = pos < p
+        return table_from_pandas(
+            pd.DataFrame(
+                {
+                    "th": g["th"].to_numpy(np.int64)[keep],
+                    "sid": g["sid"].to_numpy(np.int64)[keep],
+                    "n_tok": n[keep],
+                }
+            ),
+            schema=prefix_schema,
+        )
+
+    prefixes = (
+        joined.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(prefix_bucket, batch_format="pandas")
+    )
+
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        ids = g["sid"].to_numpy()
+        if ids.size < 2:
+            return empty_pairs
+        a, b = bucket_pairs(
+            ids, max_bucket, f"(th={int(g['th'].iloc[0])})",
+            log_prefix="georay.setsim",
+        )
+        # length filter (PPJoin): J ≥ τ forces min·den ≥ num·max — sizes
+        # looked up per pair via a sorted-unique map, no dict
+        uid = np.sort(np.unique(ids))
+        sz = np.empty(uid.size, dtype=np.int64)
+        sz[np.searchsorted(uid, ids)] = g["n_tok"].to_numpy(np.int64)
+        sa = sz[np.searchsorted(uid, a)]
+        sb = sz[np.searchsorted(uid, b)]
+        ok = np.minimum(sa, sb) * den >= num * np.maximum(sa, sb)
+        a, b = a[ok], b[ok]
+        return pa.table(
+            {"id_a": pa.array(a.astype(np.int64)),
+             "id_b": pa.array(b.astype(np.int64))}
+        )
+
+    cand = (
+        prefixes.groupby("th")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id_a", "id_b"])
+        # merge aggregate blocks: the sort-aggregate emits SCHEMA-LESS
+        # empties when combine partitions exceed the group count, and Acero
+        # (the verify joins below) rejects them (CLAUDE.md invariant)
+        .repartition(num_partitions)
+    )
+
+    def as_side(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"id_{side}": t["sid"], f"sh_{side}": t["sh"],
+                 f"n_{side}": t["n_tok"]}
+            )
+
+        return fn
+
+    sh_a = sets.map_batches(as_side("a"), batch_format="pyarrow")
+    sh_b = sets.map_batches(as_side("b"), batch_format="pyarrow")
+    verif = cand.join(
+        sh_a, join_type="inner", num_partitions=num_partitions, on=("id_a",)
+    ).join(
+        sh_b, join_type="inner", num_partitions=num_partitions, on=("id_b",)
+    )
+
+    def jac(t: pa.Table) -> pa.Table:
+        n = len(t)
+        va, na = _packed_view(t["sh_a"])
+        vb, nb = _packed_view(t["sh_b"])
+        offa = np.zeros(n + 1, np.int64)
+        np.cumsum(na, out=offa[1:])
+        offb = np.zeros(n + 1, np.int64)
+        np.cumsum(nb, out=offb[1:])
+        inter = np.empty(n, dtype=np.int64)
+        isect = np.intersect1d
+        for k in range(n):
+            sa = va[offa[k] : offa[k + 1]]
+            sb = vb[offb[k] : offb[k + 1]]
+            inter[k] = isect(sa, sb, assume_unique=True).size
+        union = na + nb - inter
+        keep = inter * den >= num * np.maximum(union, 1)
+        keep &= union > 0
+        w = pa.array(keep)
+        return pa.table(
+            {
+                "id_a": t["id_a"].filter(w),
+                "id_b": t["id_b"].filter(w),
+                "n_inter": pa.array(inter[keep]),
+                "n_union": pa.array(union[keep]),
+                "jaccard": pa.array(inter[keep] / union[keep]),
+            }
+        )
+
+    return verif.map_batches(jac, batch_format="pyarrow")

@@ -83,6 +83,66 @@ def sliding(ds, key_col: str, ts_col: str, value_col: str,
     )
 
 
+def funnel(ds, key_col: str, ts_col: str, type_col: str, stages: list):
+    """Ordered funnel: per key, the greedy strictly-increasing chain through
+    ``stages`` — t₁ = min ts of stage 1, t₂ = min ts of stage 2 with
+    ts > t₁, … Output one row per key: ``(key_col, stage)`` where stage is
+    the deepest step reached (0 = none).
+
+    Plan: funnel-type events shrink to (key, stage, ts); every batch also
+    contributes its distinct keys as stage-0 sentinel rows so keys with no
+    funnel events still appear (their sentinels dedupe in the groupby).
+    ONE groupby(key) shuffle, then the K-step greedy chain runs vectorized
+    per key (K is a constant, not a row loop). Same one-key-fits-worker
+    contract as session windows.
+    """
+    import pandas as pd
+
+    stage_of = {s: i + 1 for i, s in enumerate(stages)}
+    n_stages = len(stages)
+
+    def shrink(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = t[type_col].to_pandas()
+        st = types.map(stage_of).fillna(0).to_numpy(dtype=np.int64)
+        keep = st > 0
+        ukeys = np.unique(keys)
+        return pa.table(
+            {
+                key_col: pa.array(np.concatenate([keys[keep], ukeys])),
+                "stage": pa.array(np.concatenate(
+                    [st[keep], np.zeros(ukeys.size, dtype=np.int64)]
+                )),
+                "us": pa.array(np.concatenate(
+                    [us[keep], np.zeros(ukeys.size, dtype=np.int64)]
+                )),
+            }
+        )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        st = g["stage"].to_numpy(dtype=np.int64)
+        us = g["us"].to_numpy(dtype=np.int64)
+        reached = 0
+        thr = None
+        for s in range(1, n_stages + 1):
+            sel = us[st == s] if thr is None else us[(st == s) & (us > thr)]
+            if sel.size == 0:
+                break
+            thr = sel.min()
+            reached = s
+        return pd.DataFrame(
+            {key_col: [g[key_col].iloc[0]], "stage": [np.int64(reached)]}
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, type_col])
+        .map_batches(shrink, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
 def session(ds, key_col: str, ts_col: str, gap_us: int, ts_scale_us: int = 1):
     """Session windows: per-key sort by ts, split where the gap exceeds
     ``gap_us``. One shuffle (groupby key); sessionization is local pandas.

@@ -1234,6 +1234,43 @@ GROUP BY tile_id
 """
 
 
+def q_images_pip_anti(sf_dir: str):
+    """Spatial ANTI join: images contained in NO fixture tile polygon —
+    same broadcast polygon index as q_images_pip, batch-local complement,
+    zero shuffle (ops.pip.pip_assign(anti=True)). Output is the parsed
+    integer image index so the twin needs no string formatting."""
+    import pyarrow.compute as pc
+
+    from georay import fixtures
+    from georay.ops import pip as pip_ops
+
+    ids, _zooms, rings = fixtures.make_tiles()
+    ds = fixtures.read_images(sf_dir, columns=["image_id", "lon", "lat"])
+    out = pip_ops.pip_assign(
+        ds, ids, rings, bits=10, keep_cols=["image_id"], anti=True
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+        return pa.table({"i": idx})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_images_pip_anti(n: int) -> str:
+    return f"""
+WITH p AS ({_sql_img_coords(n)}),
+t(tile_id, x0, x1, y0, y1, xm, ym) AS (VALUES
+  {_sql_tile_rects()}
+)
+SELECT i FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM t
+  WHERE (p.lat >= t.y0 AND p.lat < t.ym AND p.lon >= t.x0 AND p.lon < t.x1)
+     OR (p.lat >= t.ym AND p.lat < t.y1 AND p.lon >= t.xm AND p.lon < t.x1))
+"""
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics: per-polygon (count, sum, min, max) of the image
     width — PIP zone assignment (actor-held polygon index) feeding the
@@ -2048,6 +2085,42 @@ WITH e AS (
 SELECT event_type, win_start, COUNT(*) AS n,
        CAST(SUM(milli) AS BIGINT) AS sum_val_milli
 FROM x GROUP BY 1, 2
+"""
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel view→click→purchase per user: the greedy strictly-
+    increasing timestamp chain (ops.window.funnel — one groupby(user)
+    shuffle after batch-local shrink to funnel events + stage-0 key
+    sentinels). One row per user with the deepest stage reached. SQL twin
+    chains MIN-timestamp subqueries."""
+    from georay.ops import window as win
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return win.funnel(ev, "user_id", "ts", "event_type", FUNNEL_STAGES)
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+       WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.us > s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.us > s2.t2
+       GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
 """
 
 
@@ -2925,6 +2998,36 @@ def flagship_resumable(sf_dir: str, out_dir: str, n_images: int | None = None,
 # HLL / heavy hitters
 
 
+def q_setsim_join(sf_dir: str):
+    """EXACT token-set-similarity self-join (Jaccard ≥ 9/10) via prefix
+    filtering (ops.setsim — the AllPairs/PPJoin shape): rarest-first token
+    order, per-doc prefix inverted index, candidate buckets, exact integer
+    verify. ``max_bucket=None``: the harness query keeps strict all-pairs
+    exactness (the cap is the documented scale knob). The oracle is the
+    semantic spec — a plain token self-join with the same integer
+    threshold."""
+    from georay.ops import setsim
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return setsim.setsim_join(docs, num=9, den=10, max_bucket=None)
+
+
+SQL_SETSIM = """
+WITH toks AS (SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[\\w'']+')) AS w
+              FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(i AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - i AS BIGINT) AS n_union,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE i * 10 >= 9 * (sa.n + sb.n - i)
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """Substring-level duplicate-span detection: per document, how many of
     its 8-token windows occur ≥2× in the whole corpus (only 64-bit gram
@@ -3144,9 +3247,12 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "video_frames": (q_video_frames, sql_video_frames(n_video)),
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
         "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+        "setsim_join": (q_setsim_join, SQL_SETSIM),
         "top_orders_monthly": (q_top_orders_monthly, SQL_TOP_ORDERS_MONTHLY),
         "hll_users": (q_hll_users, SQL_HLL_USERS),
         "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
+        "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+        "images_pip_anti": (q_images_pip_anti, sql_images_pip_anti(n_images)),
         "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
         "heavy_cells": (q_heavy_cells, sql_heavy_cells(n_images)),

@@ -505,3 +505,95 @@ def test_ngram_span_stats_vs_brute(ray_session):
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_setsim_join_vs_brute(ray_session):
+    """Random small-vocab corpus (dense similarity — the prefix filter's
+    worst case) + planted near-identical pair: exact parity with a brute
+    all-pairs token-set Jaccard, at two thresholds and with the
+    length-filter both live and trivial."""
+    import itertools
+    import re
+
+    import ray
+
+    from georay.ops.setsim import setsim_join
+
+    rng = np.random.RandomState(23)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = []
+    for did in range(80):
+        toks = [vocab[j] for j in rng.randint(0, 25, size=rng.randint(1, 20))]
+        docs.append((did, " ".join(toks)))
+    docs.append((900, "alpha beta gamma delta epsilon"))
+    docs.append((901, "alpha beta gamma delta epsilon zeta"))  # J = 5/6
+    docs.append((902, ""))  # empty token set: must never pair
+    tab = pa.table(
+        {"doc_id": np.array([d for d, _ in docs], dtype=np.int64),
+         "text": [t for _, t in docs]}
+    )
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    sets = {d: frozenset(word_re.findall(t.lower())) for d, t in docs}
+
+    for num, den in [(4, 5), (1, 2)]:
+        want_rows = []
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * den >= num * union:
+                want_rows.append((a, b, inter, union, inter / union))
+        want = pd.DataFrame(
+            want_rows, columns=["id_a", "id_b", "n_inter", "n_union", "jaccard"]
+        )
+        got = (
+            setsim_join(
+                ray.data.from_arrow(tab).repartition(4), num=num, den=den,
+                num_partitions=3, combine_partitions=2, max_bucket=None,
+            )
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        assert ((got["id_a"] == 900) & (got["id_b"] == 901)).any() or num > 4
+        pd.testing.assert_frame_equal(
+            got.astype({"id_a": "int64", "id_b": "int64", "n_inter": "int64",
+                        "n_union": "int64"}),
+            want.astype({"id_a": "int64", "id_b": "int64", "n_inter": "int64",
+                         "n_union": "int64"}),
+        )
+
+
+def test_setsim_join_big_vocab_join_path(ray_session):
+    """Force the hash-join document-frequency path (broadcast_vocab_max=0)
+    and assert it matches the broadcast path bit-for-bit."""
+    import ray
+
+    from georay.ops.setsim import setsim_join
+
+    rng = np.random.RandomState(31)
+    vocab = [f"tok{i}" for i in range(60)]
+    docs = [
+        (did, " ".join(vocab[j] for j in rng.randint(0, 60,
+                                                     size=rng.randint(3, 15))))
+        for did in range(50)
+    ]
+    # plant qualifying pairs (the random corpus alone may have none, and an
+    # all-empty result exercises nothing)
+    docs += [(700, "red green blue cyan"), (701, "red green blue magenta"),
+             (702, "red green blue cyan yellow")]
+    tab = pa.table(
+        {"doc_id": np.array([d for d, _ in docs], dtype=np.int64),
+         "text": [t for _, t in docs]}
+    )
+
+    def run(bmax):
+        return (
+            setsim_join(
+                ray.data.from_arrow(tab).repartition(3), num=1, den=2,
+                num_partitions=2, combine_partitions=2, max_bucket=None,
+                broadcast_vocab_max=bmax,
+            )
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+
+    a, b = run(2_000_000), run(0)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
