@@ -83,6 +83,58 @@ def sliding(ds, key_col: str, ts_col: str, value_col: str,
     )
 
 
+def running_stats(ds, key_col: str, ts_col: str, order_col: str,
+                  value_col: str, roll: int = 3):
+    """Row-based window functions per key, ordered by (ts, order):
+
+    - ``seq``       — 1-based row number within the key
+    - ``cum_milli`` — running sum of ``floor(value·1000)`` (int-exact,
+      inclusive of the current row)
+    - ``dt_us``     — microseconds since the previous event (0 for the
+      first) — the LAG shape
+    - ``roll_milli``— rolling sum over the last ``roll`` rows (ROWS
+      ``roll-1`` PRECEDING .. CURRENT ROW), via the cumsum-difference trick
+
+    ONE groupby(key) shuffle; all four windows are numpy on the locally
+    sorted key group (no per-row work). Same one-key-fits-worker contract
+    as session windows. Output: key, order, seq, cum_milli, dt_us,
+    roll_milli."""
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g[order_col].to_numpy(np.int64),
+             g[ts_col].astype("int64").to_numpy())
+        )
+        us = g[ts_col].astype("int64").to_numpy()[order]
+        oid = g[order_col].to_numpy(np.int64)[order]
+        milli = np.floor(
+            g[value_col].to_numpy(np.float64)[order] * 1000
+        ).astype(np.int64)
+        cum = np.cumsum(milli)
+        dt = np.zeros(us.size, dtype=np.int64)
+        dt[1:] = us[1:] - us[:-1]
+        shifted = np.zeros(us.size, dtype=np.int64)
+        if us.size > roll:
+            shifted[roll:] = cum[:-roll]
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy()[order],
+                order_col: oid,
+                "seq": np.arange(1, us.size + 1, dtype=np.int64),
+                "cum_milli": cum,
+                "dt_us": dt,
+                "roll_milli": cum - shifted,
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, order_col, value_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
 def funnel(ds, key_col: str, ts_col: str, type_col: str, stages: list):
     """Ordered funnel: per key, the greedy strictly-increasing chain through
     ``stages`` — t₁ = min ts of stage 1, t₂ = min ts of stage 2 with

@@ -2088,6 +2088,30 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_running_stats(sf_dir: str):
+    """Row-based window functions per user (ROW_NUMBER, running int-exact
+    value sum, LAG time gap, 3-row rolling sum) — ops.window.running_stats,
+    one groupby(user) shuffle + numpy windows on the sorted key group. SQL
+    twin is the standard four-window SELECT."""
+    from georay.ops import window as win
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    return win.running_stats(ev, "user_id", "ts", "event_id", "value", roll=3)
+
+
+SQL_RUNNING_STATS = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CAST(FLOOR(value * 1000) AS BIGINT) AS milli FROM events)
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS seq,
+       CAST(SUM(milli) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_milli,
+       CAST(COALESCE(us - LAG(us) OVER w, 0) AS BIGINT) AS dt_us,
+       CAST(SUM(milli) OVER (w ROWS 2 PRECEDING) AS BIGINT) AS roll_milli
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -3252,6 +3276,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "hll_users": (q_hll_users, SQL_HLL_USERS),
         "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
         "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+        "running_stats": (q_running_stats, SQL_RUNNING_STATS),
         "images_pip_anti": (q_images_pip_anti, sql_images_pip_anti(n_images)),
         "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),

@@ -176,3 +176,76 @@ def test_interval_join_matches_brute(ray_session):
         exp.extend((int(r.k), int(t), int(r.start), int(r.end)) for t in m.ts)
     assert got == sorted(exp)
     assert len(got) > 0
+
+
+def test_running_stats_matches_pandas(ray_session):
+    """Duplicate timestamps tiebreak on the order column; rolling sum edge
+    (fewer than `roll` rows) matches pandas rolling(min_periods=1)."""
+    import ray
+
+    from georay.ops.window import running_stats
+
+    rng = np.random.RandomState(7)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, n),
+            "us": rng.randint(0, 50, n).astype(np.int64),  # many dup ts
+            "oid": np.arange(n, dtype=np.int64),
+            "v": rng.uniform(-5, 5, n),
+        }
+    )
+    tab = pa.Table.from_pandas(df.assign(us=pd.to_datetime(df.us, unit="us")),
+                               preserve_index=False)
+    # match the parquet tables' timestamp[us] (from_pandas yields [ns])
+    i = tab.schema.get_field_index("us")
+    tab = tab.set_column(i, "us", tab["us"].cast(pa.timestamp("us")))
+    got = (
+        running_stats(ray.data.from_arrow(tab), "k", "us", "oid", "v", roll=3)
+        .to_pandas().sort_values(["k", "seq"]).reset_index(drop=True)
+    )
+    rows = []
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["us", "oid"], kind="stable")
+        milli = np.floor(g["v"].to_numpy() * 1000).astype(np.int64)
+        cum = np.cumsum(milli)
+        us = g["us"].to_numpy(np.int64)
+        dt = np.concatenate([[0], np.diff(us)])
+        roll = (
+            pd.Series(milli).rolling(3, min_periods=1).sum().to_numpy()
+        ).astype(np.int64)
+        for i in range(len(g)):
+            rows.append((k, g["oid"].iloc[i], i + 1, cum[i], dt[i], roll[i]))
+    want = pd.DataFrame(
+        rows, columns=["k", "oid", "seq", "cum_milli", "dt_us", "roll_milli"]
+    ).sort_values(["k", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_funnel_matches_brute(ray_session):
+    """Greedy strictly-increasing chain; keys with no funnel events appear
+    at stage 0; same-timestamp stage events do NOT chain (strict >)."""
+    import ray
+
+    from georay.ops.window import funnel
+
+    df = pd.DataFrame(
+        {
+            "k":  [1, 1, 1,   2, 2,   3,   4, 4],
+            "us": [10, 20, 30, 5, 5,   7,   1, 2],
+            "ty": ["a", "b", "c", "a", "b", "x", "b", "a"],
+        }
+    )
+    tab = pa.Table.from_pandas(
+        df.assign(us=pd.to_datetime(df.us, unit="us")), preserve_index=False
+    )
+    i = tab.schema.get_field_index("us")
+    tab = tab.set_column(i, "us", tab["us"].cast(pa.timestamp("us")))
+    got = (
+        funnel(ray.data.from_arrow(tab), "k", "us", "ty", ["a", "b", "c"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # k=1: a@10 < b@20 < c@30 → 3; k=2: a@5, b@5 NOT > 5 → 1;
+    # k=3: no funnel events → 0; k=4: b before a, no b after a@2 → 1
+    want = pd.DataFrame({"k": [1, 2, 3, 4], "stage": [3, 1, 0, 1]})
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
