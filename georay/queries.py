@@ -2112,6 +2112,29 @@ FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 """
 
 
+PIVOT_TYPES = ["click", "purchase", "signup", "view"]  # 'error' → n_other
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot/crosstab: per-user wide event-type count columns
+    (ops.pivot.pivot_counts — wide partials per batch, ONE Sum groupby;
+    the 'error' type is deliberately unlisted to exercise n_other)."""
+    from georay.ops.pivot import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type", PIVOT_TYPES)
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT user_id,
+  {", ".join(f"CAST(COUNT(*) FILTER (event_type = '{v}') AS BIGINT) AS n_{v}"
+             for v in PIVOT_TYPES)},
+  CAST(COUNT(*) FILTER (event_type NOT IN
+       ({", ".join(repr(v) for v in PIVOT_TYPES)})) AS BIGINT) AS n_other
+FROM events GROUP BY user_id
+"""
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -3277,6 +3300,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
         "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
         "running_stats": (q_running_stats, SQL_RUNNING_STATS),
+        "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
         "images_pip_anti": (q_images_pip_anti, sql_images_pip_anti(n_images)),
         "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),

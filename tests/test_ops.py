@@ -529,3 +529,36 @@ def test_box_overlap_join_matches_brute(ray_session):
     # the injected corner-touch pair (900, 2000) has zero intersection area
     row = got[(got["aid"] == 900) & (got["bid"] == 2000)]
     assert len(row) == 1 and row["inter_area"].iloc[0] == 0
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    """Unlisted categories fold into n_other; listed-but-absent values
+    emit all-zero columns; multi-block input sums correctly."""
+    import ray
+
+    from georay.ops.pivot import pivot_counts
+
+    rng = np.random.RandomState(13)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 9, n).astype(np.int64),
+            "c": np.array(["a", "b", "c", "d"])[rng.randint(0, 4, n)],
+        }
+    )
+    got = (
+        pivot_counts(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(df, preserve_index=False)
+            ).repartition(5),
+            "k", "c", values=["a", "b", "zz"], combine_partitions=2,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = pd.DataFrame({"k": np.sort(df["k"].unique())})
+    ct = pd.crosstab(df["k"], df["c"])
+    want["n_a"] = ct["a"].to_numpy(np.int64)
+    want["n_b"] = ct["b"].to_numpy(np.int64)
+    want["n_zz"] = 0
+    want["n_other"] = (ct["c"] + ct["d"]).to_numpy(np.int64)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
