@@ -404,3 +404,139 @@ def tfidf_topk(ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text",
         .groupby("bucket")
         .map_groups(topk_bucket, batch_format="pandas")
     )
+
+
+def cooccur_topk(ds, k: int = 50, id_col: str = "doc_id", text_col: str = "text",
+                 combine_partitions: int = 8, num_partitions: int = 8,
+                 broadcast_vocab_max: int = 2_000_000):
+    """Top-k co-occurring token pairs by LIFT = P(a,b)/(P(a)·P(b)) =
+    n_ab·N / (n_a·n_b) — the pointwise-mutual-information ranking without
+    the log (log is monotone, so the order is identical and no float
+    transcendental crosses the oracle boundary; the lift itself is ONE
+    double expression evaluated the same way on both sides).
+
+    Plan: per batch, each doc's distinct lowered ``[\\w']+`` tokens expand
+    to unordered within-doc pairs (offsets idiom over the per-doc triangle
+    — no per-doc Python loop) and collapse to batch-local partial counts;
+    ONE Sum groupby merges pair counts; per-token document frequency is the
+    same two-phase count; the two frequency attachments use the Zipf-
+    broadcast (sorted-array searchsorted) under ``broadcast_vocab_max``,
+    falling back to hash joins. A distributed sort + limit takes the top-k
+    with (w_a, w_b) tie-break. Pair keys are the token STRINGS (the oracle
+    joins on them); pair count rows are Zipf-bounded like the vocabulary.
+
+    Output: ``w_a, w_b, n_ab, n_a, n_b, lift`` (w_a < w_b).
+    """
+    import re
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from georay.ops.pairs import grouped_pair_indices
+    from georay.ops.tiles import count_by
+    from georay.runtime import table_from_pandas
+
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    pair_schema = pa.schema(
+        [("w_a", pa.string()), ("w_b", pa.string()), ("p_n", pa.int64())]
+    )
+    n_docs = ds.count()
+
+    def pair_rows(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].str.findall(word_re).explode().dropna().str.lower()
+        pairs = pd.DataFrame(
+            {"r": toks.index.to_numpy().astype(np.int64), "w": toks.to_numpy()}
+        ).drop_duplicates().sort_values(["r", "w"], kind="quicksort")
+        w = pairs["w"].to_numpy()
+        # per-doc unordered pairs: one vectorized segmented triangle decode
+        # over all docs of the batch (pairs.grouped_pair_indices — tokens
+        # are (doc, w)-sorted so w_a < w_b within each pair)
+        _, counts = np.unique(pairs["r"].to_numpy(), return_counts=True)
+        ia, ib = grouped_pair_indices(
+            counts, None, "(cooccur)", log_prefix="georay.cooccur"
+        )
+        if ia.size == 0:
+            return table_from_pandas(
+                pd.DataFrame({"w_a": [], "w_b": [], "p_n": []}),
+                schema=pair_schema,
+            )
+        out = pd.DataFrame({"w_a": w[ia], "w_b": w[ib]})
+        g = out.groupby(["w_a", "w_b"], as_index=False).size()
+        return table_from_pandas(
+            g.rename(columns={"size": "p_n"}), schema=pair_schema
+        )
+
+    toks_ds = ds.select_columns([id_col, text_col])
+    pair_counts = (
+        toks_ds.map_batches(pair_rows, batch_format="pandas")
+        .repartition(combine_partitions)
+        .groupby(["w_a", "w_b"])
+        .aggregate(Sum("p_n", alias_name="n_ab"))
+    )
+
+    def doc_tokens(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].str.findall(word_re).explode().dropna().str.lower()
+        pairs = pd.DataFrame(
+            {"r": toks.index.to_numpy().astype(np.int64), "w": toks.to_numpy()}
+        ).drop_duplicates()
+        return table_from_pandas(
+            pd.DataFrame({"w": pairs["w"].to_numpy()}),
+            schema=pa.schema([("w", pa.string())]),
+        )
+
+    dfc = count_by(
+        toks_ds.map_batches(doc_tokens, batch_format="pandas"), "w",
+        out_col="df", combine_partitions=combine_partitions,
+    ).materialize()
+
+    if dfc.count() <= broadcast_vocab_max:
+        dft = pa.concat_tables(list(dfc.iter_batches(batch_format="pyarrow")))
+        order = np.argsort(dft["w"].to_numpy(zero_copy_only=False),
+                           kind="quicksort")
+        ref = ray.put(
+            (dft["w"].to_numpy(zero_copy_only=False)[order],
+             dft["df"].to_numpy(zero_copy_only=False)[order].astype(np.int64))
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(ref)
+            na = vals[np.searchsorted(keys, t["w_a"].to_numpy(zero_copy_only=False))]
+            nb = vals[np.searchsorted(keys, t["w_b"].to_numpy(zero_copy_only=False))]
+            return t.append_column("n_a", pa.array(na)).append_column(
+                "n_b", pa.array(nb)
+            )
+
+        enriched = pair_counts.map_batches(attach, batch_format="pyarrow")
+    else:
+        d = dfc.repartition(num_partitions)
+        a_side = d.map_batches(
+            lambda t: pa.table({"w_a": t["w"], "n_a": t["df"]}),
+            batch_format="pyarrow",
+        )
+        b_side = d.map_batches(
+            lambda t: pa.table({"w_b": t["w"], "n_b": t["df"]}),
+            batch_format="pyarrow",
+        )
+        enriched = pair_counts.repartition(num_partitions).join(
+            a_side, join_type="inner", num_partitions=num_partitions,
+            on=("w_a",),
+        ).join(
+            b_side, join_type="inner", num_partitions=num_partitions,
+            on=("w_b",),
+        )
+
+    def lift(t: pa.Table) -> pa.Table:
+        n_ab = t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = t["n_a"].to_numpy(zero_copy_only=False)
+        n_b = t["n_b"].to_numpy(zero_copy_only=False)
+        v = n_ab * np.float64(n_docs) / (n_a * n_b)
+        return t.append_column("lift", pa.array(v))
+
+    return (
+        enriched.map_batches(lift, batch_format="pyarrow")
+        .sort(["lift", "w_a", "w_b"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -3045,6 +3045,35 @@ def flagship_resumable(sf_dir: str, out_dir: str, n_images: int | None = None,
 # HLL / heavy hitters
 
 
+def q_cooccur_topk(sf_dir: str):
+    """Top-50 co-occurring token pairs by lift = n_ab·N/(n_a·n_b) — the
+    PMI ranking without the log (monotone). Per-doc pair expansion is ONE
+    segmented triangle decode per batch (ops.text.cooccur_topk); the lift
+    is a single double expression mirrored verbatim in the SQL, and the
+    (w_a, w_b) tie-break totalizes the order across equal lifts."""
+    from georay.ops.text import cooccur_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cooccur_topk(docs, k=50)
+
+
+SQL_COOCCUR = """
+WITH toks AS (SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[\\w'']+')) AS w
+              FROM documents),
+df AS (SELECT w, COUNT(*) AS d FROM toks GROUP BY w),
+pc AS (SELECT a.w AS w_a, b.w AS w_b, COUNT(*) AS n_ab
+       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+       GROUP BY 1, 2)
+SELECT w_a, w_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(da.d AS BIGINT) AS n_a, CAST(db.d AS BIGINT) AS n_b,
+       CAST(n_ab AS DOUBLE) * (SELECT COUNT(*) FROM documents)
+         / (da.d * db.d) AS lift
+FROM pc JOIN df da ON da.w = w_a JOIN df db ON db.w = w_b
+ORDER BY lift DESC, w_a, w_b LIMIT 50
+"""
+
+
 def q_setsim_join(sf_dir: str):
     """EXACT token-set-similarity self-join (Jaccard ≥ 9/10) via prefix
     filtering (ops.setsim — the AllPairs/PPJoin shape): rarest-first token
@@ -3295,6 +3324,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
         "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
         "setsim_join": (q_setsim_join, SQL_SETSIM),
+        "cooccur_topk": (q_cooccur_topk, SQL_COOCCUR),
         "top_orders_monthly": (q_top_orders_monthly, SQL_TOP_ORDERS_MONTHLY),
         "hll_users": (q_hll_users, SQL_HLL_USERS),
         "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
