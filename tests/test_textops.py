@@ -597,3 +597,90 @@ def test_setsim_join_big_vocab_join_path(ray_session):
     a, b = run(2_000_000), run(0)
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cooccur_topk_vs_brute(ray_session):
+    """Lift ranking vs an itertools brute force; within-doc duplicate
+    tokens collapse (DISTINCT pairs), tie-break totalizes equal lifts."""
+    import itertools
+    import re
+
+    import ray
+
+    from georay.ops.text import cooccur_topk
+
+    rng = np.random.RandomState(41)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (did, " ".join(vocab[j] for j in rng.randint(0, 12,
+                                                     size=rng.randint(2, 9))))
+        for did in range(40)
+    ]
+    tab = pa.table(
+        {"doc_id": np.array([d for d, _ in docs], dtype=np.int64),
+         "text": [t for _, t in docs]}
+    )
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    sets = {d: sorted(set(word_re.findall(t.lower()))) for d, t in docs}
+    n_docs = len(docs)
+    df_cnt: dict[str, int] = {}
+    for s in sets.values():
+        for w in s:
+            df_cnt[w] = df_cnt.get(w, 0) + 1
+    pair_cnt: dict[tuple, int] = {}
+    for s in sets.values():
+        for a, b in itertools.combinations(s, 2):
+            pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + 1
+    rows = [
+        (a, b, n, df_cnt[a], df_cnt[b],
+         np.float64(n) * np.float64(n_docs) / (df_cnt[a] * df_cnt[b]))
+        for (a, b), n in pair_cnt.items()
+    ]
+    want = (
+        pd.DataFrame(rows, columns=["w_a", "w_b", "n_ab", "n_a", "n_b", "lift"])
+        .sort_values(["lift", "w_a", "w_b"], ascending=[False, True, True])
+        .head(10).reset_index(drop=True)
+    )
+    got = (
+        cooccur_topk(
+            ray.data.from_arrow(tab).repartition(4), k=10,
+            combine_partitions=2, num_partitions=2,
+        )
+        .to_pandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_ab": "int64", "n_a": "int64", "n_b": "int64"}), want
+    )
+
+
+def test_cooccur_topk_join_path_parity(ray_session):
+    """broadcast_vocab_max=0 forces the df hash joins; result must equal
+    the broadcast path bit-for-bit."""
+    import ray
+
+    from georay.ops.text import cooccur_topk
+
+    rng = np.random.RandomState(43)
+    vocab = [f"t{i}" for i in range(15)]
+    docs = [
+        (did, " ".join(vocab[j] for j in rng.randint(0, 15,
+                                                     size=rng.randint(2, 8))))
+        for did in range(30)
+    ]
+    tab = pa.table(
+        {"doc_id": np.array([d for d, _ in docs], dtype=np.int64),
+         "text": [t for _, t in docs]}
+    )
+
+    def run(bmax):
+        return (
+            cooccur_topk(
+                ray.data.from_arrow(tab).repartition(3), k=8,
+                combine_partitions=2, num_partitions=2,
+                broadcast_vocab_max=bmax,
+            ).to_pandas().reset_index(drop=True)
+        )
+
+    a, b = run(2_000_000), run(0)
+    assert len(a) == 8
+    pd.testing.assert_frame_equal(a, b)
