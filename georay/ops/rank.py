@@ -26,6 +26,7 @@ import pyarrow as pa
 
 from georay.ops.sketch import splitmix64  # module level: worker-executed
 from georay.ops.text import fingerprint64  # (foreign-cwd drivers, CLAUDE.md)
+from georay.runtime import strip_metadata
 
 
 def _key_hash(arr: np.ndarray) -> np.ndarray:
@@ -45,9 +46,15 @@ def grouped_topk(ds, group_cols: list[str], sort_cols: list[str],
     by = list(group_cols) + list(sort_cols)
     asc = [True] * len(group_cols) + list(ascending)
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(by, ascending=asc, kind="quicksort")
-        return df.groupby(list(group_cols), sort=False).head(k)
+        out = df.groupby(list(group_cols), sort=False).head(k)
+        # metadata-free Arrow return: a raw pandas return round-trips
+        # through pa.Table.from_pandas, whose metadata blob makes the block
+        # schema unhashable and defeats Ray's block-schema dedup
+        return strip_metadata(
+            pa.Table.from_pandas(out, preserve_index=False)
+        )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, dtype=np.uint64)
@@ -59,13 +66,14 @@ def grouped_topk(ds, group_cols: list[str], sort_cols: list[str],
         bucket = (h % np.uint64(num_buckets)).astype(np.int64)
         return t.append_column("_bucket", pa.array(bucket))
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+    def final_topk(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(by, ascending=asc, kind="quicksort")
         out = g.groupby(list(group_cols), sort=False).head(k).copy()
         out[rank_col] = (
             out.groupby(list(group_cols), sort=False).cumcount().to_numpy() + 1
         )
-        return out.drop(columns=["_bucket"]).reset_index(drop=True)
+        out = out.drop(columns=["_bucket"]).reset_index(drop=True)
+        return strip_metadata(pa.Table.from_pandas(out, preserve_index=False))
 
     return (
         ds.map_batches(local_topk, batch_format="pandas")

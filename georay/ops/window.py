@@ -83,6 +83,53 @@ def sliding(ds, key_col: str, ts_col: str, value_col: str,
     )
 
 
+def max_concurrency(ds, key_col: str, start_col: str, end_col: str):
+    """Sweep-line max-overlap per key: the maximum number of intervals
+    ``[start, end)`` simultaneously open. Each interval emits +1/−1
+    boundary rows batch-locally; ONE groupby(key) shuffle co-locates a
+    key's boundaries; the sweep is a local sort by ``(t, delta)`` (−1
+    before +1 at equal t — half-open semantics: an interval ending at t
+    does not overlap one starting at t) + cumsum + max. Ties within equal
+    ``(t, delta)`` carry identical deltas, so the running max is
+    permutation-invariant — deterministic without any further tiebreak.
+    Output one row per key: ``(key_col, max_concurrent)``."""
+    import pandas as pd
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        s = t[start_col].to_numpy(zero_copy_only=False)
+        e = t[end_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: pa.array(np.concatenate([k, k])),
+                "t": pa.array(np.concatenate([s, e])),
+                "d": pa.array(np.concatenate(
+                    [np.ones(k.size, dtype=np.int64),
+                     -np.ones(k.size, dtype=np.int64)]
+                )),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["d"].to_numpy(np.int64), g["t"].to_numpy(np.int64))
+        )
+        c = np.cumsum(g["d"].to_numpy(np.int64)[order])
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "max_concurrent": [np.int64(c.max())],
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, start_col, end_col])
+        .map_batches(boundaries, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
 def running_stats(ds, key_col: str, ts_col: str, order_col: str,
                   value_col: str, roll: int = 3):
     """Row-based window functions per key, ordered by (ts, order):

@@ -2112,6 +2112,91 @@ FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 """
 
 
+def q_max_concurrency(sf_dir: str):
+    """Sweep-line max overlap: each event opens a 1-hour interval; per
+    event_type, the max number simultaneously open
+    (ops.window.max_concurrency — ±1 boundary rows, one groupby(key)
+    shuffle, local sort+cumsum sweep). SQL twin: UNION ALL boundaries +
+    running window SUM."""
+    from georay.ops import window as win
+
+    evs = _events_secs(sf_dir)
+
+    def spans(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_type": t["event_type"], "s": pa.array(s),
+             "e": pa.array(s + 3600)}
+        )
+
+    return win.max_concurrency(
+        evs.map_batches(spans, batch_format="pyarrow"), "event_type", "s", "e"
+    )
+
+
+SQL_MAX_CONCURRENCY = """
+WITH ev AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s
+            FROM events),
+b AS (SELECT event_type, s AS t, CAST(1 AS BIGINT) AS d FROM ev
+      UNION ALL
+      SELECT event_type, s + 3600, CAST(-1 AS BIGINT) FROM ev),
+r AS (SELECT event_type,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM b)
+SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent
+FROM r GROUP BY event_type
+"""
+
+
+def q_user_top_event(sf_dir: str):
+    """Per-group MODE (argmax): each user's most frequent event type, count
+    ties broken by event_type ascending — two-phase (user, type) counts
+    composed with ops.rank.grouped_topk at k=1. SQL twin: ROW_NUMBER over
+    grouped counts."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from georay.ops.rank import grouped_topk
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    partial_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_type", pa.string()),
+         ("p_n", pa.int64())]
+    )
+
+    def partial(df: pd.DataFrame):
+        g = (
+            df.groupby(["user_id", "event_type"], as_index=False)
+            .size().rename(columns={"size": "p_n"})
+        )
+        # schema-explicit Arrow return: raw pandas would round-trip through
+        # pa.Table.from_pandas whose metadata defeats block-schema dedup
+        return runtime.table_from_pandas(g, schema=partial_schema)
+
+    counts = (
+        ev.map_batches(partial, batch_format="pandas")
+        .repartition(8)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    top = grouped_topk(counts, ["user_id"], ["n", "event_type"],
+                       [False, True], k=1)
+    return top.select_columns(["user_id", "event_type", "n"])
+
+
+SQL_USER_TOP_EVENT = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type)
+WHERE rk = 1
+"""
+
+
 PIVOT_TYPES = ["click", "purchase", "signup", "view"]  # 'error' → n_other
 
 
@@ -3331,6 +3416,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
         "running_stats": (q_running_stats, SQL_RUNNING_STATS),
         "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+        "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
+        "user_top_event": (q_user_top_event, SQL_USER_TOP_EVENT),
         "images_pip_anti": (q_images_pip_anti, sql_images_pip_anti(n_images)),
         "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),

@@ -249,3 +249,56 @@ def test_funnel_matches_brute(ray_session):
     # k=3: no funnel events → 0; k=4: b before a, no b after a@2 → 1
     want = pd.DataFrame({"k": [1, 2, 3, 4], "stage": [3, 1, 0, 1]})
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_max_concurrency_matches_brute(ray_session):
+    """Half-open [s,e): an interval ending at t does not overlap one
+    starting at t; random intervals vs a brute timeline scan."""
+    import ray
+
+    from georay.ops.window import max_concurrency
+
+    rng = np.random.RandomState(17)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n).astype(np.int64),
+            "s": rng.randint(0, 100, n).astype(np.int64),
+        }
+    )
+    df["e"] = df["s"] + rng.randint(1, 30, n)
+    got = (
+        max_concurrency(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+            .repartition(4),
+            "k", "s", "e",
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    rows = []
+    for k, g in df.groupby("k"):
+        best = 0
+        for t in np.unique(g["s"]):  # max is attained at some start point
+            best = max(best, int(((g["s"] <= t) & (t < g["e"])).sum()))
+        rows.append((k, best))
+    want = pd.DataFrame(rows, columns=["k", "max_concurrent"])
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_max_concurrency_touching_intervals(ray_session):
+    """[0,10) and [10,20) never overlap; [0,10) and [9,20) do."""
+    import ray
+
+    from georay.ops.window import max_concurrency
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 2, 2], "s": [0, 10, 0, 9], "e": [10, 20, 10, 20]}
+    )
+    got = (
+        max_concurrency(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            "k", "s", "e",
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["max_concurrent"].tolist() == [1, 2]
