@@ -587,6 +587,87 @@ FROM p GROUP BY 1, 2
 """
 
 
+def q_tile_centroid(sf_dir: str):
+    """Per-tile centroid + dispersion of the image capture points: exact
+    int64 milli-degree sums (Σx, Σy, Σx², Σy²) via the two-phase partial
+    idiom, means as ONE double division each — the zonal-statistics shape
+    for continuous coordinates (zonal_stats covers per-polygon; this is
+    per-cell)."""
+    from ray.data.aggregate import Sum
+
+    from georay import fixtures
+
+    ds = fixtures.read_images(sf_dir, columns=["lon", "lat"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        xi = np.floor(lon * 1000).astype(np.int64)
+        yi = np.floor(lat * 1000).astype(np.int64)
+        u, inv, cnt = np.unique(cell, return_inverse=True, return_counts=True)
+        sx = np.zeros(u.size, np.int64)
+        sy = np.zeros(u.size, np.int64)
+        sx2 = np.zeros(u.size, np.int64)
+        sy2 = np.zeros(u.size, np.int64)
+        np.add.at(sx, inv, xi)
+        np.add.at(sy, inv, yi)
+        np.add.at(sx2, inv, xi * xi)
+        np.add.at(sy2, inv, yi * yi)
+        return pa.table(
+            {"cell": u, "p_n": cnt.astype(np.int64), "p_sx": sx,
+             "p_sy": sy, "p_sx2": sx2, "p_sy2": sy2}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(
+            Sum("p_n", alias_name="n"), Sum("p_sx", alias_name="sum_x"),
+            Sum("p_sy", alias_name="sum_y"), Sum("p_sx2", alias_name="sum_x2"),
+            Sum("p_sy2", alias_name="sum_y2"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": pa.array(x), "tile_y": pa.array(y),
+                "n": t["n"], "sum_x": t["sum_x"], "sum_y": t["sum_y"],
+                "sum_x2": t["sum_x2"], "sum_y2": t["sum_y2"],
+                "mean_x": pa.array(
+                    t["sum_x"].to_numpy(zero_copy_only=False) / n
+                ),
+                "mean_y": pa.array(
+                    t["sum_y"].to_numpy(zero_copy_only=False) / n
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def sql_tile_centroid(n: int) -> str:
+    return f"""
+WITH p AS ({_sql_img_coords(n)}),
+c AS (SELECT {sql_x('lon', 5)} AS tile_x, {sql_y('lat', 5)} AS tile_y,
+             CAST(FLOOR(lon * 1000) AS BIGINT) AS xi,
+             CAST(FLOOR(lat * 1000) AS BIGINT) AS yi
+      FROM p)
+SELECT tile_x, tile_y, COUNT(*) AS n,
+       CAST(SUM(xi) AS BIGINT) AS sum_x, CAST(SUM(yi) AS BIGINT) AS sum_y,
+       CAST(SUM(xi * xi) AS BIGINT) AS sum_x2,
+       CAST(SUM(yi * yi) AS BIGINT) AS sum_y2,
+       CAST(SUM(xi) AS DOUBLE) / COUNT(*) AS mean_x,
+       CAST(SUM(yi) AS DOUBLE) / COUNT(*) AS mean_y
+FROM c GROUP BY tile_x, tile_y
+"""
+
+
 PYRAMID_LEVELS = 3
 
 
@@ -3419,6 +3500,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
         "user_top_event": (q_user_top_event, SQL_USER_TOP_EVENT),
         "images_pip_anti": (q_images_pip_anti, sql_images_pip_anti(n_images)),
+        "tile_centroid": (q_tile_centroid, sql_tile_centroid(n_images)),
         "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
         "heavy_cells": (q_heavy_cells, sql_heavy_cells(n_images)),
