@@ -449,3 +449,132 @@ def kmeans_lloyd(ds, k: int = 8, iters: int = 3, id_col: str = "vec_id",
 
     return ints.map_batches(assign, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def dim_ranges(ds, emb_col: str = "embedding", combine_partitions: int = 4):
+    """Per-dimension global (min, max) over the embedding column — the SQ8
+    quantization codebook. Two-phase: each batch collapses to ONE row per
+    dimension (elementwise min/max over the batch matrix), then a tiny
+    Min/Max groupby merges; the exchange is O(dims × batches) rows."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = emb_matrix(t[emb_col])
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "p_min": pa.array(m.min(axis=0).astype(np.float32)),
+                "p_max": pa.array(m.max(axis=0).astype(np.float32)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby("dim")
+        .aggregate(Min("p_min", alias_name="mn"), Max("p_max", alias_name="mx"))
+    )
+
+
+def sq8_quantize(m: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """uint8 scalar quantization, computed in float64 with ONE expression
+    shape — ``floor((v − mn)·255 / (mx − mn))`` clipped to [0, 255] — so a
+    SQL twin using the same expression is bit-exact. Degenerate dimensions
+    (mx == mn) quantize to 0."""
+    m64 = m.astype(np.float64)
+    mn64 = mn.astype(np.float64)
+    mx64 = mx.astype(np.float64)
+    span = mx64 - mn64
+    q = np.floor((m64 - mn64) * 255.0 / np.where(span > 0, span, 1.0))
+    q = np.where(span > 0, q, 0.0)
+    return np.clip(q, 0, 255).astype(np.int64)
+
+
+def sq8_topk(ds, query_mask_mod: int = 10, k: int = 5,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             combine_partitions: int = 4):
+    """ANN top-k over SCALAR-QUANTIZED (SQ8) codes — the 4×-memory-
+    reduction scale path for brute-force scoring: each float32 dimension
+    compresses to one byte using the distributed per-dim (min, max) from
+    :func:`dim_ranges`, and scoring is an INTEGER dot product of codes —
+    exact under any execution order, so unlike float-scored ANN the whole
+    ranking (not just the id set) is SQL-checkable bit-for-bit.
+
+    Queries are the rows with ``vec_id % query_mask_mod == 0`` (the
+    ann_topk convention), quantized with the SAME ranges and broadcast.
+    Per batch: quantize rows, int64 matmul vs the query code matrix, local
+    top-k; one small per-query merge finishes. Self-matches are excluded.
+    Output: ``query_id, neighbor_id, score, rank``."""
+    import pandas as pd
+    import ray
+
+    from georay.runtime import per_process
+
+    ranges_t = pa.concat_tables(
+        list(dim_ranges(ds, emb_col, combine_partitions).iter_batches(
+            batch_format="pyarrow"
+        ))
+    )
+    order = np.argsort(ranges_t["dim"].to_numpy(zero_copy_only=False))
+    mn = ranges_t["mn"].to_numpy(zero_copy_only=False)[order]
+    mx = ranges_t["mx"].to_numpy(zero_copy_only=False)[order]
+
+    # queries: one streamed filter pass, collected (bounded by the mask)
+    def pick_queries(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % query_mask_mod == 0)
+        return pa.table(
+            {id_col: t[id_col].filter(keep), emb_col: t[emb_col].filter(keep)}
+        )
+
+    q_t = pa.concat_tables(
+        list(ds.map_batches(pick_queries, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ))
+    )
+    q_ids = q_t[id_col].to_numpy(zero_copy_only=False)
+    q_codes = sq8_quantize(emb_matrix(q_t[emb_col]), mn, mx)
+    ref = ray.put((q_ids, q_codes, mn, mx))
+    state_key = ref.hex()
+
+    class LocalTopK:
+        def __init__(self):
+            self.q_ids, self.q_codes, self.mn, self.mx = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            id_order = np.argsort(ids, kind="stable")
+            ids = ids[id_order]
+            codes = sq8_quantize(emb_matrix(t[emb_col]), self.mn, self.mx)[
+                id_order
+            ]
+            scores = self.q_codes @ codes.T  # int64-exact
+            scores[self.q_ids[:, None] == ids[None, :]] = -1  # codes ≥ 0
+            kk = min(k, ids.size)
+            part = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+            qidx = np.repeat(np.arange(self.q_ids.size), kk)
+            nidx = part.reshape(-1)
+            return pa.table(
+                {
+                    "query_id": self.q_ids[qidx],
+                    "neighbor_id": ids[nidx],
+                    "score": scores[qidx, nidx],
+                }
+            )
+
+    def local_fn(t: pa.Table) -> pa.Table:
+        return per_process(state_key, LocalTopK)(t)
+
+    local = ds.map_batches(local_fn, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["score"] >= 0]
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "score", "rank"]]
+
+    return local.repartition(8).groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )

@@ -980,6 +980,44 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_ann_sq8(sf_dir: str):
+    """SQ8 scalar-quantized ANN top-k: float32 dims compress to one byte
+    via distributed per-dim (min, max); scoring is an INTEGER code dot
+    product, so the full ranking (ids AND scores) is bit-exact vs SQL —
+    the 4×-memory brute-force scale path (ops.similarity.sq8_topk)."""
+    from georay.ops import similarity as sim
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.sq8_topk(emb, query_mask_mod=10, k=ANN_K)
+
+
+SQL_ANN_SQ8 = f"""
+WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(range(len(embedding))) AS dim
+            FROM embeddings),
+r AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+qt AS (SELECT vec_id, dim,
+         CASE WHEN mx > mn THEN
+           LEAST(GREATEST(CAST(FLOOR((CAST(v AS DOUBLE) - mn) * 255.0
+                                     / (CAST(mx AS DOUBLE) - mn)) AS BIGINT),
+                          0), 255)
+         ELSE 0 END AS q
+       FROM ex JOIN r USING (dim)),
+s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(SUM(a.q * b.q) AS BIGINT) AS score
+      FROM qt a JOIN qt b ON a.dim = b.dim AND b.vec_id <> a.vec_id
+      WHERE a.vec_id % 10 = 0
+      GROUP BY 1, 2)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM s)
+WHERE rank <= {ANN_K}
+"""
+
+
 # ------------------------------------------------------------- image pipelines
 #
 # The synthetic image+caption table (input_hint schema) is generated
@@ -3458,6 +3496,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "tfidf_topk": (q_tfidf, SQL_TFIDF),
         "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
+        "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
         "kmeans_clusters": (q_kmeans, sql_kmeans()),
         "raster_assembly": (q_raster, sql_raster(n_images)),
         "compact_cells": (q_compact, SQL_COMPACT),

@@ -684,3 +684,42 @@ def test_cooccur_topk_join_path_parity(ray_session):
     a, b = run(2_000_000), run(0)
     assert len(a) == 8
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sq8_topk_matches_brute_int_ranking(ray_session, emb_table):
+    """SQ8 ranking vs a numpy replica (same quantization expression),
+    including the degenerate constant-dimension path."""
+    import ray
+
+    from georay.ops.similarity import emb_matrix, sq8_quantize, sq8_topk
+
+    t = emb_table
+    m = emb_matrix(t["embedding"]).astype(np.float32)
+    m[:, 3] = 1.25  # constant dim → span 0 → quantizes to 0 both sides
+    ids = t["vec_id"].to_numpy()
+    t2 = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.array(list(m), pa.list_(pa.float32()))}
+    )
+    got = (
+        sq8_topk(ray.data.from_arrow(t2).repartition(4),
+                 query_mask_mod=10, k=3)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    codes = sq8_quantize(m, mn, mx)
+    rows = []
+    for qi in np.flatnonzero(ids % 10 == 0):
+        scores = codes[qi] @ codes.T
+        order = sorted(
+            (int(i) for i in range(ids.size) if ids[i] != ids[qi]),
+            key=lambda i: (-int(scores[i]), int(ids[i])),
+        )[:3]
+        rows += [
+            (int(ids[qi]), int(ids[i]), int(scores[i]), r + 1)
+            for r, i in enumerate(order)
+        ]
+    want = pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "score", "rank"]
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
