@@ -24,8 +24,10 @@ Scale shape — only ids + 64-bit hashes shuffle; text is tokenized ONCE:
    into a binary blob (one row per doc, materialized — every later stage
    derives from it, never from the text).
 2. Token rows (hash, doc, set size) unpack batch-locally; document
-   frequency is a two-phase count, hash-joined back (vocabulary is
-   Zipf-bounded but NOT broadcast — the join is the 100 TB path).
+   frequency is a two-phase count. The df table is broadcast (ray.put of
+   two sorted arrays) while it fits ``broadcast_vocab_max`` — the common,
+   Zipf-bounded case — and falls back to a hash join above that, which is
+   the 100 TB path for unbounded vocabularies.
 3. Per-doc prefix selection runs in O(num_partitions) pandas groups via
    the doc-hash bucket idiom (one vectorized sort + cumcount per bucket,
    not a per-doc map_groups).
@@ -75,11 +77,19 @@ def token_sets(ds, id_col: str = "doc_id", text_col: str = "text"):
             if uniq.size else np.empty(0, dtype=np.uint64)
         )
         r = pairs["r"].to_numpy()
-        blobs, sizes = [], []
+        # r is non-decreasing (explode + drop_duplicates keep row order), so
+        # th is already laid out doc-major: sort each contiguous run in
+        # place (quicksort — this VM's stable/radix sorts are pathological)
+        # and slice blobs from one tobytes(). O(T log s) per batch, not the
+        # O(docs × tokens) per-doc mask scan (tools/microbench_setsim_pack:
+        # 29x on a 1k-doc batch, bit-identical blobs).
+        sizes = np.bincount(r, minlength=len(df)).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(sizes)))
+        th_sorted = th.copy()
         for i in range(len(df)):
-            s = np.sort(th[r == i])
-            blobs.append(s.tobytes())
-            sizes.append(s.size)
+            th_sorted[offs[i]:offs[i + 1]].sort(kind="quicksort")
+        buf = th_sorted.tobytes()
+        blobs = [buf[8 * offs[i]: 8 * offs[i + 1]] for i in range(len(df))]
         return table_from_pandas(
             pd.DataFrame(
                 {
