@@ -322,9 +322,12 @@ def heavy_hitters(ds, col: str, num: int, den: int,
         u, c = np.unique(arr, return_counts=True)
         return pa.table({col: u, "partial_n": c.astype(np.int64)})
 
+    # 1 combine partition: candidates are <= sketch_k keys, and more
+    # combine partitions than groups makes Ray's sort-aggregate emit
+    # SCHEMA-LESS empty blocks (crashes Acero if a caller joins the result)
     exact = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(min(combine_partitions, 4))
+        .repartition(1)
         .groupby(col)
         .aggregate(Sum("partial_n", alias_name="n"))
     )

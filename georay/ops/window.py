@@ -131,7 +131,7 @@ def max_concurrency(ds, key_col: str, start_col: str, end_col: str):
 
 
 def running_stats(ds, key_col: str, ts_col: str, order_col: str,
-                  value_col: str, roll: int = 3):
+                  value_col: str, roll: int = 3, ts_scale_us: int = 1):
     """Row-based window functions per key, ordered by (ts, order):
 
     - ``seq``       — 1-based row number within the key
@@ -144,8 +144,10 @@ def running_stats(ds, key_col: str, ts_col: str, order_col: str,
 
     ONE groupby(key) shuffle; all four windows are numpy on the locally
     sorted key group (no per-row work). Same one-key-fits-worker contract
-    as session windows. Output: key, order, seq, cum_milli, dt_us,
-    roll_milli."""
+    as session windows. ``ts_scale_us`` divides the raw int64 timestamp to
+    microseconds (1000 for datetime64[ns] inputs — pass it like session();
+    the parquet tables are timestamp[us], scale 1). Output: key, order,
+    seq, cum_milli, dt_us, roll_milli."""
     import pandas as pd
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
@@ -153,7 +155,7 @@ def running_stats(ds, key_col: str, ts_col: str, order_col: str,
             (g[order_col].to_numpy(np.int64),
              g[ts_col].astype("int64").to_numpy())
         )
-        us = g[ts_col].astype("int64").to_numpy()[order]
+        us = g[ts_col].astype("int64").to_numpy()[order] // ts_scale_us
         oid = g[order_col].to_numpy(np.int64)[order]
         milli = np.floor(
             g[value_col].to_numpy(np.float64)[order] * 1000

@@ -229,3 +229,28 @@ def test_mg_candidates_guarantee_and_size(ray_session):
     cand = ks[ks != _MG_TOTAL_KEY]
     assert cand.size <= 64  # sketch never exceeds its capacity
     assert 77 in cand  # the guaranteed heavy key survives the merges
+
+
+def test_heavy_hitters_output_is_acero_joinable(ray_session):
+    """ADVICE r3: more combine partitions than candidate groups made the
+    final aggregate emit schema-less empty blocks that crash Acero joins.
+    The 1-combine-partition final must produce join-safe blocks."""
+    import ray.data
+
+    from georay.ops.sketch import heavy_hitters
+
+    rng = np.random.RandomState(5)
+    n = 20_000
+    keys = np.concatenate(
+        [rng.randint(100, 5_000, n).astype(np.int64),
+         np.repeat(np.array([1, 2], dtype=np.int64), int(0.05 * n))]
+    )
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(9)
+    hh = heavy_hitters(ds, "k", num=1, den=50, sketch_k=128)
+    side = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "label": ["a", "b", "c"]})
+    )
+    joined = hh.join(side, join_type="inner", num_partitions=2,
+                     on=("k",)).to_pandas()
+    assert sorted(joined["k"].tolist()) == [1, 2]

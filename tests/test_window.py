@@ -302,3 +302,39 @@ def test_max_concurrency_touching_intervals(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     assert got["max_concurrent"].tolist() == [1, 2]
+
+
+def test_running_stats_ns_input_with_ts_scale(ray_session):
+    """datetime64[ns] input + ts_scale_us=1000 matches the us-native run
+    (ADVICE r3: dt_us was silently 1000x off on ns-typed columns)."""
+    import ray
+
+    from georay.ops.window import running_stats
+
+    rng = np.random.RandomState(3)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n),
+            "us": rng.randint(0, 40, n).astype(np.int64),
+            "oid": np.arange(n, dtype=np.int64),
+            "v": rng.uniform(-5, 5, n),
+        }
+    )
+    base = df.assign(us=pd.to_datetime(df.us, unit="us"))
+    t_ns = pa.Table.from_pandas(base, preserve_index=False)  # [ns] by default
+    t_us = t_ns.set_column(
+        t_ns.schema.get_field_index("us"), "us",
+        t_ns["us"].cast(pa.timestamp("us")),
+    )
+    key = ["k", "oid"]
+    out_us = (
+        running_stats(ray.data.from_arrow(t_us), "k", "us", "oid", "v")
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    out_ns = (
+        running_stats(ray.data.from_arrow(t_ns), "k", "us", "oid", "v",
+                      ts_scale_us=1000)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out_us, out_ns)
