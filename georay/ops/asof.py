@@ -3,20 +3,22 @@ cell-keyed spatial join: for every left row, the single right row with the
 greatest timestamp ≤ the left row's timestamp, within the same key.
 
 Physical plan (Ray Data has no native as-of join): tag both sides, key by
-``by``, union, co-group with one ``groupby(by)`` sort shuffle, then a
-vectorized per-group ``searchsorted`` match — no per-row loop, one
-exchange. Within a key group the right side is sorted once; every left
-timestamp binary-searches it. Inner semantics: left rows with no prior
-right row are dropped (DuckDB ``ASOF JOIN`` parity).
+``hash(by) % num_buckets``, union, co-group with ONE ``groupby(_bucket)``
+shuffle (a few dozen pandas groups total — the ops.buckets idiom, not one
+Python call per key), then a bucket-wide vectorized match: one lexsort
+interleaves both sides of every key, and a rebased running right-count
+turns "latest right ≤ left ts" into an index into the bucket's sorted
+right rows. Inner semantics: left rows with no prior right row are
+dropped (DuckDB ``ASOF JOIN`` parity).
 
 The op returns the MATCH MAPPING ``(by, left ts, matched right ts)`` —
 payload columns reattach with ordinary equi-joins on ``(by, ts)``
 (broadcast or shuffle, caller's choice); keeping the union schema to three
 columns is what lets both sides share one exchange.
 
-Partitioning assumption: one key's rows must fit a worker (same contract
-as every co-group op here); sub-bucket by time range if a single key's
-history outgrows that.
+Partitioning assumption: one BUCKET's rows must fit a worker (size
+``num_buckets`` to the data; see ops.buckets); sub-bucket by time range
+if a single key's history outgrows a worker on its own.
 """
 
 from __future__ import annotations
@@ -107,13 +109,25 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     suffix: str = "_r",
+    num_buckets: int = 32,
 ):
     """For each left row: the latest right timestamp ≤ its own, per key.
 
     Output columns: ``by``, ``left_ts``, ``{right_ts}{suffix}``.
     Timestamps must cast to int64 (cast dates/decimals upstream). Left
-    rows keep multiplicity (duplicates join independently)."""
+    rows keep multiplicity (duplicates join independently).
+
+    Physical plan: one groupby(hash-bucket) shuffle (``num_buckets``
+    pandas groups TOTAL — the ops.buckets idiom); inside a bucket one
+    lexsort by ``(key, ts, right-before-left)`` interleaves both sides of
+    every key, a running right-row count (cumsum, rebased per key run)
+    gives each left row the NUMBER of rights at-or-before it, and that
+    count minus one indexes straight into the bucket's (key, ts)-sorted
+    right rows — the per-key searchsorted, done for all keys in four
+    vectorized passes, no per-key Python call."""
     import pandas as pd
+
+    from georay.ops import buckets as bk
 
     def prep(role: int, ts_col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -123,6 +137,9 @@ def asof_join(
                     "_role": pa.array(np.full(n, role, dtype=np.int8)),
                     by: t[by],
                     "_ts": t[ts_col].cast(pa.int64()),
+                    "_bucket": pa.array(bk.bucket_of(
+                        t[by].to_numpy(zero_copy_only=False), num_buckets
+                    )),
                 }
             )
 
@@ -132,26 +149,41 @@ def asof_join(
         right_ds.map_batches(prep(1, right_ts), batch_format="pyarrow")
     )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        role = g["_role"].to_numpy()
-        is_r = role == 1
-        # no special-casing for one-sided groups: searchsorted on an empty
-        # right side yields pos=-1 (all dropped), and empty lefts produce
-        # the same empty frame with identical dtypes
-        r_ts = np.sort(g["_ts"].to_numpy()[is_r])
-        l_ts = g["_ts"].to_numpy()[~is_r]
-        keys = g[by].to_numpy()[~is_r]
-        pos = np.searchsorted(r_ts, l_ts, side="right") - 1
-        hit = pos >= 0
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[by].to_numpy()
+        codes, _ = pd.factorize(keys)
+        ts = g["_ts"].to_numpy(np.int64)
+        is_r = g["_role"].to_numpy() == 1
+        # rights BEFORE lefts at equal (key, ts): searchsorted side="right"
+        order = np.lexsort((np.where(is_r, 0, 1), ts, codes))
+        c = codes[order]
+        t_s = ts[order]
+        r_s = is_r[order]
+        # running count of right rows, rebased at each key run start
+        cnt = np.cumsum(r_s.astype(np.int64))
+        starts = bk.segment_starts(c)
+        counts = bk.segment_counts(starts, c.size)
+        base = np.concatenate(([0], cnt[starts[1:] - 1])) if starts.size \
+            else cnt[:0]
+        base_rep = np.repeat(base, counts)
+        n_before = cnt - base_rep  # rights with ts <= this row, same key
+        # bucket-global rank of a left row's matched right: rights earlier
+        # in the sorted array are exactly (rights in earlier key runs) +
+        # (rights at-or-before within this run)
+        rt_sorted = t_s[r_s]  # rights in (key, ts) order
+        l_idx = np.flatnonzero(~r_s)
+        pos = base_rep[l_idx] + n_before[l_idx] - 1
+        hit = n_before[l_idx] > 0
+        l_hit = l_idx[hit]
         return pd.DataFrame(
             {
-                by: keys[hit],
-                "_lts": l_ts[hit],
-                "_rts": r_ts[pos[hit]],
+                by: keys[order][l_hit],
+                "_lts": t_s[l_hit],
+                "_rts": rt_sorted[pos[hit]],
             }
         )
 
-    joined = u.groupby(by).map_groups(per_key, batch_format="pandas")
+    joined = u.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -1,11 +1,13 @@
 """Trajectory operators over keyed, timestamped point streams.
 
 A "trajectory" is the time-ordered sequence of capture points sharing a key
-(device, user, vessel). The ops here follow the session-window idiom
-(ops/window.py): ONE shuffle co-locates a key's points, then per-key work is
-local, sorted, and vectorized. Contract (documented, same as session
-windows): one key's points must fit in a worker — at 100 TB that means the
-key is a device/track id, not a global constant.
+(device, user, vessel). The ops here follow the hash-bucket idiom
+(ops/buckets.py): ONE groupby(hash(key) % num_buckets) shuffle co-locates
+many keys per pandas group, one lexsort per bucket puts each key's points
+in a contiguous run, and all per-key reductions are segmented numpy over
+run boundaries — no per-key Python call. Contract: one BUCKET's points must
+fit in a worker (size ``num_buckets`` to the data); a single skewed key
+must still fit on its own, same as any key-hash shuffle.
 
 Distances are computed on INTEGER grid coordinates supplied by the caller
 (milli-degree ints in the harness queries) so sums/maxima are exact under
@@ -19,7 +21,8 @@ import pandas as pd
 
 
 def trajectory_stats(ds, key_col: str, ts_col: str, order_col: str,
-                     x_col: str, y_col: str, cell_col: str | None = None):
+                     x_col: str, y_col: str, cell_col: str | None = None,
+                     num_buckets: int = 32):
     """Per-key trajectory summary: legs between consecutive points.
 
     Sort order within a key is (``ts_col``, ``order_col``) — the tiebreak
@@ -39,51 +42,89 @@ def trajectory_stats(ds, key_col: str, ts_col: str, order_col: str,
     if cell_col is not None:
         cols.append(cell_col)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, order_col], kind="quicksort")
-        x = g[x_col].to_numpy(dtype=np.int64)
-        y = g[y_col].to_numpy(dtype=np.int64)
-        us = g[ts_col].astype("int64").to_numpy()
+    import pyarrow as pa
+
+    from georay.ops import buckets as bk
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, key_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key_col].to_numpy()
+        codes, uniq = pd.factorize(keys)
+        ts_raw = g[ts_col].astype("int64").to_numpy()
+        order = np.lexsort(
+            (g[order_col].to_numpy(np.int64), ts_raw, codes)
+        )
+        c = codes[order]
+        x = g[x_col].to_numpy(dtype=np.int64)[order]
+        y = g[y_col].to_numpy(dtype=np.int64)[order]
+        us = ts_raw[order]
+        starts = bk.segment_starts(c)
+        counts = bk.segment_counts(starts, c.size)
+        ends = starts + counts - 1
+        # diffs across the whole bucket; cross-key positions (a key's first
+        # row) are zeroed so segment sums/maxima ignore them — d2 >= 0, so
+        # a zero can never beat a real max, and zero-leg keys want 0 anyway
         dx, dy = np.diff(x), np.diff(y)
         d2 = dx * dx + dy * dy
+        cross = starts[1:] - 1  # diff position (i, i+1) straddling keys
+        d2[cross] = 0
+        d2p = np.append(d2, np.int64(0))  # pad: reduceat start may be len-1
+        cs = np.concatenate(([0], np.cumsum(d2p)))
+        sum_d2 = cs[ends] - cs[starts]  # exact int (cross zeros drop out)
+        max_d2 = np.maximum.reduceat(d2p, np.minimum(starts, d2p.size - 1))
+        has_leg = counts > 1
         out = {
-            key_col: [g[key_col].iloc[0]],
-            "n_events": [np.int64(len(g))],
-            "n_legs": [np.int64(d2.size)],
-            "sum_d2": [np.int64(d2.sum()) if d2.size else np.int64(0)],
-            "max_d2": [np.int64(d2.max()) if d2.size else np.int64(0)],
-            "sum_dt_us": [np.int64(us[-1] - us[0]) if d2.size else np.int64(0)],
+            key_col: np.asarray(uniq)[c[starts]],
+            "n_events": counts,
+            "n_legs": np.maximum(counts - 1, 0),
+            "sum_d2": sum_d2,
+            "max_d2": np.where(has_leg, max_d2, 0).astype(np.int64),
+            "sum_dt_us": np.where(has_leg, us[ends] - us[starts], 0
+                                  ).astype(np.int64),
         }
         if cell_col is not None:
-            out["n_cells"] = [np.int64(
-                np.unique(g[cell_col].to_numpy(dtype=np.int64)).size
-            )]
+            cells = g[cell_col].to_numpy(dtype=np.int64)
+            o2 = np.lexsort((cells, codes))
+            c2, cl2 = codes[o2], cells[o2]
+            newv = np.empty(c2.size, dtype=bool)
+            newv[0] = True
+            newv[1:] = (c2[1:] != c2[:-1]) | (cl2[1:] != cl2[:-1])
+            starts2 = bk.segment_starts(c2)
+            csn = np.concatenate(([0], np.cumsum(newv.astype(np.int64))))
+            ends2 = starts2 + bk.segment_counts(starts2, c2.size)
+            out["n_cells"] = csn[ends2] - csn[starts2]
         return pd.DataFrame(out)
 
     return (
         ds.select_columns(cols)
-        .groupby(key_col)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
 def od_matrix(ds, key_col: str, ts_col: str, order_col: str, cell_col: str,
-              num_partitions: int = 8):
+              num_partitions: int = 8, num_buckets: int = 32):
     """Origin→destination transition matrix over trajectory legs: how many
     legs go from cell A to cell B, across all keys.
 
-    One ``groupby(key)`` shuffle co-locates each key's points; per key the
-    time-sorted consecutive-cell transitions collapse LOCALLY to distinct
-    ``(o_cell, d_cell, part_n)`` rows (lexsort run-length — no per-leg
-    Python loop), then ONE small Sum groupby merges the partials. The wide
-    exchange carries at most one row per distinct pair per key, never one
-    row per leg — the tile_counts two-phase shape applied to transitions.
-    Self-loop legs (consecutive points in the same cell) are counted.
-    Output: ``(o_cell, d_cell, n)``.
+    One ``groupby(hash-bucket)`` shuffle (``num_buckets`` pandas groups
+    TOTAL — the ops.buckets idiom) co-locates many keys per group; inside
+    a bucket one lexsort by ``(key, ts, order)`` puts each key's points in
+    a run, within-run consecutive-cell transitions collapse to distinct
+    ``(o_cell, d_cell, part_n)`` rows across the WHOLE bucket (one more
+    lexsort run-length — partials merge across keys, so even fewer rows
+    shuffle), then ONE small Sum groupby merges the partials. The wide
+    exchange carries at most one row per distinct pair per bucket, never
+    one row per leg. Self-loop legs (consecutive points in the same cell)
+    are counted. Output: ``(o_cell, d_cell, n)``.
     """
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
+    from georay.ops import buckets as bk
     from georay.runtime import table_from_pandas
 
     out_schema = pa.schema(
@@ -91,17 +132,26 @@ def od_matrix(ds, key_col: str, ts_col: str, order_col: str, cell_col: str,
          ("part_n", pa.int64())]
     )
 
-    def per_key(g: pd.DataFrame):
-        g = g.sort_values([ts_col, order_col], kind="quicksort")
-        c = g[cell_col].to_numpy(dtype=np.int64)
-        if c.size < 2:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, key_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame):
+        codes, _ = pd.factorize(g[key_col].to_numpy())
+        ts_raw = g[ts_col].astype("int64").to_numpy()
+        order = np.lexsort(
+            (g[order_col].to_numpy(np.int64), ts_raw, codes)
+        )
+        c = codes[order]
+        cell = g[cell_col].to_numpy(dtype=np.int64)[order]
+        within = c[1:] == c[:-1]  # legs never straddle two keys
+        o, d = cell[:-1][within], cell[1:][within]
+        if o.size == 0:
             return table_from_pandas(
                 pd.DataFrame({"o_cell": [], "d_cell": [], "part_n": []}),
                 schema=out_schema,
             )
-        o, d = c[:-1], c[1:]
-        order = np.lexsort((d, o))
-        o_s, d_s = o[order], d[order]
+        lo = np.lexsort((d, o))
+        o_s, d_s = o[lo], d[lo]
         new = np.empty(o_s.size, dtype=bool)
         new[0] = True
         new[1:] = (o_s[1:] != o_s[:-1]) | (d_s[1:] != d_s[:-1])
@@ -116,8 +166,9 @@ def od_matrix(ds, key_col: str, ts_col: str, order_col: str, cell_col: str,
 
     partials = (
         ds.select_columns([key_col, ts_col, order_col, cell_col])
-        .groupby(key_col)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
     return (
         partials.repartition(num_partitions)
@@ -128,7 +179,7 @@ def od_matrix(ds, key_col: str, ts_col: str, order_col: str, cell_col: str,
 
 def leg_cell_cover(ds, key_col: str, ts_col: str, order_col: str,
                    x_col: str, y_col: str, cell_size: int,
-                   nx: int, ny: int):
+                   nx: int, ny: int, num_buckets: int = 32):
     """Supercover line rasterization of trajectory legs — which grid cells
     does each consecutive-point segment cross? Completes the vector trio
     (point→cell: codec.encode; polygon→cells: cells.polygon_cover;
@@ -145,12 +196,16 @@ def leg_cell_cover(ds, key_col: str, ts_col: str, order_col: str,
     2⁶³), so the SQL twin is bit-exact BY CONSTRUCTION — no float geometry
     anywhere.
 
-    One shuffle (groupby key), then per key: sort by (ts, order), build
-    legs, enumerate each leg's bbox candidate cells with the offsets idiom
-    (no per-leg Python loop), filter by the straddle test, and aggregate
-    per leg. Output one row per leg: ``key_col, seq (0-based),
+    One shuffle (groupby hash-bucket — ``num_buckets`` pandas groups
+    TOTAL, the ops.buckets idiom), then per bucket: one lexsort by
+    ``(key, ts, order)`` puts each key's points in a run, within-run
+    consecutive points form legs (across ALL the bucket's keys at once),
+    each leg's bbox candidate cells enumerate with the offsets idiom (no
+    per-leg Python loop), the straddle test filters, and per-leg bincounts
+    aggregate. Output one row per leg: ``key_col, seq (0-based),
     n_cov (covered cells), sum_code (Σ cx·ny + cy — a content checksum)``.
     """
+    from georay.ops import buckets as bk
     from georay.runtime import table_from_pandas
 
     import pyarrow as pa
@@ -165,17 +220,32 @@ def leg_cell_cover(ds, key_col: str, ts_col: str, order_col: str,
     )
     s = np.int64(cell_size)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame | pa.Table:
-        g = g.sort_values([ts_col, order_col], kind="quicksort")
-        x = g[x_col].to_numpy(dtype=np.int64)
-        y = g[y_col].to_numpy(dtype=np.int64)
-        n_legs = x.size - 1
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, key_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame | pa.Table:
+        keys = g[key_col].to_numpy()
+        codes, _ = pd.factorize(keys)
+        ts_raw = g[ts_col].astype("int64").to_numpy()
+        order = np.lexsort(
+            (g[order_col].to_numpy(np.int64), ts_raw, codes)
+        )
+        c = codes[order]
+        x = g[x_col].to_numpy(dtype=np.int64)[order]
+        y = g[y_col].to_numpy(dtype=np.int64)[order]
+        starts = bk.segment_starts(c)
+        counts = bk.segment_counts(starts, c.size)
+        pos = bk.position_in_segment(starts, counts, c.size)
+        within = c[1:] == c[:-1]  # legs never straddle two keys
+        x1, x2 = x[:-1][within], x[1:][within]
+        y1, y2 = y[:-1][within], y[1:][within]
+        leg_keys = keys[order][1:][within]
+        leg_seq = pos[1:][within] - 1  # 0-based leg index within its key
+        n_legs = x1.size
         if n_legs <= 0:
             return table_from_pandas(
                 pd.DataFrame({key_col: [], "seq": [], "n_cov": [],
                               "sum_code": []}), schema=out_schema)
-        x1, x2 = x[:-1], x[1:]
-        y1, y2 = y[:-1], y[1:]
         cx_lo = np.minimum(x1, x2) // s
         cx_hi = np.minimum(np.maximum(x1, x2) // s, np.int64(nx - 1))
         cy_lo = np.minimum(y1, y2) // s
@@ -209,9 +279,8 @@ def leg_cell_cover(ds, key_col: str, ts_col: str, order_col: str,
         return table_from_pandas(
             pd.DataFrame(
                 {
-                    key_col: np.full(n_legs, g[key_col].iloc[0],
-                                     dtype=np.int64),
-                    "seq": np.arange(n_legs, dtype=np.int64),
+                    key_col: leg_keys.astype(np.int64),
+                    "seq": leg_seq,
                     "n_cov": n_cov,
                     "sum_code": sum_code,
                 }
@@ -222,6 +291,7 @@ def leg_cell_cover(ds, key_col: str, ts_col: str, order_col: str,
     cols = [key_col, ts_col, order_col, x_col, y_col]
     return (
         ds.select_columns(cols)
-        .groupby(key_col)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )

@@ -83,55 +83,69 @@ def sliding(ds, key_col: str, ts_col: str, value_col: str,
     )
 
 
-def max_concurrency(ds, key_col: str, start_col: str, end_col: str):
+def max_concurrency(ds, key_col: str, start_col: str, end_col: str,
+                    num_buckets: int = 32):
     """Sweep-line max-overlap per key: the maximum number of intervals
     ``[start, end)`` simultaneously open. Each interval emits +1/−1
-    boundary rows batch-locally; ONE groupby(key) shuffle co-locates a
-    key's boundaries; the sweep is a local sort by ``(t, delta)`` (−1
-    before +1 at equal t — half-open semantics: an interval ending at t
-    does not overlap one starting at t) + cumsum + max. Ties within equal
-    ``(t, delta)`` carry identical deltas, so the running max is
-    permutation-invariant — deterministic without any further tiebreak.
+    boundary rows batch-locally; ONE groupby(hash-bucket) shuffle
+    (``num_buckets`` pandas groups TOTAL — the ops.buckets idiom, not one
+    Python call per key) co-locates boundaries; inside a bucket one lexsort
+    by ``(key, t, delta)`` (−1 before +1 at equal t — half-open semantics:
+    an interval ending at t does not overlap one starting at t) puts every
+    key in a contiguous run, and the per-key sweep is a segment-local
+    cumsum + ``maximum.reduceat``. Ties within equal ``(t, delta)`` carry
+    identical deltas, so the running max is permutation-invariant —
+    deterministic without any further tiebreak.
     Output one row per key: ``(key_col, max_concurrent)``."""
     import pandas as pd
+
+    from georay.ops import buckets as bk
 
     def boundaries(t: pa.Table) -> pa.Table:
         k = t[key_col].to_numpy(zero_copy_only=False)
         s = t[start_col].to_numpy(zero_copy_only=False)
         e = t[end_col].to_numpy(zero_copy_only=False)
+        kk = np.concatenate([k, k])
         return pa.table(
             {
-                key_col: pa.array(np.concatenate([k, k])),
+                key_col: pa.array(kk),
                 "t": pa.array(np.concatenate([s, e])),
                 "d": pa.array(np.concatenate(
                     [np.ones(k.size, dtype=np.int64),
                      -np.ones(k.size, dtype=np.int64)]
                 )),
+                "_bucket": pa.array(bk.bucket_of(kk, num_buckets)),
             }
         )
 
-    def sweep(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort(
-            (g["d"].to_numpy(np.int64), g["t"].to_numpy(np.int64))
-        )
-        c = np.cumsum(g["d"].to_numpy(np.int64)[order])
+    def sweep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key_col].to_numpy()
+        codes, uniq = pd.factorize(keys)
+        t = g["t"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((d, t, codes))
+        c = codes[order]
+        d_s = d[order]
+        starts = bk.segment_starts(c)
+        counts = bk.segment_counts(starts, c.size)
+        running = bk.local_cumsum(d_s, starts, counts)
+        mx = np.maximum.reduceat(running, starts)
         return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                "max_concurrent": [np.int64(c.max())],
-            }
+            {key_col: np.asarray(uniq)[c[starts]],
+             "max_concurrent": mx.astype(np.int64)}
         )
 
     return (
         ds.select_columns([key_col, start_col, end_col])
         .map_batches(boundaries, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key_col)
-        .map_groups(sweep, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(sweep_bucket, batch_format="pandas")
     )
 
 
 def running_stats(ds, key_col: str, ts_col: str, order_col: str,
-                  value_col: str, roll: int = 3, ts_scale_us: int = 1):
+                  value_col: str, roll: int = 3, ts_scale_us: int = 1,
+                  num_buckets: int = 32):
     """Row-based window functions per key, ordered by (ts, order):
 
     - ``seq``       — 1-based row number within the key
@@ -142,35 +156,48 @@ def running_stats(ds, key_col: str, ts_col: str, order_col: str,
     - ``roll_milli``— rolling sum over the last ``roll`` rows (ROWS
       ``roll-1`` PRECEDING .. CURRENT ROW), via the cumsum-difference trick
 
-    ONE groupby(key) shuffle; all four windows are numpy on the locally
-    sorted key group (no per-row work). Same one-key-fits-worker contract
-    as session windows. ``ts_scale_us`` divides the raw int64 timestamp to
-    microseconds (1000 for datetime64[ns] inputs — pass it like session();
-    the parquet tables are timestamp[us], scale 1). Output: key, order,
-    seq, cum_milli, dt_us, roll_milli."""
+    ONE groupby(hash-bucket) shuffle (``num_buckets`` pandas groups TOTAL —
+    the ops.buckets idiom); inside a bucket one lexsort by ``(key, ts,
+    order)`` puts every key's rows in a contiguous run, and all four
+    windows are segmented numpy over the run boundaries (segment-local
+    cumsum, start-masked diffs) — no per-key Python call. ``ts_scale_us``
+    divides the raw int64 timestamp to microseconds (1000 for
+    datetime64[ns] inputs — pass it like session(); the parquet tables are
+    timestamp[us], scale 1). Output: key, order, seq, cum_milli, dt_us,
+    roll_milli."""
     import pandas as pd
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    from georay.ops import buckets as bk
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, key_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[key_col].to_numpy())
+        ts_raw = g[ts_col].astype("int64").to_numpy()
         order = np.lexsort(
-            (g[order_col].to_numpy(np.int64),
-             g[ts_col].astype("int64").to_numpy())
+            (g[order_col].to_numpy(np.int64), ts_raw, codes)
         )
-        us = g[ts_col].astype("int64").to_numpy()[order] // ts_scale_us
-        oid = g[order_col].to_numpy(np.int64)[order]
+        c = codes[order]
+        us = ts_raw[order] // ts_scale_us
         milli = np.floor(
             g[value_col].to_numpy(np.float64)[order] * 1000
         ).astype(np.int64)
-        cum = np.cumsum(milli)
+        starts = bk.segment_starts(c)
+        counts = bk.segment_counts(starts, c.size)
+        pos = bk.position_in_segment(starts, counts, c.size)
+        cum = bk.local_cumsum(milli, starts, counts)
         dt = np.zeros(us.size, dtype=np.int64)
         dt[1:] = us[1:] - us[:-1]
+        dt[starts] = 0
         shifted = np.zeros(us.size, dtype=np.int64)
-        if us.size > roll:
-            shifted[roll:] = cum[:-roll]
+        m = pos >= roll
+        shifted[m] = cum[np.flatnonzero(m) - roll]
         return pd.DataFrame(
             {
                 key_col: g[key_col].to_numpy()[order],
-                order_col: oid,
-                "seq": np.arange(1, us.size + 1, dtype=np.int64),
+                order_col: g[order_col].to_numpy(np.int64)[order],
+                "seq": pos + 1,
                 "cum_milli": cum,
                 "dt_us": dt,
                 "roll_milli": cum - shifted,
@@ -179,12 +206,14 @@ def running_stats(ds, key_col: str, ts_col: str, order_col: str,
 
     return (
         ds.select_columns([key_col, ts_col, order_col, value_col])
-        .groupby(key_col)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
-def funnel(ds, key_col: str, ts_col: str, type_col: str, stages: list):
+def funnel(ds, key_col: str, ts_col: str, type_col: str, stages: list,
+           num_buckets: int = 32):
     """Ordered funnel: per key, the greedy strictly-increasing chain through
     ``stages`` — t₁ = min ts of stage 1, t₂ = min ts of stage 2 with
     ts > t₁, … Output one row per key: ``(key_col, stage)`` where stage is
@@ -192,12 +221,17 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str, stages: list):
 
     Plan: funnel-type events shrink to (key, stage, ts); every batch also
     contributes its distinct keys as stage-0 sentinel rows so keys with no
-    funnel events still appear (their sentinels dedupe in the groupby).
-    ONE groupby(key) shuffle, then the K-step greedy chain runs vectorized
-    per key (K is a constant, not a row loop). Same one-key-fits-worker
-    contract as session windows.
+    funnel events still appear. ONE groupby(hash-bucket) shuffle
+    (``num_buckets`` pandas groups TOTAL — the ops.buckets idiom); inside
+    a bucket one lexsort by ``(key, ts)`` puts each key's events in a run
+    and the K-step greedy chain advances ALL keys per stage at once (per
+    stage: mask eligible rows, take the first masked row of each key's run
+    — its minimum, since runs are ts-sorted). K iterations of O(rows)
+    vectorized work, no per-key Python call.
     """
     import pandas as pd
+
+    from georay.ops import buckets as bk
 
     stage_of = {s: i + 1 for i, s in enumerate(stages)}
     n_stages = len(stages)
@@ -209,60 +243,93 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str, stages: list):
         st = types.map(stage_of).fillna(0).to_numpy(dtype=np.int64)
         keep = st > 0
         ukeys = np.unique(keys)
+        kk = np.concatenate([keys[keep], ukeys])
         return pa.table(
             {
-                key_col: pa.array(np.concatenate([keys[keep], ukeys])),
+                key_col: pa.array(kk),
                 "stage": pa.array(np.concatenate(
                     [st[keep], np.zeros(ukeys.size, dtype=np.int64)]
                 )),
                 "us": pa.array(np.concatenate(
                     [us[keep], np.zeros(ukeys.size, dtype=np.int64)]
                 )),
+                "_bucket": pa.array(bk.bucket_of(kk, num_buckets)),
             }
         )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        st = g["stage"].to_numpy(dtype=np.int64)
-        us = g["us"].to_numpy(dtype=np.int64)
-        reached = 0
-        thr = None
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g[key_col].to_numpy())
+        nk = len(uniq)
+        order = np.lexsort((g["us"].to_numpy(np.int64), codes))
+        c = codes[order]
+        u = g["us"].to_numpy(np.int64)[order]
+        s_arr = g["stage"].to_numpy(np.int64)[order]
+        thr = np.full(nk, np.iinfo(np.int64).min, dtype=np.int64)
+        reached = np.zeros(nk, dtype=np.int64)
+        alive = np.ones(nk, dtype=bool)
         for s in range(1, n_stages + 1):
-            sel = us[st == s] if thr is None else us[(st == s) & (us > thr)]
-            if sel.size == 0:
+            m = (s_arr == s) & alive[c] & (u > thr[c])
+            sub = np.flatnonzero(m)
+            if sub.size == 0:
                 break
-            thr = sel.min()
-            reached = s
-        return pd.DataFrame(
-            {key_col: [g[key_col].iloc[0]], "stage": [np.int64(reached)]}
-        )
+            cs = c[sub]
+            firsts = sub[np.concatenate(([True], cs[1:] != cs[:-1]))]
+            adv = c[firsts]
+            alive = np.zeros(nk, dtype=bool)
+            alive[adv] = True
+            thr[adv] = u[firsts]
+            reached[adv] = s
+        return pd.DataFrame({key_col: np.asarray(uniq), "stage": reached})
 
     return (
         ds.select_columns([key_col, ts_col, type_col])
         .map_batches(shrink, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key_col)
-        .map_groups(per_key, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
-def session(ds, key_col: str, ts_col: str, gap_us: int, ts_scale_us: int = 1):
+def session(ds, key_col: str, ts_col: str, gap_us: int, ts_scale_us: int = 1,
+            num_buckets: int = 32):
     """Session windows: per-key sort by ts, split where the gap exceeds
-    ``gap_us``. One shuffle (groupby key); sessionization is local pandas.
-    Output: key, session_start_us, session_end_us, n."""
+    ``gap_us``. One groupby(hash-bucket) shuffle (the ops.buckets idiom);
+    inside a bucket one lexsort by ``(key, ts)`` puts each key's events in
+    a run, and a session starts at every run start or over-gap step — the
+    whole sessionization is one boolean mask + run-length arithmetic, no
+    per-key Python call. Output: key, session_start_us, session_end_us, n.
+    """
     import pandas as pd
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        us = np.sort(g[ts_col].astype("int64").to_numpy() // ts_scale_us)
-        breaks = np.flatnonzero(np.diff(us) > gap_us) + 1
-        out = []
-        for seg in np.split(us, breaks):
-            out.append((seg[0], seg[-1], seg.size))
+    from georay.ops import buckets as bk
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, key_col, num_buckets)
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key_col].to_numpy()
+        codes, _ = pd.factorize(keys)
+        us_all = g[ts_col].astype("int64").to_numpy() // ts_scale_us
+        order = np.lexsort((us_all, codes))
+        c = codes[order]
+        u = us_all[order]
+        brk = np.empty(c.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (c[1:] != c[:-1]) | ((u[1:] - u[:-1]) > gap_us)
+        starts = np.flatnonzero(brk).astype(np.int64)
+        counts = bk.segment_counts(starts, c.size)
+        ends = starts + counts - 1
         return pd.DataFrame(
             {
-                key_col: [g[key_col].iloc[0]] * len(out),
-                "session_start_us": [o[0] for o in out],
-                "session_end_us": [o[1] for o in out],
-                "n": [o[2] for o in out],
+                key_col: keys[order][starts],
+                "session_start_us": u[starts],
+                "session_end_us": u[ends],
+                "n": counts,
             }
         )
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+    )
