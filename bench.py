@@ -178,6 +178,148 @@ def run_shuffle_job() -> dict:
     }
 
 
+# ≥1M-doc synthetic corpus for the LLM-dedup scaling probe (VERDICT r3 #6):
+# every 8th doc is a near-dup of its predecessor (last 3 of 40 tokens
+# mutated), so LSH banding, capped buckets and the shuffle verify all do
+# real work. Generated ONCE (untimed, 32 cpus) under /tmp; both parallelism
+# levels read the same parquet.
+DEDUP_DOCS = int(os.environ.get("GRAFT_DEDUP_DOCS", "1000000"))
+DEDUP_PATH = f"/tmp/georay_bench/dedup_docs_{DEDUP_DOCS}"
+
+
+def ensure_dedup_table() -> str:
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.ops.sketch import splitmix64
+
+    if os.path.isdir(DEDUP_PATH) and any(
+        f.endswith(".parquet") for f in os.listdir(DEDUP_PATH)
+    ):
+        return DEDUP_PATH
+
+    L, VOCAB = 40, 50021
+
+    # alphabetic 8-char words, NOT digit strings: char-5-gram shingles over
+    # digits live in an ~11^5 space, so unrelated docs share enough shingles
+    # to flood the LSH bands with candidate pairs (measured: 20k docs hang
+    # in lsh_candidate_pairs). 26^8 word space → background Jaccard ≈ 0.
+    _h = splitmix64(np.arange(VOCAB, dtype=np.int64).view(np.uint64))
+    _letters = np.empty((VOCAB, 8), dtype=np.uint8)
+    for _c in range(8):
+        _letters[:, _c] = 97 + ((_h >> np.uint64(5 * _c)) % np.uint64(26))
+    WORDS = np.array(
+        [bytes(row).decode() for row in _letters], dtype=object
+    )
+
+    def gen_docs(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_dup = (i % 8 == 1) & (i > 0)
+        base = np.where(is_dup, i - 1, i)
+        pos = np.arange(L, dtype=np.int64)
+        toks = (
+            splitmix64((base[:, None] * L + pos[None, :]).view(np.uint64))
+            % np.uint64(VOCAB)
+        ).astype(np.int64)
+        # mutate the dup rows' tail so pairs are NEAR-dups (J ≈ 0.85)
+        tail = (
+            splitmix64((i[:, None] * L + pos[None, -3:]).view(np.uint64))
+            % np.uint64(VOCAB)
+        ).astype(np.int64)
+        toks[is_dup, L - 3:] = tail[is_dup]
+        texts = [" ".join(row) for row in WORDS[toks].tolist()]
+        return pa.table({"doc_id": pa.array(i), "text": pa.array(texts)})
+
+    os.makedirs(os.path.dirname(DEDUP_PATH), exist_ok=True)
+    ray.data.range(DEDUP_DOCS, override_num_blocks=128).map_batches(
+        gen_docs, batch_format="pyarrow"
+    ).write_parquet(DEDUP_PATH)
+    return DEDUP_PATH
+
+
+def run_dedup_job() -> dict:
+    """LLM-dedup scaling probe: the full MinHash+LSH near-dup pipeline
+    (char-shingle signatures → banded LSH groupby → capped candidate
+    buckets → exact-Jaccard verify via hash joins, no corpus broadcast)
+    over the synthetic ≥1M-doc corpus. Signatures are map-heavy, the
+    band/verify stages are exchange-heavy — together they cover the dedup
+    family's scaling story the flagship (spatial) probe doesn't."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from georay.ops import minhash as mh
+
+    path = ensure_dedup_table()
+    docs = ray.data.read_parquet(path)
+    t0 = time.time()
+    pairs = mh.near_dup_pairs(
+        docs, n_hashes=64, n_bands=16, shingle_k=5, threshold=0.7,
+        verify="shuffle", num_partitions=16,  # fixed: same plan at 8 and 32
+        # (32 join partitions × 2 chained joins oversubscribe an 8-cpu
+        # local cluster into a 100+-blocked-worker crawl — measured)
+    )
+    n = pairs.count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {
+        "metric": "minhash near-dup shuffle pipeline (1M synthetic docs)",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "pairs_out": n,
+        "docs_per_sec": round(DEDUP_DOCS / dt, 1),
+        "n_docs": DEDUP_DOCS,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling_dedup() -> dict:
+    """8 → 32 cpu scaling of the dedup probe, best-of-3 in fresh
+    processes (same protocol as the shuffle probe; record in BASELINE.md)."""
+    subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); import ray; "
+         "ray.init(address='local', num_cpus=32, include_dashboard=False, "
+         "logging_level='ERROR'); import bench; bench.ensure_dedup_table(); "
+         "ray.shutdown()" % REPO],
+        check=True, capture_output=True, cwd=REPO,
+    )
+
+    def one(ncpu: int) -> dict:
+        best = None
+        for _ in range(3):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--only-dedup"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
+    lo = one(8)
+    hi = one(32)
+    return {
+        "metric": "dedup scaling efficiency (minhash shuffle, 8 -> 32 cpus)",
+        "dedup_sec_8": lo["value"],
+        "dedup_sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "pairs_out": hi["pairs_out"],
+        "n_docs": DEDUP_DOCS,
+        "dedup_scaling_efficiency": round(
+            (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0, 3
+        ),
+    }
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -379,5 +521,9 @@ if __name__ == "__main__":
         print(json.dumps(run_suite(["flagship_images"])))
     elif "--only-shuffle" in sys.argv:
         print(json.dumps(run_shuffle_job()))
+    elif "--only-dedup" in sys.argv:
+        print(json.dumps(run_dedup_job()))
+    elif "--scaling-dedup" in sys.argv:
+        print(json.dumps(run_scaling_dedup()))
     else:
         print(json.dumps(run_suite()))

@@ -18,7 +18,12 @@ import pyarrow as pa
 # module level, NOT inside worker-executed functions: a runtime import
 # statement on a foreign-cwd worker bypasses the by-value cloudpickle
 # registration and dies with ModuleNotFoundError (CLAUDE.md invariant)
-from georay.ops.pairs import bucket_pair_indices, bucket_pairs
+from georay.ops.pairs import (
+    bucket_pair_indices,
+    bucket_pairs,
+    grouped_pair_indices,
+)
+from georay.ops.sketch import splitmix64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -108,9 +113,16 @@ def _bucket_pairs(ids: np.ndarray, max_bucket: int | None,
 
 
 def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
-                        max_bucket: int | None = 4096):
-    """Explode signatures to (band, band_hash, doc_id), bucket by band
-    groupby, emit unique candidate pairs (id_a < id_b).
+                        max_bucket: int | None = 4096,
+                        num_pair_buckets: int = 64):
+    """Explode signatures to (band, band_hash, doc_id), co-locate band
+    buckets with ONE groupby over ``hash(band_hash) % num_pair_buckets``
+    (a few dozen pandas groups TOTAL — the ops.buckets idiom; a naive
+    groupby(band, bh) costs one Python call per LSH bucket, and nearly
+    every bucket is a singleton: measured 77 s just to emit 2.5k pairs
+    from 20k docs × 16 bands = 320k groups), then emit unique candidate
+    pairs (id_a < id_b) for ALL buckets in a group with one vectorized
+    ``grouped_pair_indices`` pass over lexsorted bucket runs.
 
     ``max_bucket`` caps the per-bucket pair explosion: one degenerate band
     value (e.g. near-empty docs all hashing alike) would otherwise put an
@@ -132,11 +144,18 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
             )
             bh = (bands * weights[None, None, :]).sum(axis=2, dtype=np.uint64)
         band_id = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        bh_flat = bh.reshape(-1)
+        with np.errstate(over="ignore"):
+            pb = (
+                splitmix64(bh_flat + np.uint64(0x9E3779B9) * band_id.view(np.uint64))
+                % np.uint64(num_pair_buckets)
+            ).astype(np.int64)
         return pa.table(
             {
                 "band": band_id,
-                "bh": bh.reshape(-1).astype(np.int64),
+                "bh": bh_flat.astype(np.int64),
                 "doc_id": np.repeat(ids, n_bands),
+                "_pb": pb,
             }
         )
 
@@ -145,21 +164,36 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
         # pa.Table.from_pandas, whose metadata blob makes the block schema
         # unhashable and re-triggers the "Failed to hash the schemas"
         # warnings in the downstream pair-dedup shuffle (VERDICT r2 #5)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
         ids = g["doc_id"].to_numpy()
         if ids.size < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        a, b = _bucket_pairs(
-            ids, max_bucket,
-            f"(band={int(g['band'].iloc[0])}, bh={int(g['bh'].iloc[0])})",
+            return empty
+        band = g["band"].to_numpy(np.int64)
+        bh = g["bh"].to_numpy(np.int64)
+        # one lexsort: every (band, bh) bucket a contiguous run, ids
+        # ascending inside — same pair set AND same deterministic capped
+        # chunking as the old per-bucket bucket_pairs(sorted ids)
+        order = np.lexsort((ids, bh, band))
+        ids_s, band_s, bh_s = ids[order], band[order], bh[order]
+        new = np.empty(ids_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, ids_s.size))
+        ia, ib = grouped_pair_indices(
+            sizes, max_bucket,
+            f"(pair-bucket={int(g['_pb'].iloc[0])})",
+            log_prefix="georay.minhash",
         )
-        return pa.table({"id_a": pa.array(a.astype(np.int64)),
-                         "id_b": pa.array(b.astype(np.int64))})
+        if ia.size == 0:
+            return empty
+        return pa.table({"id_a": pa.array(ids_s[ia].astype(np.int64)),
+                         "id_b": pa.array(ids_s[ib].astype(np.int64))})
 
     cand = (
         sig_ds.map_batches(explode, batch_format="pyarrow")
-        .repartition(16)
-        .groupby(["band", "bh"])
+        .groupby("_pb")
         .map_groups(pairs, batch_format="pandas")
     )
     # dedupe pairs found in multiple bands

@@ -47,7 +47,7 @@ import pyarrow as pa
 
 # module level, NOT inside worker-executed functions (CLAUDE.md invariant)
 from georay.ops.minhash import _packed_view
-from georay.ops.pairs import bucket_pairs
+from georay.ops.pairs import grouped_pair_indices
 from georay.ops.sketch import splitmix64
 from georay.ops.text import fingerprint64
 from georay.ops.tiles import count_by
@@ -217,30 +217,50 @@ def setsim_join(ds, num: int, den: int, id_col: str = "doc_id",
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
 
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        # co-locate whole prefix-token groups by hash(th) — ONE pandas
+        # group per hash bucket (ops.buckets idiom), not one Python call
+        # per distinct prefix token (Zipf prefixes are mostly-rare tokens,
+        # so groupby("th") degenerates to millions of 1-2-row groups)
+        th = t["th"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (splitmix64(th) % np.uint64(64)).astype(np.int64)
+        return t.append_column("_pb", pa.array(pb))
+
     def pairs(g: pd.DataFrame) -> pa.Table:
-        ids = g["sid"].to_numpy()
+        ids = g["sid"].to_numpy(np.int64)
         if ids.size < 2:
             return empty_pairs
-        a, b = bucket_pairs(
-            ids, max_bucket, f"(th={int(g['th'].iloc[0])})",
+        th = g["th"].to_numpy(np.int64)
+        ntok = g["n_tok"].to_numpy(np.int64)
+        # one lexsort: each th a contiguous run, sids ascending inside —
+        # positional pairs then give id_a < id_b and the same deterministic
+        # capped chunking the old per-token bucket_pairs(sorted) emitted
+        order = np.lexsort((ids, th))
+        ids_s, th_s, ntok_s = ids[order], th[order], ntok[order]
+        new = np.empty(ids_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = th_s[1:] != th_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, ids_s.size))
+        ia, ib = grouped_pair_indices(
+            sizes, max_bucket, f"(pair-bucket={int(g['_pb'].iloc[0])})",
             log_prefix="georay.setsim",
         )
+        if ia.size == 0:
+            return empty_pairs
         # length filter (PPJoin): J ≥ τ forces min·den ≥ num·max — sizes
-        # looked up per pair via a sorted-unique map, no dict
-        uid = np.sort(np.unique(ids))
-        sz = np.empty(uid.size, dtype=np.int64)
-        sz[np.searchsorted(uid, ids)] = g["n_tok"].to_numpy(np.int64)
-        sa = sz[np.searchsorted(uid, a)]
-        sb = sz[np.searchsorted(uid, b)]
+        # read positionally off the sorted run, no per-token id lookup
+        sa, sb = ntok_s[ia], ntok_s[ib]
         ok = np.minimum(sa, sb) * den >= num * np.maximum(sa, sb)
-        a, b = a[ok], b[ok]
         return pa.table(
-            {"id_a": pa.array(a.astype(np.int64)),
-             "id_b": pa.array(b.astype(np.int64))}
+            {"id_a": pa.array(ids_s[ia[ok]]),
+             "id_b": pa.array(ids_s[ib[ok]])}
         )
 
     cand = (
-        prefixes.groupby("th")
+        prefixes.map_batches(add_pair_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("_pb")
         .map_groups(pairs, batch_format="pandas")
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="_n"))

@@ -18,7 +18,8 @@ import pyarrow as pa
 
 # module level (worker-executed code must not import georay at runtime —
 # CLAUDE.md invariant; by-value cloudpickle only covers captured objects)
-from georay.ops.pairs import bucket_pair_indices
+from georay.ops.pairs import grouped_pair_indices
+from georay.ops.sketch import splitmix64
 
 
 def emb_matrix(col) -> np.ndarray:
@@ -185,6 +186,132 @@ def ivf_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
     )
 
 
+def ivf_sq8_topk(ds, query_mask_mod: int = 10, k: int = 5,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 sample_mat: np.ndarray | None = None,
+                 combine_partitions: int = 4):
+    """IVF pruning COMPOSED with SQ8 integer scoring — the 100 TB ANN
+    pipeline: pruning turns O(N·Q) into O(N·Q·n_probe/n_centroids) and the
+    scored payload is 4×-compressed uint8 codes (the FAISS ``IVF,SQ8``
+    shape: vectors are ASSIGNED to inverted lists with the float embedding
+    they arrive with — assignment is a one-time index-build cost — while
+    every SCORE is an int64 dot product of codes, exact under any
+    execution order).
+
+    At ``n_probe == n_centroids`` every inverted list is scored, so the
+    output is mathematically identical to :func:`sq8_topk` (hard-checked
+    against the integer SQL oracle); pruned mode is unit-tested for
+    recall ≥ 0.9 on clustered data, like :func:`ivf_topk`.
+
+    Queries are rows with ``vec_id % query_mask_mod == 0``, quantized with
+    the same distributed :func:`dim_ranges` codebook and broadcast once
+    (``ray.put``); centroids train driver-side on ``sample_mat`` (or the
+    query matrix). Output: ``query_id, neighbor_id, score, rank``."""
+    import pandas as pd
+    import ray
+
+    from georay.runtime import per_process
+
+    # --- SQ8 codebook: distributed per-dim (min, max), tiny result
+    ranges_t = pa.concat_tables(
+        list(dim_ranges(ds, emb_col, combine_partitions).iter_batches(
+            batch_format="pyarrow"
+        ))
+    )
+    order = np.argsort(ranges_t["dim"].to_numpy(zero_copy_only=False))
+    mn = ranges_t["mn"].to_numpy(zero_copy_only=False)[order]
+    mx = ranges_t["mx"].to_numpy(zero_copy_only=False)[order]
+
+    # --- queries: one streamed filter pass, bounded by the mask
+    def pick_queries(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % query_mask_mod == 0)
+        return pa.table(
+            {id_col: t[id_col].filter(keep), emb_col: t[emb_col].filter(keep)}
+        )
+
+    q_t = pa.concat_tables(
+        list(ds.map_batches(pick_queries, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ))
+    )
+    q_ids = q_t[id_col].to_numpy(zero_copy_only=False)
+    q_mat = emb_matrix(q_t[emb_col])
+    q_codes = sq8_quantize(q_mat, mn, mx)
+
+    # --- IVF geometry: float-space centroids (cosine), same as ivf_topk
+    if sample_mat is None:
+        sample_mat = q_mat
+    cents = train_centroids(np.asarray(sample_mat), n_centroids)
+    probe = np.argsort(-(_normalize(q_mat) @ cents.T), axis=1)[:, :n_probe]
+    ref = ray.put((q_ids, q_codes, mn, mx, cents, probe))
+    state_key = ref.hex()
+
+    class BucketTopK:
+        def __init__(self):
+            (self.q_ids, self.q_codes, self.mn, self.mx, self.cents,
+             probe) = ray.get(ref)
+            # invert: bucket -> queries probing it
+            self.bucket_queries = [
+                np.flatnonzero((probe == b).any(axis=1))
+                for b in range(self.cents.shape[0])
+            ]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            id_order = np.argsort(ids, kind="stable")  # tie-break by id
+            ids = ids[id_order]
+            fmat = emb_matrix(t[emb_col])[id_order]
+            assign = (_normalize(fmat) @ self.cents.T).argmax(axis=1)
+            codes = sq8_quantize(fmat, self.mn, self.mx)
+            out_q, out_n, out_s = [], [], []
+            for b in np.unique(assign):
+                qs = self.bucket_queries[int(b)]
+                if qs.size == 0:
+                    continue
+                rows = np.flatnonzero(assign == b)
+                scores = self.q_codes[qs] @ codes[rows].T  # int64-exact
+                scores[self.q_ids[qs][:, None] == ids[rows][None, :]] = -1
+                kk = min(k, rows.size)
+                part = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+                qidx = np.repeat(np.arange(qs.size), kk)
+                nidx = part.reshape(-1)
+                out_q.append(self.q_ids[qs][qidx])
+                out_n.append(ids[rows][nidx])
+                out_s.append(scores[qidx, nidx])
+            if not out_q:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    def local_fn(t: pa.Table) -> pa.Table:
+        return per_process(state_key, BucketTopK)(t)
+
+    local = ds.map_batches(local_fn, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["score"] >= 0]
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "score", "rank"]]
+
+    return local.repartition(8).groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 def cosine_pairs_brute(ds, all_table: pa.Table, threshold: float,
                        id_col: str = "vec_id", emb_col: str = "embedding",
                        concurrency=(1, 8)):
@@ -239,6 +366,7 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
                           n_tables: int = 1, id_col: str = "vec_id",
                           emb_col: str = "embedding", seed: int = 42,
                           max_bucket: int | None = 4096,
+                          num_pair_buckets: int = 64,
                           concurrency=(1, 8)):
     """Embedding near-dup via random-hyperplane LSH: vectors sharing a
     sign-pattern bucket (in ANY of ``n_tables`` independent tables — OR
@@ -278,46 +406,73 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
         emb = t[emb_col].combine_chunks() if isinstance(
             t[emb_col], pa.ChunkedArray
         ) else t[emb_col]
+        tab_all = np.concatenate(tab_out)
+        bucket_all = np.concatenate(bucket_out)
+        with np.errstate(over="ignore"):
+            pb = (
+                splitmix64(bucket_all.view(np.uint64)
+                           + np.uint64(0x9E3779B9) * tab_all.view(np.uint64))
+                % np.uint64(num_pair_buckets)
+            ).astype(np.int64)
         return pa.table(
             {
                 id_col: pa.array(np.concatenate(ids_out)),
-                "tab": pa.array(np.concatenate(tab_out)),
-                "bucket": pa.array(np.concatenate(bucket_out)),
+                "tab": pa.array(tab_all),
+                "bucket": pa.array(bucket_all),
                 "emb": emb.take(pa.array(rep)),
+                "_pb": pa.array(pb),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         # arrow output: keeps the downstream cross-table dedup groupby's
-        # block schemas metadata-free (hashable)
+        # block schemas metadata-free (hashable). One pandas group per
+        # HASH-BUCKET of (tab, bucket) LSH cells — not one Python call per
+        # cell (ops.buckets idiom; cells are near-singletons, so per-cell
+        # map_groups is pure interpreter overhead at scale): a single
+        # lexsort puts every cell in a contiguous run, grouped_pair_indices
+        # expands all runs' pairs in one vectorized pass, and the cosine is
+        # one einsum over every pair of every cell in the group.
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
         ids = g[id_col].to_numpy()
         if ids.size < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()),
-                 "id_b": pa.array([], pa.int64()),
-                 "cos": pa.array([], pa.float64())}
-            )
-        order = np.argsort(ids, kind="stable")  # a < b + deterministic chunks
-        ids = ids[order]
+            return empty
+        tab = g["tab"].to_numpy(np.int64)
+        bucket = g["bucket"].to_numpy(np.int64)
+        # ids ascending inside each (tab, bucket) run: a < b and the capped
+        # chunking stays deterministic (same order bucket_pairs used)
+        order = np.lexsort((ids, bucket, tab))
+        ids_s = ids[order]
+        tab_s, bucket_s = tab[order], bucket[order]
         mat = _normalize(np.stack(g["emb"].to_numpy()[order]))
-        ia, ib = bucket_pair_indices(
-            ids.size, max_bucket,
-            f"(tab={int(g['tab'].iloc[0])}, bucket={int(g['bucket'].iloc[0])})",
+        new = np.empty(ids_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (tab_s[1:] != tab_s[:-1]) | (bucket_s[1:] != bucket_s[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, ids_s.size))
+        ia, ib = grouped_pair_indices(
+            sizes, max_bucket,
+            f"(pair-bucket={int(g['_pb'].iloc[0])})",
             log_prefix="georay.similarity",
         )
+        if ia.size == 0:
+            return empty
         # per-pair dot products: O(pairs·dim), never an n×n sims matrix
         cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
         keep = cos >= threshold
         return pa.table(
-            {"id_a": pa.array(ids[ia[keep]].astype(np.int64)),
-             "id_b": pa.array(ids[ib[keep]].astype(np.int64)),
+            {"id_a": pa.array(ids_s[ia[keep]].astype(np.int64)),
+             "id_b": pa.array(ids_s[ib[keep]].astype(np.int64)),
              "cos": pa.array(cos[keep])}
         )
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .repartition(16)
-        .groupby(["tab", "bucket"])
+        .groupby("_pb")
         .map_groups(pairs, batch_format="pandas")
         # the same pair can collide in several tables: dedupe
         .groupby(["id_a", "id_b"])

@@ -401,3 +401,271 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
         return table_from_pandas(pd.DataFrame(row), schema=out_schema)
 
     return hist.groupby(group_col).map_groups(finalize, batch_format="pandas")
+
+
+def _order_keys(v: np.ndarray) -> np.ndarray:
+    """Order-preserving uint64 key of an int64 or float64 column: integer
+    compares and integer bin splits on the key are then EXACT — no float
+    boundary drift between passes. int64 → flip the sign bit; float64 →
+    the radix-sort IEEE trick (negative: flip all bits, else flip sign).
+    NaNs unsupported (same contract as quantile_disc ignoring them is NOT
+    implemented here — filter upstream)."""
+    if v.dtype.kind == "f":
+        b = v.astype(np.float64).view(np.uint64)
+        mask = np.where(
+            (b >> np.uint64(63)).astype(bool),
+            np.uint64(0xFFFFFFFFFFFFFFFF),
+            np.uint64(0x8000000000000000),
+        )
+        return b ^ mask
+    return v.astype(np.int64).view(np.uint64) ^ np.uint64(0x8000000000000000)
+
+
+def grouped_quantiles_binned(ds, group_col: str, value_col: str,
+                             qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+                             n_bins: int = 512,
+                             refine_limit: int = 20_000,
+                             combine_partitions: int = 2,
+                             _debug: dict | None = None):
+    """EXACT per-group discrete quantiles for HIGH-CARDINALITY value
+    columns — the bounded-exchange variant of :func:`grouped_quantiles`
+    (whose O(groups × distinct) histograms blow up on continuous domains).
+
+    Iterative range refinement over an ORDER-PRESERVING uint64 key
+    (:func:`_order_keys` — integer bin arithmetic, so every pass's
+    membership test is exact and bins nest perfectly; no float boundary
+    drift):
+
+    1. **Initial pass** — per (group, bin) counts over the global key
+       range (``bin = (key − kmin) // ceil(span / n_bins)``). Gives each
+       group's total n, hence each quantile's target index
+       ``k = max(0, ceil(q·n) − 1)`` (the quantile_disc rule), the bin
+       containing it, and the remaining in-range rank.
+    2. **Refinement loop** — every still-open (group, q) candidate re-bins
+       its current key range into ``n_bins`` sub-bins (rows outside any
+       candidate range collapse batch-locally to nothing); a candidate
+       closes when its range holds ≤ ``refine_limit`` rows or one key.
+       Skew-proof: a bin hiding 99% of the mass (e.g. lognormal tails)
+       just refines again — each level divides the range by ``n_bins``, so
+       ≤ ceil(64 / log2(n_bins)) levels ever happen (≤ 8 at the default
+       512), and in practice counts hit ``refine_limit`` in 1–2.
+    3. **Exact refine** — an exact (candidate, value, count) histogram of
+       the closed ranges (≤ ``refine_limit`` rows each by construction);
+       the quantile is the value at the remaining rank.
+
+    Every exchange is O(candidates × n_bins × batches) or
+    O(candidates × refine_limit) rows — independent of value cardinality;
+    the price is one extra full scan per refinement level (driver loop,
+    ~2 levels in practice — at 100 TB prefer :func:`grouped_quantiles`
+    only for provably narrow int domains). Values int64 or float64
+    (output dtype follows); result IDENTICAL to DuckDB ``quantile_disc``.
+    ``_debug``, if a dict, receives ``bin_hist_rows`` (max histogram rows
+    in any binned pass), ``refine_rows`` (exact-pass rows) and
+    ``n_levels`` for the bounded-exchange tests."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from georay.runtime import table_from_pandas
+
+    names = [f"p{int(round(q * 100)):02d}" for q in qs]
+    sch = ds.schema()
+    is_float = pa.types.is_floating(
+        sch.types[list(sch.names).index(value_col)]
+    )
+    out_type = pa.float64() if is_float else pa.int64()
+    out_schema = pa.schema(
+        [(group_col, pa.string())] + [(nm, out_type) for nm in names]
+    )
+
+    def keyed(t: pa.Table):
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        key = _order_keys(t[value_col].to_numpy(zero_copy_only=False))
+        return g, key
+
+    # ---- pass 0: global key range (one row per batch to the driver).
+    # Keys travel sign-flipped as int64 (order-preserving) — uint64 columns
+    # trip Ray's aggregate into a pickled-python fallback.
+    def krange(t: pa.Table) -> pa.Table:
+        _, key = keyed(t)
+        if key.size == 0:
+            return pa.table({"p_min": pa.array([], pa.int64()),
+                             "p_max": pa.array([], pa.int64())})
+        sk = (key ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"p_min": pa.array([sk.min()]),
+                         "p_max": pa.array([sk.max()])})
+
+    rng_row = (
+        ds.map_batches(krange, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Min("p_min"), Max("p_max"))
+    )
+    kmin = int(rng_row["min(p_min)"]) + (1 << 63)
+    kmax = int(rng_row["max(p_max)"]) + (1 << 63)
+
+    def width_of(lo: int, hi: int) -> int:  # ceil-div, Python ints (no wrap)
+        return max(1, -((lo - hi) // n_bins))
+
+    # ---- pass 1: per (group, bin) histogram over the global range
+    w0 = width_of(kmin, kmax + 1)
+
+    def partial1(t: pa.Table) -> pa.Table:
+        g, key = keyed(t)
+        b = ((key - np.uint64(kmin)) // np.uint64(w0)).astype(np.int64)
+        out = pd.DataFrame({group_col: g, "bin": b}).groupby(
+            [group_col, "bin"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                group_col: pa.array(out[group_col].to_numpy(), pa.string()),
+                "bin": pa.array(out["bin"].to_numpy().astype(np.int64)),
+                "partial_n": pa.array(out["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    hist1 = (
+        ds.map_batches(partial1, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()
+    )
+    max_hist_rows = len(hist1)
+
+    # candidates: one per (group, q) — (lo, hi) key range, remaining rank,
+    # rows in range. Driver-side; O(groups × len(qs)).
+    cands: list[dict] = []
+    for grp, gdf in hist1.groupby(group_col):
+        gdf = gdf.sort_values("bin")
+        cnt = gdf["n"].to_numpy()
+        bins = gdf["bin"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        for q, nm in zip(qs, names):
+            k = max(0, int(np.ceil(q * n)) - 1)  # quantile_disc rule
+            j = int(np.searchsorted(cum, k, side="right"))
+            lo = kmin + int(bins[j]) * w0
+            cands.append({
+                "cand": len(cands), "group": grp, "q": nm,
+                "lo": lo, "hi": min(lo + w0, kmax + 1),
+                "rank": k - (int(cum[j - 1]) if j > 0 else 0),
+                "rows": int(cnt[j]),
+            })
+
+    # ---- refinement loop: re-bin every still-open candidate's range
+    levels = 0
+    while True:
+        open_c = [c for c in cands
+                  if c["rows"] > refine_limit and c["hi"] - c["lo"] > 1]
+        if not open_c:
+            break
+        levels += 1
+        spec = [(c["cand"], c["group"], c["lo"], c["hi"],
+                 width_of(c["lo"], c["hi"])) for c in open_c]
+        spec_ref = ray.put(spec)
+
+        def partial_r(t: pa.Table) -> pa.Table:
+            g, key = keyed(t)
+            cid_o, bin_o, n_o = [], [], []
+            for cid, grp, lo, hi, w in ray.get(spec_ref):
+                m = (g == grp) & (key >= np.uint64(lo)) & (key < np.uint64(hi))
+                if not m.any():
+                    continue
+                b = ((key[m] - np.uint64(lo)) // np.uint64(w)).astype(np.int64)
+                ub, uc = np.unique(b, return_counts=True)
+                cid_o.append(np.full(ub.size, cid, dtype=np.int64))
+                bin_o.append(ub)
+                n_o.append(uc.astype(np.int64))
+            if not cid_o:
+                return pa.table(
+                    {"cand": pa.array([], pa.int64()),
+                     "bin": pa.array([], pa.int64()),
+                     "partial_n": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"cand": pa.array(np.concatenate(cid_o)),
+                 "bin": pa.array(np.concatenate(bin_o)),
+                 "partial_n": pa.array(np.concatenate(n_o))}
+            )
+
+        hist = (
+            ds.map_batches(partial_r, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(combine_partitions)
+            .groupby(["cand", "bin"])
+            .aggregate(Sum("partial_n", alias_name="n"))
+            .to_pandas()
+        )
+        max_hist_rows = max(max_hist_rows, len(hist))
+        by_cand = dict(tuple(hist.groupby("cand")))
+        for c in open_c:
+            gdf = by_cand[c["cand"]].sort_values("bin")
+            cnt = gdf["n"].to_numpy()
+            cum = np.cumsum(cnt)
+            j = int(np.searchsorted(cum, c["rank"], side="right"))
+            w = width_of(c["lo"], c["hi"])
+            lo = c["lo"] + int(gdf["bin"].to_numpy()[j]) * w
+            c["hi"] = min(lo + w, c["hi"])
+            c["lo"] = lo
+            c["rank"] -= int(cum[j - 1]) if j > 0 else 0
+            c["rows"] = int(cnt[j])
+
+    # ---- exact refine of the closed ranges
+    spec = [(c["cand"], c["group"], c["lo"], c["hi"]) for c in cands]
+    spec_ref = ray.put(spec)
+
+    def partial_x(t: pa.Table) -> pa.Table:
+        g, key = keyed(t)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        cid_o, v_o, n_o = [], [], []
+        for cid, grp, lo, hi in ray.get(spec_ref):
+            m = (g == grp) & (key >= np.uint64(lo)) & (key < np.uint64(hi))
+            if not m.any():
+                continue
+            uv, uc = np.unique(v[m], return_counts=True)
+            cid_o.append(np.full(uv.size, cid, dtype=np.int64))
+            v_o.append(uv)
+            n_o.append(uc.astype(np.int64))
+        if not cid_o:
+            return pa.table(
+                {"cand": pa.array([], pa.int64()),
+                 "v": pa.array([], out_type),
+                 "partial_n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"cand": pa.array(np.concatenate(cid_o)),
+             "v": pa.array(np.concatenate(v_o).astype(
+                 np.float64 if is_float else np.int64)),
+             "partial_n": pa.array(np.concatenate(n_o))}
+        )
+
+    exact = (
+        ds.map_batches(partial_x, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(["cand", "v"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()
+    )
+    if _debug is not None:
+        _debug["bin_hist_rows"] = max_hist_rows
+        _debug["refine_rows"] = len(exact)
+        _debug["n_levels"] = levels
+
+    by_cand = dict(tuple(exact.groupby("cand")))
+    rows: dict[str, dict] = {}
+    for c in cands:
+        gdf = by_cand[c["cand"]].sort_values("v")
+        cum = np.cumsum(gdf["n"].to_numpy())
+        j = int(np.searchsorted(cum, c["rank"], side="right"))
+        val = gdf["v"].to_numpy()[j]
+        rows.setdefault(c["group"], {})[c["q"]] = (
+            float(val) if is_float else int(val)
+        )
+
+    out = pd.DataFrame(
+        [{group_col: grp, **vals} for grp, vals in sorted(rows.items())],
+        columns=[group_col] + names,
+    )
+    # result is O(groups) rows computed driver-side; re-enter Ray Data so
+    # callers compose it like every other op
+    return ray.data.from_arrow(table_from_pandas(out, schema=out_schema))

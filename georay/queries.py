@@ -1958,6 +1958,25 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_ann_ivf_sq8(sf_dir: str):
+    """IVF pruning composed with SQ8 integer scoring (the FAISS ``IVF,SQ8``
+    shape), run in its EXACT mode (n_probe == n_centroids → every inverted
+    list scored → identical to the sq8 brute ranking), so the combined
+    machinery (codebook, centroid assignment, per-list integer scoring,
+    merge) is hard-checked against the integer SQL oracle. The pruned mode
+    (n_probe < n_centroids) is unit-tested for recall ≥ 0.9
+    (tests/test_textops.py::test_ivf_sq8_recall_clustered)."""
+    from georay.ops import similarity as sim
+
+    table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_mat = sim.emb_matrix(table["embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.ivf_sq8_topk(
+        emb, query_mask_mod=10, k=ANN_K, n_centroids=16, n_probe=16,
+        sample_mat=all_mat[:: max(1, all_mat.shape[0] // 256)],
+    )
+
+
 KMEANS_K, KMEANS_ITERS, KMEANS_SCALE, EMB_DIM = 8, 3, 1 << 20, 64
 
 
@@ -2966,6 +2985,53 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_quantiles_binned(sf_dir: str):
+    """Bounded-bin exact quantiles — same result as ``grouped_quantiles``
+    via a fixed-width (group, bin) histogram + exact refine of the one
+    candidate bin per quantile, so the exchange is O(groups × n_bins ×
+    batches) INDEPENDENT of value cardinality (the high-cardinality unit
+    test asserts the bound; ops.sketch.grouped_quantiles_binned). Extended
+    price is the value column here — ~1M distinct cents at sf1, exactly
+    the domain the unbinned histogram can't carry."""
+    from georay.ops import sketch as sketch_ops
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ints = li.map_batches(to_cents, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return sketch_ops.grouped_quantiles_binned(
+        ints, "l_returnflag", "cents", qs=(0.25, 0.5, 0.9, 0.99),
+        n_bins=512,
+    )
+
+
+SQL_QUANTILES_BINNED = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS cents
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(cents, 0.99) AS BIGINT) AS p99
+FROM c GROUP BY l_returnflag
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified sample: the 20 documents per language whose
     splitmix64(doc_id) sorts first — reproducible across runs and cluster
@@ -3497,6 +3563,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
         "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
+        "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_SQ8),
         "kmeans_clusters": (q_kmeans, sql_kmeans()),
         "raster_assembly": (q_raster, sql_raster(n_images)),
         "compact_cells": (q_compact, SQL_COMPACT),
@@ -3511,6 +3578,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "raster_focal": (q_raster_focal, SQL_RASTER_FOCAL),
         "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
         "grouped_quantiles": (q_quantiles, SQL_QUANTILES),
+        "grouped_quantiles_binned": (q_quantiles_binned, SQL_QUANTILES_BINNED),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),

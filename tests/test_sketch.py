@@ -137,6 +137,90 @@ def test_grouped_quantiles_matches_duckdb_rule(ray_session):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
 
 
+def test_grouped_quantiles_binned_high_cardinality(ray_session):
+    """10⁶-distinct float column: the binned variant stays exact vs DuckDB
+    quantile_disc AND the exchange stays bounded — bin histogram ≤ groups ×
+    n_bins rows, refine ≤ a few bins' worth of distinct values (the
+    unbinned histogram would ship ~10⁶ rows here)."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from georay.ops import sketch as sketch_ops
+
+    rng = np.random.RandomState(13)
+    n = 1_000_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1]),
+            # lognormal → skewed, essentially all-distinct float64
+            "v": rng.lognormal(0.0, 2.0, size=n),
+        }
+    )
+    n_bins = 512
+    refine_limit = 500  # force the refinement loop to iterate
+    ds = ray.data.from_pandas(df).repartition(8)
+    dbg: dict = {}
+    got = (
+        sketch_ops.grouped_quantiles_binned(
+            ds, "g", "v", qs=(0.1, 0.5, 0.9), n_bins=n_bins,
+            refine_limit=refine_limit, _debug=dbg
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT g, quantile_disc(v, 0.1) AS p10,
+                  quantile_disc(v, 0.5) AS p50,
+                  quantile_disc(v, 0.9) AS p90
+           FROM t GROUP BY g ORDER BY g"""
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    n_distinct = df["v"].nunique()
+    assert n_distinct > 990_000  # the test is vacuous otherwise
+    # every binned pass ships ≤ candidates × n_bins histogram rows; the
+    # exact pass ≤ candidates × refine_limit — both independent of the
+    # 10⁶ value cardinality the unbinned op would ship
+    n_cands = 3 * 3  # groups × quantiles
+    assert dbg["bin_hist_rows"] <= n_cands * n_bins
+    assert dbg["refine_rows"] <= n_cands * refine_limit
+    assert dbg["refine_rows"] < n_distinct // 10
+    # with refine_limit 500 the initial ~2k-row candidate bins stay open —
+    # the refinement loop must actually iterate and still bound every pass
+    assert 1 <= dbg["n_levels"] <= 8
+
+
+def test_grouped_quantiles_binned_matches_unbinned_int(ray_session):
+    """Integer column: binned and unbinned variants agree exactly."""
+    import pandas as pd
+    import ray
+
+    from georay.ops import sketch as sketch_ops
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], size=20_000),
+            "v": rng.randint(-10_000, 10_000, size=20_000).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    a = (
+        sketch_ops.grouped_quantiles(ds, "g", "v", qs=(0.25, 0.5, 0.99))
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    b = (
+        sketch_ops.grouped_quantiles_binned(
+            ds, "g", "v", qs=(0.25, 0.5, 0.99), n_bins=64
+        )
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
 # ------------------------------------------------------------------ HLL
 
 

@@ -275,6 +275,55 @@ def test_ivf_recall_clustered(ray_session):
     assert recall >= 0.9, f"IVF recall {recall}"
 
 
+def test_ivf_sq8_recall_clustered(ray_session):
+    # IVF pruning + SQ8 integer scoring: pruned recall vs the SQ8 brute
+    # ranking (apples to apples — both score quantized codes)
+    import ray
+
+    from georay.ops import similarity as sim
+
+    rng = np.random.RandomState(1)
+    centers = rng.randn(20, 32) * 4
+    mat = np.concatenate(
+        [c + rng.randn(50, 32) * 0.5 for c in centers]
+    ).astype(np.float32)
+    ids = np.arange(mat.shape[0], dtype=np.int64)
+    t = pa.table({"vec_id": ids, "embedding": list(mat)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    brute = sim.sq8_topk(ds, query_mask_mod=40, k=5).to_pandas()
+    pruned = sim.ivf_sq8_topk(
+        ds, query_mask_mod=40, k=5, n_centroids=20, n_probe=4,
+        sample_mat=mat[::3],
+    ).to_pandas()
+    b = set(zip(brute["query_id"], brute["neighbor_id"]))
+    v = set(zip(pruned["query_id"], pruned["neighbor_id"]))
+    recall = len(b & v) / len(b)
+    assert recall >= 0.9, f"IVF+SQ8 recall {recall}"
+
+
+def test_ivf_sq8_full_probe_equals_sq8(ray_session):
+    # n_probe == n_centroids must reproduce the sq8 brute ranking exactly
+    # (scores AND ranks) — the same contract ann_ivf has vs ann_topk
+    import ray
+
+    from georay.ops import similarity as sim
+
+    rng = np.random.RandomState(2)
+    mat = rng.randn(300, 16).astype(np.float32)
+    ids = np.arange(300, dtype=np.int64)
+    t = pa.table({"vec_id": ids, "embedding": list(mat)})
+    ds = ray.data.from_arrow(t).repartition(3)
+    brute = sim.sq8_topk(ds, query_mask_mod=30, k=5).to_pandas()
+    full = sim.ivf_sq8_topk(
+        ds, query_mask_mod=30, k=5, n_centroids=8, n_probe=8,
+        sample_mat=mat[::5],
+    ).to_pandas()
+    cols = ["query_id", "neighbor_id", "score", "rank"]
+    a = brute[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = full[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.astype(np.int64).equals(b.astype(np.int64))
+
+
 def test_cosine_pairs_brute_exact(ray_session, emb_table):
     import ray
 
