@@ -489,7 +489,7 @@ def fixed_matrix(col) -> np.ndarray:
 
 def kmeans_lloyd(ds, k: int = 8, iters: int = 3, id_col: str = "vec_id",
                  emb_col: str = "embedding", scale: int = 1 << 20,
-                 combine_partitions: int = 2):
+                 combine_partitions: int = 2, with_centroids: bool = False):
     """Distributed Lloyd's k-means over an embedding column, DETERMINISTIC
     regardless of batch order / partitioning:
 
@@ -602,8 +602,88 @@ def kmeans_lloyd(ds, k: int = 8, iters: int = 3, id_col: str = "vec_id",
             }
         )
 
-    return ints.map_batches(assign, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    out = ints.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    if with_centroids:
+        # final post-loop centroids in the SCALED domain (the matrix the
+        # afinal assignment uses) — lets composed pipelines (semantic_dedup)
+        # re-derive the identical assignment without a list-column join
+        return out, cent
+    return out
+
+
+def semantic_dedup(ds, k: int = 8, iters: int = 3, threshold: float = 0.45,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   scale: int = 1 << 20):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023, public):
+    k-means clusters bound the O(n²) cosine comparison to within-cluster
+    pairs; a row is a DUPLICATE iff some LOWER-id row in the SAME cluster
+    has cosine ≥ ``threshold`` (deterministic keep-lowest rule, no greedy
+    order dependence). Output: ``(id_col, cluster, keep)``, one row per
+    input row, keep ∈ {0, 1}.
+
+    Scale shape: the cluster assignment is re-derived per batch from the
+    broadcast final centroids (k·d floats — no list-column join, which
+    Acero rejects anyway); embeddings travel to their cluster's group as
+    packed float32 blobs through ONE sort shuffle; the per-cluster kernel
+    is a single normalized matmul. Per-cluster cost is O(c²·d) — the
+    SemDeDup contract: pick k ≈ n/1000 so clusters stay matmul-sized
+    (at 10⁹ rows and k = 10⁶ a cluster is ~10³×d — one GEMM). The
+    assignment argmin, tie-break, and threshold compare reuse the exact
+    expression shapes of :func:`kmeans_lloyd` / :func:`cosine_pairs_brute`,
+    so the SQL twin (kmeans CTE chain + within-cluster EXISTS) is
+    hash-exact."""
+    import pandas as pd
+    import ray
+
+    _, cent = kmeans_lloyd(
+        ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col, scale=scale,
+        with_centroids=True,
+    )
+    ref = ray.put(cent)
+
+    def tag(t: pa.Table, _ref=ref) -> pa.Table:
+        C = ray.get(_ref)
+        mat = emb_matrix(t[emb_col]).astype(np.float32)
+        Xi = np.floor(mat.astype(np.float64) * float(scale))
+        D = ((Xi[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        n, d = mat.shape
+        blobs = [mat[i].tobytes() for i in range(n)]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(D.argmin(1).astype(np.int64)),
+                "_emb": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="quicksort")  # ids unique: total order
+        ids = ids[order]
+        M = np.stack(
+            [np.frombuffer(b, dtype=np.float32)
+             for b in g["_emb"].to_numpy()[order]]
+        )
+        M = _normalize(M)
+        sims = M @ M.T
+        # dup[i] ⇔ ∃ j < i (id order) with cos ≥ threshold
+        dup = np.tril(sims >= threshold, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": np.repeat(
+                    np.int64(g["cluster"].iloc[0]), ids.size
+                ),
+                "keep": (~dup).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(per_cluster)  # k groups TOTAL — the good map_groups case
+    )
 
 
 def dim_ranges(ds, emb_col: str = "embedding", combine_partitions: int = 4):

@@ -448,6 +448,63 @@ FROM c JOIN s
 )
 
 
+# -------------------------------------------------------------- grid DBSCAN
+
+DBSCAN_EPS = 6.0  # degrees (ring 1 at BITS_JOIN)
+DBSCAN_MIN_PTS = 4
+
+
+def q_grid_dbscan(sf_dir: str):
+    """Deterministic grid-DBSCAN over customer points: eps-pairs from the
+    cell-ring dwithin exchange (reused 3×: degree counts, core-core edges,
+    border assignment), core components via min-label connected components,
+    border points attach to the MIN adjacent core component (order-free).
+    Output (c_custkey, cluster, role) — cluster = min reachable core id or
+    -1 noise; role 2/1/0 = core/border/noise. The SQL twin replays the same
+    formulation relationally with a recursive-CTE transitive closure."""
+    from georay.ops import dbscan as dbscan_ops
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    return dbscan_ops.grid_dbscan(
+        cust, bits=BITS_JOIN, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS,
+        id_col="c_custkey", num_partitions=8,
+    )
+
+
+SQL_GRID_DBSCAN = """
+WITH RECURSIVE pts AS ({c_cte}),
+pairs AS (
+  SELECT a.c_custkey AS pid, b.c_custkey AS nid
+  FROM pts a JOIN pts b
+    ON (a.lon - b.lon) * (a.lon - b.lon)
+     + (a.lat - b.lat) * (a.lat - b.lat) <= {eps} * {eps}
+),
+deg AS (SELECT pid, COUNT(*) AS cnt FROM pairs GROUP BY pid),
+core AS (SELECT pid FROM deg WHERE cnt >= {min_pts}),
+e AS (SELECT p.pid AS a, p.nid AS b FROM pairs p
+      JOIN core c1 ON p.pid = c1.pid JOIN core c2 ON p.nid = c2.pid
+      WHERE p.pid <> p.nid),
+r(a, b) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT r.a, e.b FROM r JOIN e ON e.a = r.b
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM r GROUP BY a),
+lab AS (SELECT p.pid, MIN(c.component) AS lbl
+        FROM pairs p JOIN comp c ON c.node = p.nid GROUP BY p.pid)
+SELECT d.pid AS c_custkey,
+       CAST(COALESCE(l.lbl, -1) AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.cnt >= {min_pts} THEN 2
+                 WHEN l.lbl IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS role
+FROM deg d LEFT JOIN lab l ON l.pid = d.pid
+""".format(
+    c_cte=_sql_point_cte("customer", "c_custkey", BITS_JOIN),
+    eps=DBSCAN_EPS,
+    min_pts=DBSCAN_MIN_PTS,
+)
+
+
 # ---------------------------------------------------------------- box join
 
 BOX_S, BOX_NX, BOX_NY = 11250, 32, 16
@@ -976,6 +1033,43 @@ SELECT query_id, neighbor_id, rank FROM (
            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
          ) AS BIGINT) AS rank
   FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_filtered(sf_dir: str):
+    """FILTERED vector search (the vector-DB staple: top-k under a
+    metadata predicate). The predicate prunes candidates BEFORE any
+    scoring — a batch-local Arrow filter ahead of the same broadcast
+    brute-cosine kernel, so only matching rows ever hit the matmul.
+    Predicate stand-in: ``vec_id % 3 = 1`` (a category column in real
+    corpora; the pruning shape is identical)."""
+    from georay.ops import similarity as sim
+
+    q_table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mask = (q_table["vec_id"].to_numpy() % 10) == 0
+    q_ids = q_table["vec_id"].to_numpy()[mask]
+    q_mat = sim.emb_matrix(q_table["embedding"])[mask]
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        keep = (t["vec_id"].to_numpy(zero_copy_only=False) % 3) == 1
+        return t.filter(pa.array(keep))
+
+    cand = emb.map_batches(pred, batch_format="pyarrow", zero_copy_batch=True)
+    out = sim.brute_topk(cand, q_ids, q_mat, k=ANN_K)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+SQL_ANN_FILTERED = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+         ) AS BIGINT) AS rank
+  FROM q JOIN embeddings e ON e.vec_id % 3 = 1 AND e.vec_id <> q.vec_id
 ) WHERE rank <= {ANN_K}
 """
 
@@ -1856,6 +1950,231 @@ FROM t
 """
 
 
+# ------------------------------------------------------- corpus curation
+
+CURATION_MIN_CHARS = 100
+CURATION_J = 0.7
+
+
+def q_corpus_curation(sf_dir: str):
+    """End-to-end LLM corpus curation — the composed pipeline an actual
+    training-data run chains: language gate → quality gate → exact dedup
+    (keep-lowest-id per fingerprint) → MinHash near-dup clustering (drop
+    non-representatives). Output: ``(doc_id, stage)`` for EVERY doc, stage
+    = first failing gate (1 lang, 2 quality, 3 exact-dup, 4 near-dup) or 0
+    kept.
+
+    Scale shape: ONE map-only pass over the text computes lang + quality
+    + fingerprint (text never shuffles with the flags); exact dedup is a
+    Min groupby on (fp, id) rows; survivors rejoin their text through a
+    hash join (the 100 TB path — no id-set broadcast) and run the standard
+    no-broadcast near-dup pipeline (shuffle verify); stages assemble with
+    two more hash joins on bounded flag tables."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from georay.ops import cluster as cluster_ops
+    from georay.ops import minhash as mh
+    from georay.ops import text as text_ops
+    from georay.runtime import per_process
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        lang = per_process("curation-langid", text_ops.LangId)(df)
+        feat = per_process("curation-quality", text_ops.QualityScore)(df)
+        # full-text fingerprint = true exact dedup (q_fingerprint_dedup's
+        # collision-free contract); prefix dups fall through to the
+        # near-dup stage, which is what they are
+        fp = text_ops.fingerprint64(
+            df["text"].to_numpy(dtype=object)
+        ).view(np.int64)
+        lang_ok = (lang["lang_pred"].to_numpy() == "en").astype(np.int64)
+        qual_ok = (
+            (feat["n_chars_q"].to_numpy() >= CURATION_MIN_CHARS)
+            & (5 * feat["n_uniq_tok"].to_numpy()
+               >= 2 * feat["n_tokens_q"].to_numpy())
+        ).astype(np.int64)
+        # arrow out, built from numpy (NOT from_pandas: its schema metadata
+        # is unhashable and defeats Ray's block-schema dedup — CLAUDE.md)
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy()),
+             "fp": pa.array(fp), "lang_ok": pa.array(lang_ok),
+             "qual_ok": pa.array(qual_ok)}
+        )
+
+    tagged = docs.map_batches(tag, batch_format="pandas").materialize()
+
+    def surv12(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.equal(t["lang_ok"], 1), pc.equal(t["qual_ok"], 1))
+        k = t.filter(keep)
+        return pa.table({"fp": k["fp"], "doc_id": k["doc_id"]})
+
+    keep_fp = (
+        tagged.map_batches(surv12, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="keep_id"))
+        .repartition(8)  # merge schema-less empties before the join
+    )
+    staged = tagged.join(
+        keep_fp, join_type="left_outer", num_partitions=8, on=("fp",)
+    ).materialize()
+
+    def surv3(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.and_(pc.equal(t["lang_ok"], 1), pc.equal(t["qual_ok"], 1)),
+            pc.equal(t["doc_id"], t["keep_id"]),
+        )
+        return pa.table({"doc_id": t.filter(keep)["doc_id"]})
+
+    surv_ids = staged.map_batches(surv3, batch_format="pyarrow")
+    surv_docs = docs.join(
+        surv_ids, join_type="inner", num_partitions=8, on=("doc_id",)
+    )
+    pairs = mh.near_dup_pairs(
+        surv_docs, n_hashes=64, n_bands=16, shingle_k=5,
+        threshold=CURATION_J, verify="shuffle", num_partitions=8,
+    )
+    clusters = cluster_ops.dedup_clusters(
+        surv_ids, pairs, id_col="doc_id", num_partitions=4
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "is_rep": t["is_representative"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).repartition(4)
+
+    out = staged.join(
+        clusters, join_type="left_outer", num_partitions=8, on=("doc_id",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lang_ok = t["lang_ok"].to_numpy(zero_copy_only=False)
+        qual_ok = t["qual_ok"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        kid = np.where(
+            pc.is_valid(t["keep_id"]).to_numpy(zero_copy_only=False),
+            np.nan_to_num(
+                t["keep_id"].cast(pa.float64()).to_numpy(
+                    zero_copy_only=False), nan=-1.0
+            ),
+            -1.0,
+        )
+        rep = np.where(
+            pc.is_valid(t["is_rep"]).to_numpy(zero_copy_only=False),
+            np.nan_to_num(
+                t["is_rep"].cast(pa.float64()).to_numpy(
+                    zero_copy_only=False), nan=0.0
+            ),
+            0.0,
+        )
+        stage = np.where(
+            lang_ok == 0, 1,
+            np.where(
+                qual_ok == 0, 2,
+                np.where(did != kid, 3, np.where(rep == 0, 4, 0)),
+            ),
+        ).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "stage": pa.array(stage)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_curation() -> str:
+    """SQL twin of the composed curation pipeline: the langid CASE chain +
+    integer quality gates + keep-min-per-text exact dedup + the exact
+    relational Jaccard closure of SQL_NEARDUP_CLUSTERS restricted to the
+    survivor set."""
+    cases = []
+    langs = ["en", "de", "fr", "es"]
+    for i, lang in enumerate(langs):
+        rest = [f"c_{lang} >= c_{o}" for o in langs[i + 1:]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_chain = "\n            ".join(cases)
+    counts = ",\n         ".join(
+        f"count(*) FILTER (WHERE w IN ({_sql_stoplist(lang)})) AS c_{lang}"
+        for lang in langs
+    )
+    return f"""
+WITH RECURSIVE ltoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_'']+')) AS w
+  FROM documents
+),
+a AS (SELECT doc_id, count(*) AS nw,
+         {counts}
+      FROM ltoks GROUP BY doc_id),
+d AS (SELECT doc_id,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+         GREATEST(length(text), 1) AS ln
+      FROM documents),
+pred AS (SELECT d.doc_id,
+        CASE WHEN 20 * cjk > ln THEN 'zh'
+             WHEN a.doc_id IS NULL OR nw = 0
+               OR 50 * GREATEST(c_en, c_de, c_fr, c_es) <= nw THEN 'unk'
+             {case_chain}
+        END AS pred
+      FROM d LEFT JOIN a USING (doc_id)),
+feat AS (SELECT doc_id, length(text) AS nc, len(toks) AS ntok,
+                len(list_distinct(toks)) AS nuniq
+         FROM (SELECT doc_id, text,
+                      regexp_extract_all(text, '[\\p{{L}}\\p{{N}}_'']+') AS toks
+               FROM documents)),
+s1 AS (SELECT doc_id FROM pred WHERE pred = 'en'),
+s2 AS (SELECT f.doc_id FROM feat f JOIN s1 USING (doc_id)
+       WHERE f.nc >= {CURATION_MIN_CHARS} AND 5 * f.nuniq >= 2 * f.ntok),
+s3 AS (SELECT doc_id FROM (
+         SELECT dd.doc_id, MIN(dd.doc_id) OVER (PARTITION BY dd.text) AS m
+         FROM documents dd JOIN s2 USING (doc_id))
+       WHERE doc_id = m),
+grams AS (
+  SELECT DISTINCT doc_id, substr(text, j, 5) AS gram
+  FROM (SELECT dd.doc_id, dd.text, unnest(range(1, length(dd.text) - 3)) AS j
+        FROM documents dd JOIN s3 USING (doc_id))
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, COUNT(*) AS c
+  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {CURATION_J}
+),
+e AS (SELECT id_a AS ea, id_b AS eb FROM jac
+      UNION SELECT id_b, id_a FROM jac),
+r(ra, rb) AS (
+  SELECT doc_id, doc_id FROM s3
+  UNION
+  SELECT r.ra, e.eb FROM r JOIN e ON e.ea = r.rb
+),
+comp AS (SELECT ra AS doc_id, MIN(rb) AS cluster FROM r GROUP BY ra)
+SELECT dd.doc_id,
+  CAST(CASE WHEN s1.doc_id IS NULL THEN 1
+            WHEN s2.doc_id IS NULL THEN 2
+            WHEN s3.doc_id IS NULL THEN 3
+            WHEN comp.cluster <> dd.doc_id THEN 4
+            ELSE 0 END AS BIGINT) AS stage
+FROM documents dd
+LEFT JOIN s1 ON s1.doc_id = dd.doc_id
+LEFT JOIN s2 ON s2.doc_id = dd.doc_id
+LEFT JOIN s3 ON s3.doc_id = dd.doc_id
+LEFT JOIN comp ON comp.doc_id = dd.doc_id
+"""
+
+
+SQL_CORPUS_CURATION = _sql_curation()
+
+
 def q_tfidf(sf_dir: str):
     """Top-5 distinctive terms per document ranked by the integer-exact
     tf-idf order (tf DESC, df ASC, w ASC) — ops.text.tfidf_topk: tokenize
@@ -1996,11 +2315,20 @@ def q_kmeans(sf_dir: str):
 
 def sql_kmeans(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
                scale: int = KMEANS_SCALE, dim: int = EMB_DIM) -> str:
+    parts = _sql_kmeans_parts(k, iters, scale, dim)
+    body = ",\n".join(parts)
+    return f"WITH\n{body}\nSELECT vec_id, cluster FROM afinal"
+
+
+def _sql_kmeans_parts(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                      scale: int = KMEANS_SCALE, dim: int = EMB_DIM) -> list:
     """Unrolled Lloyd's replica: e = int-scaled (vec_id, d, xi) rows;
     c0 = the k smallest vec_ids (cluster j = id rank); each iteration is a
     plain CTE pair (argmin assignment via ROW_NUMBER ORDER BY dist,
     cluster — the np.argmin tie-break — then exact integer re-sums with a
-    LEFT-JOIN COALESCE keeping empty clusters' previous centroids)."""
+    LEFT-JOIN COALESCE keeping empty clusters' previous centroids).
+    Returns the CTE part list ending in ``afinal(vec_id, cluster)`` so
+    composed twins (semantic_dedup) can extend the chain."""
     parts = [
         f"e AS (SELECT vec_id, i AS d, CAST(FLOOR(CAST(embedding[i + 1] AS "
         f"DOUBLE) * {float(scale)!r}) AS BIGINT) AS xi "
@@ -2046,8 +2374,48 @@ def sql_kmeans(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
         f"    FROM e JOIN c{iters} p ON e.d = p.d"
         f"    GROUP BY e.vec_id, p.cluster)) WHERE rn = 1)"
     )
+    return parts
+
+
+SEMDEDUP_T = 0.45
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup: k-means clusters bound the pairwise
+    cosine to within-cluster pairs; keep-lowest-id rule (deterministic).
+    One sort shuffle co-locates each cluster's packed-float32 embeddings;
+    the per-cluster kernel is a single normalized matmul (k groups TOTAL —
+    the good map_groups case). SQL twin = the unrolled-kmeans CTE chain +
+    a within-cluster lower-id EXISTS at the same threshold."""
+    from georay.ops import similarity as sim
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.semantic_dedup(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_T,
+        scale=KMEANS_SCALE,
+    )
+
+
+def sql_semantic_dedup(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                       scale: int = KMEANS_SCALE, dim: int = EMB_DIM,
+                       threshold: float = SEMDEDUP_T) -> str:
+    parts = _sql_kmeans_parts(k, iters, scale, dim)
+    parts.append(
+        f"dup AS (SELECT DISTINCT a.vec_id FROM afinal a"
+        f" JOIN afinal b ON b.cluster = a.cluster AND b.vec_id < a.vec_id"
+        f" JOIN embeddings ea ON ea.vec_id = a.vec_id"
+        f" JOIN embeddings eb ON eb.vec_id = b.vec_id"
+        f" WHERE list_cosine_similarity(ea.embedding, eb.embedding)"
+        f" >= {threshold!r})"
+    )
     body = ",\n".join(parts)
-    return f"WITH\n{body}\nSELECT vec_id, cluster FROM afinal"
+    return (
+        f"WITH\n{body}\n"
+        f"SELECT f.vec_id, CAST(f.cluster AS BIGINT) AS cluster,"
+        f" CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)"
+        f" AS keep"
+        f" FROM afinal f LEFT JOIN dup d ON d.vec_id = f.vec_id"
+    )
 
 
 RASTER_TILE_BITS = 4
@@ -3534,6 +3902,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "knn_ring1": (q_knn, SQL_KNN),
         "dwithin": (q_dwithin, SQL_DWITHIN),
         "dwithin_shuffle": (q_dwithin_shuffle, SQL_DWITHIN),
+        "grid_dbscan": (q_grid_dbscan, SQL_GRID_DBSCAN),
         "box_join": (q_box_join, SQL_BOX_JOIN),
         "pip_nation": (q_pip, SQL_PIP),
         "tile_counts": (q_tile_counts, SQL_TILE_COUNTS),
@@ -3563,8 +3932,11 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
         "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
+        "ann_filtered": (q_ann_filtered, SQL_ANN_FILTERED),
         "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_SQ8),
         "kmeans_clusters": (q_kmeans, sql_kmeans()),
+        "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup()),
+        "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
         "raster_assembly": (q_raster, sql_raster(n_images)),
         "compact_cells": (q_compact, SQL_COMPACT),
         "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),

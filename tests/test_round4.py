@@ -1,0 +1,126 @@
+"""Round-4 operators: grid DBSCAN and SemDeDup-shaped semantic dedup —
+each verified against an independent numpy brute-force replica of the same
+deterministic formulation (plus the DuckDB oracle via check_oracle)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _brute_dbscan(ids, lon, lat, eps, min_pts):
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    nbr = d2 <= eps * eps  # includes self (diagonal is 0)
+    cnt = nbr.sum(1)
+    core = cnt >= min_pts
+    comp = np.where(core, ids, np.iinfo(np.int64).max)
+    # min-label propagation over core-core adjacency to fixpoint
+    adj = nbr & core[:, None] & core[None, :]
+    while True:
+        nxt = comp.copy()
+        for i in np.flatnonzero(core):
+            nxt[i] = comp[adj[i]].min()
+        if np.array_equal(nxt, comp):
+            break
+        comp = nxt
+    lbl = np.full(ids.size, -1, dtype=np.int64)
+    role = np.zeros(ids.size, dtype=np.int64)
+    for i in range(ids.size):
+        adj_core = nbr[i] & core
+        if adj_core.any():
+            lbl[i] = comp[adj_core].min()
+            role[i] = 2 if core[i] else 1
+    return lbl, role
+
+
+def test_grid_dbscan_brute_parity(ray_session):
+    import ray
+
+    from georay import codec
+    from georay.ops import dbscan as dbscan_ops
+
+    rng = np.random.RandomState(7)
+    n, bits = 300, 8
+    # half clumped (dense clusters), half uniform (noise + borders)
+    centers = rng.uniform([-150, -70], [150, 70], size=(6, 2))
+    clumped = np.repeat(centers, 25, axis=0) + rng.randn(150, 2) * 1.5
+    uniform = rng.uniform([-180, -90], [180, 90], size=(150, 2))
+    pts = np.clip(np.concatenate([clumped, uniform]),
+                  [-180, -90], [179.999, 89.999])
+    lon, lat = pts[:, 0], pts[:, 1]
+    ids = np.arange(n, dtype=np.int64) * 13 + 5  # non-contiguous ids
+    cell = codec.encode(lon, lat, bits).astype(np.int64)
+    t = pa.table({"id": ids, "lon": lon, "lat": lat, "cell": cell})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    eps, min_pts = 5.0, 4
+    got = (
+        dbscan_ops.grid_dbscan(ds, bits=bits, eps=eps, min_pts=min_pts,
+                               id_col="id", num_partitions=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    lbl, role = _brute_dbscan(ids, lon, lat, eps, min_pts)
+    assert got["id"].to_numpy().tolist() == ids.tolist()
+    assert got["cluster"].to_numpy().tolist() == lbl.tolist()
+    assert got["role"].to_numpy().tolist() == role.tolist()
+    # the fixture must actually exercise all three roles
+    assert set(role.tolist()) == {0, 1, 2}
+
+
+def _brute_semantic_dedup(ids, mat, k, iters, scale, threshold):
+    xi = np.floor(mat.astype(np.float64) * float(scale))
+    order = np.argsort(ids, kind="stable")[:k]
+    cent = xi[order].copy()
+    for _ in range(iters):
+        d = ((xi[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = xi[m].sum(0) / m.sum()
+    d = ((xi[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    a = d.argmin(1)
+    nrm = mat.astype(np.float64)
+    nrm = nrm / np.clip(np.linalg.norm(nrm, axis=1, keepdims=True),
+                        1e-30, None)
+    keep = np.ones(ids.size, dtype=np.int64)
+    io = np.argsort(ids, kind="stable")
+    for pos, i in enumerate(io):
+        for j in io[:pos]:
+            if a[j] == a[i] and nrm[i] @ nrm[j] >= threshold:
+                keep[i] = 0
+                break
+    return a.astype(np.int64), keep
+
+
+def test_semantic_dedup_brute_parity(ray_session):
+    import ray
+
+    from georay.ops import similarity as sim
+
+    rng = np.random.RandomState(11)
+    # moderate cluster tightness: within-cluster cosine spreads well BELOW
+    # the 0.9 threshold, so only the planted dups dedup
+    centers = rng.randn(5, 16) * 1.5
+    mat = np.concatenate(
+        [c + rng.randn(40, 16) * 0.8 for c in centers]
+    ).astype(np.float32)
+    # plant exact near-dups so keep=0 rows exist
+    mat[7] = mat[3] + 0.01
+    mat[55] = mat[51] * 1.02
+    ids = np.arange(mat.shape[0], dtype=np.int64) * 3 + 1
+    t = pa.table({"vec_id": ids, "embedding": list(mat)})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    k, iters, scale, thr = 5, 3, 1 << 20, 0.9
+    got = (
+        sim.semantic_dedup(ds, k=k, iters=iters, threshold=thr, scale=scale)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    a, keep = _brute_semantic_dedup(ids, mat, k, iters, scale, thr)
+    assert got["vec_id"].to_numpy().tolist() == ids.tolist()
+    assert got["cluster"].to_numpy().tolist() == a.tolist()
+    assert got["keep"].to_numpy().tolist() == keep.tolist()
+    assert (keep == 0).sum() >= 2  # the planted dups were caught
