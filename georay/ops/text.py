@@ -540,3 +540,107 @@ def cooccur_topk(ds, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
         .sort(["lift", "w_a", "w_b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def bm25_topk(ds, terms: list[str], k: int = 10, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id", text_col: str = "text"):
+    """Global top-k documents for a fixed query by BM25 with a RATIONAL idf
+    (``(N - df + 0.5) / (df + 0.5) + 1`` — the Lucene idf without the outer
+    ``ln``; a strictly monotone transform per term, chosen so the score is a
+    pure {+,*,/} float64 expression that an SQL oracle replays bit-exactly).
+
+    Plan (the retrieval half of an index-free search pipeline): ONE
+    tokenize pass emits a wide per-doc row ``(doc, dl, tf_0..tf_{Q-1})``
+    restricted to the Q query terms — the only thing that ever shuffles is
+    O(docs × Q) integers, never the token stream. The corpus scalars
+    (N, Σdl, per-term df) reduce through per-batch partial rows to Q+2
+    driver integers (bounded, like the k-means init). Scoring is a second
+    map over the materialized wide table with the idf/avgdl constants
+    closed over — per-batch local top-k, then a tiny global sort+limit.
+
+    Float contract: every operation appears in the SAME order as the SQL
+    twin (ratio → b·ratio → +(1-b) → ·k1 → +tf → divide → ·idf, then a
+    left-to-right sum over terms in the given order), all inputs are exact
+    integers, so the score is IEEE-identical. Output:
+    ``(doc_id, score, rank)`` with rank 1..k by (score DESC, doc ASC).
+    """
+    import re
+
+    import pandas as pd
+
+    from georay.runtime import table_from_pandas
+
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    terms = list(terms)
+    nq = len(terms)
+    tf_cols = [f"tf{j}" for j in range(nq)]
+    wide_schema = pa.schema(
+        [(id_col, pa.int64()), ("dl", pa.int64())]
+        + [(c, pa.int64()) for c in tf_cols]
+    )
+
+    def wide_rows(df: "pd.DataFrame") -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].str.findall(word_re).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        n = len(df)
+        cols = {id_col: df[id_col].to_numpy(),
+                "dl": np.bincount(row, minlength=n).astype(np.int64)}
+        tok_arr = toks.to_numpy()
+        for j, term in enumerate(terms):
+            m = tok_arr == term
+            cols[tf_cols[j]] = np.bincount(row[m], minlength=n).astype(np.int64)
+        return table_from_pandas(pd.DataFrame(cols), schema=wide_schema)
+
+    wide = ds.select_columns([id_col, text_col]).map_batches(
+        wide_rows, batch_format="pandas"
+    ).materialize()  # consumed twice: scalar reduce + scoring
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = {
+            "n_docs": [t.num_rows],
+            "total_dl": [int(pc.sum(t["dl"]).as_py() or 0)],
+        }
+        for j in range(nq):
+            tf = t[tf_cols[j]].to_numpy(zero_copy_only=False)
+            d[f"df{j}"] = [int((tf > 0).sum())]
+        return pa.table({kk: pa.array(v, pa.int64()) for kk, v in d.items()})
+
+    # bounded driver pull: one row per input batch (the kmeans-init idiom)
+    st = wide.map_batches(
+        stat_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().sum()
+    n_docs = int(st["n_docs"])
+    nf = float(n_docs)
+    avgdl = float(int(st["total_dl"])) / nf
+    idf = [((nf - float(int(st[f"df{j}"]))) + 0.5)
+           / (float(int(st[f"df{j}"])) + 0.5) + 1.0 for j in range(nq)]
+    k1f, bf = float(k1), float(b)
+    omb = 1.0 - bf
+    k1p1 = k1f + 1.0
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        base = k1f * (omb + bf * (dl / avgdl))
+        score = np.zeros(t.num_rows, np.float64)
+        for j in range(nq):
+            tf = t[tf_cols[j]].to_numpy(zero_copy_only=False).astype(np.float64)
+            score = score + idf[j] * ((tf * k1p1) / (tf + base))
+        order = np.lexsort((t[id_col].to_numpy(zero_copy_only=False), -score))
+        keep = order[:k]  # local top-k: only k rows per batch reach the sort
+        return pa.table({id_col: t[id_col].take(pa.array(keep)),
+                         "score": pa.array(score[keep])})
+
+    top = wide.map_batches(
+        score_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["score", id_col], descending=[True, False]).limit(k)
+
+    def add_rank(df: "pd.DataFrame") -> pa.Table:
+        df = df.sort_values(["score", id_col],
+                            ascending=[False, True]).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return table_from_pandas(df)
+
+    return top.repartition(1).map_batches(add_rank, batch_format="pandas")

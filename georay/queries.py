@@ -3875,6 +3875,79 @@ SELECT tile_x, tile_y, n FROM c WHERE n * 100 > {n}
 """
 
 
+# ----------------------------------------------------------------- BM25 topk
+
+BM25_TERMS = ["spark", "window", "merge", "vector"]
+BM25_K = 10
+
+
+def q_bm25_topk(sf_dir: str):
+    """Index-free BM25 retrieval: global top-10 documents for a fixed
+    4-term query. One tokenize pass emits O(docs × 4) integers (dl + per
+    query-term tf), corpus scalars reduce to 6 driver ints, scoring is a
+    second map with a rational idf (`(N-df+0.5)/(df+0.5)+1`, Lucene's idf
+    without the ln — monotone per term, so a pure {+,*,/} float64 tree the
+    SQL twin replays bit-exactly), per-batch local top-k, tiny global
+    sort+limit."""
+    from georay.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.bm25_topk(docs, BM25_TERMS, k=BM25_K).select_columns(
+        ["doc_id", "score", "rank"]
+    )
+
+
+def sql_bm25(terms: list[str], k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """SQL twin of :func:`georay.ops.text.bm25_topk`, same fixed term order.
+
+    Every float constant is computed in Python and embedded via ``repr``
+    (round-trips exactly), and every float op appears in the same order as
+    the numpy kernel, so the score column is IEEE-identical."""
+    k1f, bf = float(k1), float(b)
+    omb, k1p1 = 1.0 - bf, k1f + 1.0
+    tf_piv = ",\n    ".join(
+        f"COALESCE(MAX(CASE WHEN w = '{t}' THEN tf END), 0) AS tf{j}"
+        for j, t in enumerate(terms)
+    )
+    df_sel = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{j}"
+        for j in range(len(terms))
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    base = (f"({k1f!r} * ({omb!r} + {bf!r} * (CAST(dl AS DOUBLE) / "
+            f"(CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE)))))")
+    s_terms = [
+        f"((((CAST(n AS DOUBLE) - CAST(df{j} AS DOUBLE)) + 0.5)"
+        f" / (CAST(df{j} AS DOUBLE) + 0.5) + 1.0)"
+        f" * ((CAST(tf{j} AS DOUBLE) * {k1p1!r})"
+        f" / (CAST(tf{j} AS DOUBLE) + {base})))"
+        for j in range(len(terms))
+    ]
+    score = " + ".join(s_terms)  # left-assoc: same order as the numpy loop
+    return rf"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+              FROM documents),
+dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+alldocs AS (SELECT d.doc_id, COALESCE(dlen.dl, 0) AS dl
+            FROM documents d LEFT JOIN dlen USING (doc_id)),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks WHERE w IN ({in_list}) GROUP BY doc_id, w),
+wide AS (SELECT a.doc_id, a.dl,
+    {tf_piv}
+  FROM alldocs a LEFT JOIN tf USING (doc_id) GROUP BY a.doc_id, a.dl),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl,
+    {df_sel}
+  FROM wide),
+scored AS (SELECT doc_id, {score} AS score FROM wide CROSS JOIN st)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+SQL_BM25 = sql_bm25(BM25_TERMS, BM25_K)
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -3983,4 +4056,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
         "heavy_cells": (q_heavy_cells, sql_heavy_cells(n_images)),
+        "bm25_topk": (q_bm25_topk, SQL_BM25),
     }

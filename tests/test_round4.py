@@ -124,3 +124,48 @@ def test_semantic_dedup_brute_parity(ray_session):
     assert got["cluster"].to_numpy().tolist() == a.tolist()
     assert got["keep"].to_numpy().tolist() == keep.tolist()
     assert (keep == 0).sum() >= 2  # the planted dups were caught
+
+
+def test_bm25_brute_parity(ray_session):
+    """bm25_topk vs an independent per-doc python replica (dict-based tf,
+    math in the documented order) on a synthetic 60-doc corpus."""
+    import ray
+
+    from georay.ops import text as text_ops
+
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "theta"]
+    terms = ["alpha", "delta", "zeta"]
+    texts, ids = [], []
+    for i in range(60):
+        n = rng.randint(3, 40)
+        texts.append(" ".join(rng.choice(vocab, n)))
+        ids.append(i + 1)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+    out = text_ops.bm25_topk(ds, terms, k=7).to_pandas()
+
+    # brute replica
+    toks = [t.split() for t in texts]
+    dl = [len(t) for t in toks]
+    nf = float(len(texts))
+    avgdl = float(sum(dl)) / nf
+    k1, b = 1.2, 0.75
+    scores = {}
+    for i, tk in enumerate(toks):
+        s = 0.0
+        base = k1 * ((1.0 - b) + b * (dl[i] / avgdl))
+        for term in terms:
+            tf = float(tk.count(term))
+            df = float(sum(1 for t2 in toks if term in t2))
+            idf = ((nf - df) + 0.5) / (df + 0.5) + 1.0
+            s = s + idf * ((tf * (k1 + 1.0)) / (tf + base))
+        scores[ids[i]] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    got = list(zip(out["doc_id"], out["score"]))
+    assert [w[0] for w in want] == [g[0] for g in got]
+    np.testing.assert_array_equal(
+        np.array([w[1] for w in want]), np.array([g[1] for g in got])
+    )  # bit-exact, not allclose: the float contract is part of the operator
+    assert list(out["rank"]) == list(range(1, 8))
