@@ -324,3 +324,123 @@ def zonal_stats(ds, zone_col: str, value_col: str, combine_partitions: int = 4):
             Max("partial_max", alias_name="max_v"),
         )
     )
+
+
+def hotspot_gi(ds, bits: int, cell_col: str = "cell",
+               combine_partitions: int = 8, num_partitions: int = 8):
+    """Getis-Ord Gi* hot-spot z-score per OCCUPIED cell over a 3×3 queen
+    neighborhood (the cell-grid form of the classic spatial hot-spot
+    statistic, computed over the set of occupied cells).
+
+    Definitions (chosen integer-first so an SQL oracle replays bit-exactly):
+    with n_c the per-cell count, K the number of occupied cells,
+    W_c = |occupied 3×3 ∩ occupied| (incl. self), S_c = Σ n over that set,
+    sum_x = Σ n, sum_x2 = Σ n² —
+
+        gi_z = (S - mean·W) / ((√(K·sum_x2 − sum_x²) / K) · √((K·W − W²)/(K−1)))
+
+    where mean = sum_x/K. The variance and slack numerators stay EXACT
+    INTEGERS (no float cancellation → no NaN from √(negative)); degenerate
+    branches (W = K, or zero variance) emit 0.0 via an integer-exact CASE.
+
+    Plan: two-phase per-cell counts (only (cell, partial) rows shuffle) →
+    9-way neighbor explode of the COUNTS table (O(occupied·9) rows, not
+    O(points)) → Sum groupby → inner join back to the counts (drops
+    never-occupied targets) → one vectorized map with the three global
+    scalars closed over (bounded driver pull: one partial row per counts
+    block). Output: ``tile_x, tile_y, n, gi_z``.
+    """
+    from ray.data.aggregate import Sum
+
+    from georay import codec
+
+    half = bits // 2
+    size = np.int64(1 << half)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cells, counts = np.unique(cell, return_counts=True)
+        return pa.table({"cell": cells.astype(np.int64),
+                         "partial_n": counts.astype(np.int64)})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby("cell")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .repartition(num_partitions)  # merge blocks: Acero join below
+        # rejects schema-less empties (CLAUDE.md invariant)
+        .materialize()  # consumed 3×: scalars, explode, join-back
+    )
+
+    def sc_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([np.int64(n.size)]),
+            "sum_x": pa.array([n.sum(dtype=np.int64)]),
+            "sum_x2": pa.array([(n * n).sum(dtype=np.int64)]),
+        })
+
+    st = counts.map_batches(
+        sc_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().sum()  # bounded: one row per counts block
+    k_i = np.int64(st["k"])
+    sum_x, sum_x2 = np.int64(st["sum_x"]), np.int64(st["sum_x2"])
+    var_i = k_i * sum_x2 - sum_x * sum_x  # exact integer ≥ 0
+    kf = float(k_i)
+    mean = float(sum_x) / kf
+    s_over_k = np.sqrt(float(var_i)) / kf
+
+    def explode(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        x, y = codec.deinterleave(cell, bits)
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = x + dx, y + dy
+                ok = (tx >= 0) & (tx < size) & (ty >= 0) & (ty < size)
+                tgt = codec.interleave(
+                    tx[ok].astype(np.uint64), ty[ok].astype(np.uint64), bits
+                ).astype(np.int64)
+                outs.append(pa.table({
+                    "cell": tgt,
+                    "w_part": np.ones(tgt.size, np.int64),
+                    "s_part": n[ok],
+                }))
+        return pa.concat_tables(outs)
+
+    nb = (
+        counts.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby("cell")
+        .aggregate(Sum("w_part", alias_name="w"), Sum("s_part", alias_name="s"))
+        .repartition(num_partitions)
+    )
+
+    joined = nb.join(counts, join_type="inner",
+                     num_partitions=num_partitions, on=("cell",))
+
+    def z_rows(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, bits)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        kw = k_i * w - w * w  # exact integer
+        z = np.zeros(t.num_rows, np.float64)
+        live = (kw > 0) & (var_i > 0)
+        if live.any():
+            wf = w[live].astype(np.float64)
+            sf = s[live].astype(np.float64)
+            z[live] = (sf - mean * wf) / (
+                s_over_k * np.sqrt(kw[live].astype(np.float64) / (kf - 1.0))
+            )
+        return pa.table({
+            "tile_x": x.astype(np.int64), "tile_y": y.astype(np.int64),
+            "n": t["n"], "gi_z": pa.array(z),
+        })
+
+    return joined.map_batches(z_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)

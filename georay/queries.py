@@ -3948,6 +3948,55 @@ FROM scored QUALIFY rank <= {k}
 SQL_BM25 = sql_bm25(BM25_TERMS, BM25_K)
 
 
+# ------------------------------------------------------------ hotspot (Gi*)
+
+
+def q_hotspot_gi(sf_dir: str):
+    """Getis-Ord Gi* hot-spot z-score per occupied 32×32 tile over the
+    lineitem synthetic capture points (queen 3×3 neighborhood over occupied
+    cells; integer-exact variance/slack numerators so the float tree is
+    SQL-replayable — see ops.tiles.hotspot_gi)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = (
+            t["l_orderkey"].to_numpy(zero_copy_only=False) * 8
+            + t["l_linenumber"].to_numpy(zero_copy_only=False)
+        )
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE)
+        return pa.table({"cell": cell.astype(np.int64)})
+
+    keyed_ds = li.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return tiles.hotspot_gi(keyed_ds, BITS_TILE)
+
+
+SQL_HOTSPOT_GI = f"""
+WITH p AS (SELECT {sql_lon('l_orderkey * 8 + l_linenumber')} AS lon,
+                  {sql_lat('l_orderkey * 8 + l_linenumber')} AS lat FROM lineitem),
+c AS (SELECT {sql_x('lon', 5)} AS x, {sql_y('lat', 5)} AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+              CAST(SUM(n) AS BIGINT) AS sum_x,
+              CAST(SUM(n * n) AS BIGINT) AS sum_x2 FROM c),
+nb AS (SELECT a.x, a.y, a.n,
+              CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(b.n) AS BIGINT) AS s
+       FROM c a JOIN c b
+         ON b.x BETWEEN a.x - 1 AND a.x + 1
+        AND b.y BETWEEN a.y - 1 AND a.y + 1
+       GROUP BY a.x, a.y, a.n)
+SELECT x AS tile_x, y AS tile_y, n,
+  CASE WHEN k * w - w * w = 0 OR k * sum_x2 - sum_x * sum_x = 0 THEN 0.0
+  ELSE (CAST(s AS DOUBLE)
+        - (CAST(sum_x AS DOUBLE) / CAST(k AS DOUBLE)) * CAST(w AS DOUBLE))
+       / ((SQRT(CAST(k * sum_x2 - sum_x * sum_x AS DOUBLE)) / CAST(k AS DOUBLE))
+          * SQRT(CAST(k * w - w * w AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)))
+  END AS gi_z
+FROM nb CROSS JOIN st
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4057,4 +4106,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
         "heavy_cells": (q_heavy_cells, sql_heavy_cells(n_images)),
         "bm25_topk": (q_bm25_topk, SQL_BM25),
+        "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
     }

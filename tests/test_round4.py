@@ -169,3 +169,62 @@ def test_bm25_brute_parity(ray_session):
         np.array([w[1] for w in want]), np.array([g[1] for g in got])
     )  # bit-exact, not allclose: the float contract is part of the operator
     assert list(out["rank"]) == list(range(1, 8))
+
+
+def test_hotspot_gi_brute_parity(ray_session):
+    """hotspot_gi vs a per-cell python replica; exercises edge cells,
+    interior cells, and the zero-variance degenerate branch."""
+    import math
+
+    import ray
+
+    from georay import codec
+    from georay.ops import tiles as tiles_ops
+
+    bits = 8  # 16x16 grid
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-180, 179.9, 400)
+    lat = rng.uniform(-90, 89.9, 400)
+    cell = codec.encode(lon, lat, bits).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"cell": cell}))
+    out = tiles_ops.hotspot_gi(ds, bits).to_pandas().set_index(
+        ["tile_x", "tile_y"]
+    ).sort_index()
+
+    # brute replica
+    cells, counts = np.unique(cell.astype(np.uint64), return_counts=True)
+    xs, ys = codec.deinterleave(cells, bits)
+    grid = {(int(x), int(y)): int(n) for x, y, n in zip(xs, ys, counts)}
+    k = len(grid)
+    sum_x = sum(grid.values())
+    sum_x2 = sum(n * n for n in grid.values())
+    var_i = k * sum_x2 - sum_x * sum_x
+    mean = float(sum_x) / float(k)
+    s_over_k = math.sqrt(float(var_i)) / float(k)
+    for (x, y), n in grid.items():
+        w = s = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                v = grid.get((x + dx, y + dy))
+                if v is not None:
+                    w += 1
+                    s += v
+        kw = k * w - w * w
+        if kw == 0 or var_i == 0:
+            z = 0.0
+        else:
+            z = (float(s) - mean * float(w)) / (
+                s_over_k * math.sqrt(float(kw) / (float(k) - 1.0))
+            )
+        row = out.loc[(x, y)]
+        assert int(row["n"]) == n
+        assert float(row["gi_z"]) == z, (x, y)  # bit-exact contract
+
+    # degenerate: 2 cells, equal counts -> zero variance -> all z = 0.0
+    lon2 = np.array([-170.0, -170.0, 10.0, 10.0])
+    lat2 = np.array([-80.0, -80.0, 10.0, 10.0])
+    ds2 = ray.data.from_arrow(pa.table(
+        {"cell": codec.encode(lon2, lat2, bits).astype(np.int64)}
+    ))
+    out2 = tiles_ops.hotspot_gi(ds2, bits).to_pandas()
+    assert len(out2) == 2 and (out2["gi_z"] == 0.0).all()
