@@ -3997,6 +3997,32 @@ FROM nb CROSS JOIN st
 """
 
 
+# -------------------------------------------------------------------- skyline
+
+
+def q_skyline_parts(sf_dir: str):
+    """Pareto frontier of parts — cheapest-for-their-size: minimize
+    p_retailprice, maximize p_size. Exact comparisons only (no float
+    arithmetic), pruned per block then through a 2-level reduce; only
+    frontier candidates ever shuffle (ops.skyline)."""
+    from georay.ops import skyline as sky
+
+    parts = _read(sf_dir, "part",
+                  columns=["p_partkey", "p_retailprice", "p_size"])
+    return sky.skyline(parts, "p_retailprice", "p_size").select_columns(
+        ["p_partkey", "p_retailprice", "p_size"]
+    )
+
+
+SQL_SKYLINE = """
+SELECT p_partkey, p_retailprice, p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4107,4 +4133,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "heavy_cells": (q_heavy_cells, sql_heavy_cells(n_images)),
         "bm25_topk": (q_bm25_topk, SQL_BM25),
         "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
+        "skyline_parts": (q_skyline_parts, SQL_SKYLINE),
     }

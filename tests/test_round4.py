@@ -228,3 +228,30 @@ def test_hotspot_gi_brute_parity(ray_session):
     ))
     out2 = tiles_ops.hotspot_gi(ds2, bits).to_pandas()
     assert len(out2) == 2 and (out2["gi_z"] == 0.0).all()
+
+
+def test_skyline_brute_parity(ray_session):
+    """Distributed skyline vs the O(n^2) dominance definition, with
+    engineered duplicate rows and same-lo groups across many blocks."""
+    import ray
+
+    from georay.ops import skyline as sky
+
+    rng = np.random.RandomState(5)
+    lo = rng.randint(0, 50, 500).astype(np.float64) / 4.0
+    hi = rng.randint(0, 40, 500).astype(np.int64)
+    ids = np.arange(500, dtype=np.int64)
+    # force exact duplicates on the frontier
+    lo[10] = lo[11] = lo.min()
+    hi[10] = hi[11] = hi.max()
+    t = pa.table({"id": ids, "lo": lo, "hi": hi})
+    ds = ray.data.from_arrow(t).repartition(13)
+    got = sky.skyline(ds, "lo", "hi").to_pandas().sort_values("id")
+
+    dominated = (
+        (lo[None, :] <= lo[:, None]) & (hi[None, :] >= hi[:, None])
+        & ((lo[None, :] < lo[:, None]) | (hi[None, :] > hi[:, None]))
+    ).any(axis=1)
+    want = ids[~dominated]
+    assert list(got["id"]) == list(want)
+    assert {10, 11} <= set(got["id"])  # both duplicate frontier rows kept
