@@ -1,0 +1,147 @@
+"""Distributed PageRank in EXACT fixed-point integers.
+
+Ranks live as int64 micro-units (``SCALE = 10^12`` total mass), every
+per-iteration update is integer floor arithmetic — sums are
+order-independent, so the result is bit-identical to an SQL twin that
+unrolls the same iterations, and deterministic across any partitioning.
+(The classic float formulation is replayed exactly by substituting
+``r//out`` and ``dangling//N`` for the divisions; with d = 85/100:
+``r'(v) = (15·(SCALE//N))//100 + (85·(in_sum(v) + dangling//N))//100``.)
+
+Plan per iteration (everything distributed; only two scalars reach the
+driver): a hash join ships each src rank to its edges (contribution
+``r // out``), a groupby(dst) sums in-flows, and a union-with-zeros +
+groupby rebuilds the full node table (no outer join — the union idiom keeps
+block schemas closed under Acero). The dangling mass is ONE Sum aggregate
+over out-degree-0 rows per iteration, like the k-means per-iteration pull.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCALE = 10**12
+D_NUM, D_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def _distinct_edges(ds, src_col: str, dst_col: str, combine_partitions: int):
+    """DISTINCT (src, dst): batch-local pair dedup first — repeated pairs
+    never leave their block — then one groupby collapses global dups."""
+    from ray.data.aggregate import Count
+
+    def local(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src_col], "dst": t[dst_col],
+        }).group_by(["src", "dst"]).aggregate([])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .repartition(combine_partitions)
+        .materialize()  # reused every iteration
+    )
+
+
+def pagerank(ds, src_col: str, dst_col: str, iterations: int = 3,
+             combine_partitions: int = 8, num_partitions: int = 8):
+    """Integer PageRank over the DISTINCT (src, dst) edges of ``ds``.
+
+    Returns a Dataset of ``(node, outd, r)`` after ``iterations`` rounds —
+    r in SCALE-units summing (up to floor slack) to SCALE. Callers top-k /
+    join as needed."""
+    from ray.data.aggregate import Sum
+
+    edges = _distinct_edges(ds, src_col, dst_col, combine_partitions)
+
+    # node table with out-degrees: src nodes carry their degree, dst nodes
+    # union in with degree 0, one groupby-max collapses duplicates.
+    def srcs(t: pa.Table) -> pa.Table:
+        s, c = np.unique(t["src"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"node": s, "outd_p": c.astype(np.int64)})
+
+    def dsts(t: pa.Table) -> pa.Table:
+        d = np.unique(t["dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": d, "outd_p": np.zeros(d.size, np.int64)})
+
+    nodes = (
+        edges.map_batches(srcs, batch_format="pyarrow", zero_copy_batch=True)
+        .union(edges.map_batches(dsts, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+        .repartition(combine_partitions)
+        .groupby("node")
+        .aggregate(Sum("outd_p", alias_name="outd"))
+        .repartition(num_partitions)
+        .materialize()
+    )
+    n_nodes = int(nodes.count())
+    r0 = SCALE // n_nodes
+    base = (15 * (SCALE // n_nodes)) // D_DEN  # (1-d)·SCALE/N in exact ints
+
+    def init(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "r", pa.array(np.full(t.num_rows, r0, np.int64)))
+
+    ranks = nodes.map_batches(
+        init, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    for _ in range(iterations):
+        # dangling mass: ONE scalar to the driver
+        def dang_partial(t: pa.Table) -> pa.Table:
+            outd = t["outd"].to_numpy(zero_copy_only=False)
+            r = t["r"].to_numpy(zero_copy_only=False)
+            return pa.table({"d": pa.array(
+                [r[outd == 0].sum(dtype=np.int64)], pa.int64())})
+
+        dang = int(ranks.map_batches(
+            dang_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("d") or 0)
+        dang_share = dang // n_nodes
+
+        contrib = edges.join(
+            ranks, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        )
+
+        def edge_contrib(t: pa.Table) -> pa.Table:
+            r = t["r"].to_numpy(zero_copy_only=False)
+            outd = t["outd"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": t["dst"], "in_p": r // outd})
+
+        in_sums = contrib.map_batches(
+            edge_contrib, batch_format="pyarrow", zero_copy_batch=True)
+
+        def zero_rows(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"],
+                             "in_p": np.zeros(t.num_rows, np.int64)})
+
+        in_full = (
+            in_sums.union(ranks.map_batches(
+                zero_rows, batch_format="pyarrow", zero_copy_batch=True))
+            .repartition(combine_partitions)
+            .groupby("node")
+            .aggregate(Sum("in_p", alias_name="ins"))
+            .repartition(num_partitions)
+        )
+
+        joined = in_full.join(
+            nodes, join_type="inner", num_partitions=num_partitions,
+            on=("node",),
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            ins = t["ins"].to_numpy(zero_copy_only=False)
+            r_new = base + (D_NUM * (ins + dang_share)) // D_DEN
+            return pa.table({"node": t["node"], "outd": t["outd"],
+                             "r": pa.array(r_new.astype(np.int64))})
+
+        ranks = joined.map_batches(
+            update, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    return ranks

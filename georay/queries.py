@@ -4023,6 +4023,80 @@ WHERE NOT EXISTS (
 """
 
 
+# ------------------------------------------------------------------ pagerank
+
+PAGERANK_ITERS = 3
+PAGERANK_K = 20
+
+
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 iterations, d=0.85) over the
+    supplier→part bipartite graph of distinct lineitem edges (node ids:
+    2·suppkey / 2·partkey+1). Exact int64 arithmetic end to end — see
+    ops.pagerank — so the unrolled SQL twin is bit-equal. Top-20 by rank."""
+    from georay.ops import pagerank as pr
+    from georay.runtime import table_from_pandas
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def node_ids(t: pa.Table) -> pa.Table:
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False) * 2
+        p = t["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({"src": s, "dst": p})
+
+    edges_in = li.map_batches(node_ids, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    ranks = pr.pagerank(edges_in, "src", "dst", iterations=PAGERANK_ITERS)
+    top = ranks.select_columns(["node", "r"]).sort(
+        ["r", "node"], descending=[True, False]
+    ).limit(PAGERANK_K)
+
+    def add_rank(df):
+        df = df.sort_values(["r", "node"],
+                            ascending=[False, True]).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return table_from_pandas(df.rename(columns={"r": "pr"}))
+
+    return top.repartition(1).map_batches(add_rank, batch_format="pandas")
+
+
+def sql_pagerank(iterations: int = PAGERANK_ITERS, k: int = PAGERANK_K) -> str:
+    from georay.ops.pagerank import SCALE
+
+    parts = [f"""
+WITH edges AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+               FROM lineitem),
+outdeg AS (
+  SELECT node, CAST(SUM(c) AS BIGINT) AS outd FROM (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY src
+    UNION ALL
+    SELECT DISTINCT dst AS node, CAST(0 AS BIGINT) AS c FROM edges
+  ) GROUP BY node),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM outdeg),
+r0 AS (SELECT node, outd, CAST({SCALE} // n AS BIGINT) AS r
+       FROM outdeg CROSS JOIN st)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+d{i} AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang
+         FROM r{i - 1} WHERE outd = 0),
+in{i} AS (SELECT e.dst AS node, CAST(SUM(p.r // p.outd) AS BIGINT) AS ins
+          FROM edges e JOIN r{i - 1} p ON p.node = e.src GROUP BY e.dst),
+r{i} AS (SELECT o.node, o.outd,
+           CAST((15 * ({SCALE} // n)) // 100
+                + (85 * (COALESCE(i.ins, 0) + dang // n)) // 100 AS BIGINT) AS r
+         FROM outdeg o LEFT JOIN in{i} i ON i.node = o.node
+         CROSS JOIN st CROSS JOIN d{i})""")
+    parts.append(f"""
+SELECT node, r AS pr,
+       CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS BIGINT) AS rank
+FROM r{iterations} QUALIFY rank <= {k}
+""")
+    return "".join(parts)
+
+
+SQL_PAGERANK = sql_pagerank()
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4134,4 +4208,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "bm25_topk": (q_bm25_topk, SQL_BM25),
         "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
         "skyline_parts": (q_skyline_parts, SQL_SKYLINE),
+        "pagerank_suppliers": (q_pagerank, SQL_PAGERANK),
     }

@@ -255,3 +255,38 @@ def test_skyline_brute_parity(ray_session):
     want = ids[~dominated]
     assert list(got["id"]) == list(want)
     assert {10, 11} <= set(got["id"])  # both duplicate frontier rows kept
+
+
+def test_pagerank_integer_brute_parity(ray_session):
+    """ops.pagerank vs a dict-based integer replica on a small multigraph
+    with dangling nodes, duplicate input edges, and a cycle."""
+    import ray
+
+    from georay.ops import pagerank as pr
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (1, 2), (5, 6),
+             (6, 5), (7, 1)]  # 7,4 have out-edges; nothing points to 4,7
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    got = pr.pagerank(ds, "src", "dst", iterations=3).to_pandas()
+    got = got.sort_values("node").reset_index(drop=True)
+
+    dedup = sorted(set(edges))
+    nodes = sorted({u for e in dedup for u in e})
+    outd = {u: sum(1 for a, _ in dedup if a == u) for u in nodes}
+    n = len(nodes)
+    r = {u: pr.SCALE // n for u in nodes}
+    for _ in range(3):
+        dang = sum(r[u] for u in nodes if outd[u] == 0)
+        ins = {u: 0 for u in nodes}
+        for a, b in dedup:
+            ins[b] += r[a] // outd[a]
+        base = (15 * (pr.SCALE // n)) // 100
+        r = {u: base + (85 * (ins[u] + dang // n)) // 100 for u in nodes}
+
+    assert list(got["node"]) == nodes
+    assert list(got["outd"]) == [outd[u] for u in nodes]
+    assert list(got["r"]) == [r[u] for u in nodes]
+    # total mass stays ~SCALE (floor slack only)
+    assert 0 <= pr.SCALE - got["r"].sum() < 100 * n
