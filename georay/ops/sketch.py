@@ -669,3 +669,44 @@ def grouped_quantiles_binned(ds, group_col: str, value_col: str,
     # result is O(groups) rows computed driver-side; re-enter Ray Data so
     # callers compose it like every other op
     return ray.data.from_arrow(table_from_pandas(out, schema=out_schema))
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, k: int):
+    """Deterministic weighted sample without replacement — sequential
+    Poisson sampling (Ohlsson 1998): priority = u / w with
+    ``u = (splitmix64(key) >> 11) · 2⁻⁵³`` a hash-derived uniform in
+    [0, 1); the k smallest priorities win, inclusion probability
+    asymptotically ∝ w. Pure {shift, cast, *, /} float64 ops in fixed
+    order, so the SQL twin replays the priorities bit-exactly, and the
+    sample is reproducible across runs, partitionings, and cluster sizes.
+
+    Plan: priorities + per-batch local bottom-k inside one map (only
+    O(k × batches) rows reach the exchange), global sort + limit, rank
+    stamped in the final single block. Output: ``key, priority, rank``.
+    """
+    import pandas as pd
+
+    from georay.runtime import table_from_pandas
+
+    inv53 = 2.0 ** -53
+
+    def prio(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(key.astype(np.int64).view(np.uint64))
+        u = (h >> _U(11)).astype(np.float64) * inv53
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = u / w
+        keep = np.lexsort((key, p))[:k]  # local bottom-k
+        return pa.table({key_col: pa.array(key[keep]),
+                         "priority": pa.array(p[keep])})
+
+    top = ds.map_batches(
+        prio, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["priority", key_col]).limit(k)
+
+    def add_rank(df: "pd.DataFrame") -> pa.Table:
+        df = df.sort_values(["priority", key_col]).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return table_from_pandas(df)
+
+    return top.repartition(1).map_batches(add_rank, batch_format="pandas")

@@ -4097,6 +4097,37 @@ FROM r{iterations} QUALIFY rank <= {k}
 SQL_PAGERANK = sql_pagerank()
 
 
+# ----------------------------------------------------------- weighted sample
+
+WSAMPLE_K = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """Sequential Poisson weighted sample of 100 orders, inclusion ∝
+    o_totalprice: deterministic hash-derived uniforms, priority = u/w, k
+    smallest win (ops.sketch.weighted_sample — reproducible across cluster
+    sizes, only O(k × batches) rows shuffle)."""
+    from georay.ops import sketch as sketch_ops
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return sketch_ops.weighted_sample(
+        orders, "o_orderkey", "o_totalprice", k=WSAMPLE_K
+    ).select_columns(["o_orderkey", "priority", "rank"])
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT o_orderkey, priority, rank FROM (
+  SELECT o_orderkey,
+         (CAST(hu >> 11 AS DOUBLE) * {2.0 ** -53!r}) / o_totalprice AS priority,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY (CAST(hu >> 11 AS DOUBLE) * {2.0 ** -53!r}) / o_totalprice,
+                    o_orderkey) AS BIGINT) AS rank
+  FROM {sketch_sql_subquery('(SELECT o_orderkey, o_totalprice FROM orders)',
+                            'o_orderkey')})
+WHERE rank <= {WSAMPLE_K}
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4209,4 +4240,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
         "skyline_parts": (q_skyline_parts, SQL_SKYLINE),
         "pagerank_suppliers": (q_pagerank, SQL_PAGERANK),
+        "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     }

@@ -290,3 +290,36 @@ def test_pagerank_integer_brute_parity(ray_session):
     assert list(got["r"]) == [r[u] for u in nodes]
     # total mass stays ~SCALE (floor slack only)
     assert 0 <= pr.SCALE - got["r"].sum() < 100 * n
+
+
+def test_weighted_sample_brute_parity(ray_session):
+    """weighted_sample vs a per-row replica; checks the weight bias
+    (inclusion counts correlate with weight deciles) and determinism
+    across partitionings."""
+    import ray
+
+    from georay.ops import sketch as sketch_ops
+    from georay.ops.sketch import splitmix64
+
+    n = 5000
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    rng = np.random.RandomState(9)
+    w = rng.uniform(0.5, 100.0, n)
+    t = pa.table({"k": keys, "w": w})
+
+    h = splitmix64(keys.view(np.uint64))
+    u = (h >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
+    p = u / w
+    order = np.lexsort((keys, p))[:200]
+    want_keys = keys[order]
+
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = sketch_ops.weighted_sample(ds, "k", "w", k=200).to_pandas()
+        assert list(got["k"]) == list(want_keys)
+        np.testing.assert_array_equal(got["priority"].to_numpy(), p[order])
+        assert list(got["rank"]) == list(range(1, 201))
+
+    # bias sanity: sampled rows skew heavy — mean weight of the sample
+    # must exceed the population mean
+    assert w[order].mean() > w.mean() * 1.2
