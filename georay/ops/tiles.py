@@ -444,3 +444,127 @@ def hotspot_gi(ds, bits: int, cell_col: str = "cell",
 
     return joined.map_batches(z_rows, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def adaptive_cells(ds, bits: int, levels: int, threshold: int,
+                   cell_col: str = "cell", combine_partitions: int = 16,
+                   num_partitions: int = 8):
+    """Skew-adaptive quadtree leaves: split every cell holding more than
+    ``threshold`` points into its 4 Morton children, down to at most
+    ``bits`` precision — the partitioning primitive that turns dense urban
+    geohashes into more, smaller partitions while sparse ocean stays
+    coarse. Every input point lands in EXACTLY ONE leaf.
+
+    Leaf rule (closed-form, no iteration — ancestor counts are monotone,
+    so ``parent_n > threshold`` already implies every higher ancestor
+    split): at the coarsest level a cell is a leaf iff ``n <= threshold``;
+    at middle levels iff ``n <= threshold AND parent_n > threshold``; at
+    the finest level iff ``parent_n > threshold`` (forced leaf).
+
+    Plan: the one-pass pyramid partial (per-batch ``np.unique`` then
+    O(distinct) parent roll-ups) → ONE groupby over all levels → a single
+    self-join child→parent → filters. No driver-side hot-key collection:
+    the leaf decision is distributed. Output: ``cell_bits, tile_x, tile_y,
+    n`` (leaf precision in bits, grid coords at that precision).
+    """
+    from ray.data.aggregate import Sum
+
+    from georay import codec
+
+    if 2 * (levels - 1) >= bits:
+        raise ValueError("levels exceed the cell hierarchy depth")
+    coarsest = levels - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tiles_u, counts = np.unique(cell, return_counts=True)
+        counts = counts.astype(np.int64)
+        out_lvl, out_tile, out_n = [], [], []
+        for lvl in range(levels):
+            out_lvl.append(np.full(tiles_u.size, lvl, dtype=np.int64))
+            out_tile.append(tiles_u.astype(np.int64))
+            out_n.append(counts)
+            if lvl + 1 < levels:
+                parents = tiles_u >> np.uint64(2)
+                up, inv = np.unique(parents, return_inverse=True)
+                sums = np.zeros(up.size, dtype=np.int64)
+                np.add.at(sums, inv, counts)
+                tiles_u, counts = up, sums
+        return pa.table({
+            "level": np.concatenate(out_lvl),
+            "tile": np.concatenate(out_tile),
+            "partial_n": np.concatenate(out_n),
+        })
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(["level", "tile"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .repartition(num_partitions)  # merge blocks before the Acero join
+        .materialize()  # consumed twice: child side + parent side
+    )
+
+    def child_side(t: pa.Table) -> pa.Table:
+        lvl = t["level"].to_numpy(zero_copy_only=False)
+        tile = t["tile"].to_numpy(zero_copy_only=False)
+        keep = lvl < coarsest
+        return pa.table({
+            "level": lvl[keep], "tile": tile[keep],
+            "n": t["n"].to_numpy(zero_copy_only=False)[keep],
+            "p_level": lvl[keep] + 1,
+            "p_tile": (tile[keep].astype(np.uint64)
+                       >> np.uint64(2)).astype(np.int64),
+        })
+
+    def parent_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_level": t["level"], "p_tile": t["tile"], "p_n": t["n"],
+        })
+
+    children = counts.map_batches(child_side, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    parents = counts.map_batches(parent_side, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    joined = children.join(parents, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("p_level", "p_tile"))
+
+    def leaf_mid(t: pa.Table) -> pa.Table:
+        lvl = t["level"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        p_n = t["p_n"].to_numpy(zero_copy_only=False)
+        keep = (p_n > threshold) & ((lvl == 0) | (n <= threshold))
+        return pa.table({"level": lvl[keep],
+                         "tile": t["tile"].to_numpy(zero_copy_only=False)[keep],
+                         "n": n[keep]})
+
+    def leaf_top(t: pa.Table) -> pa.Table:
+        lvl = t["level"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        keep = (lvl == coarsest) & (n <= threshold)
+        return pa.table({"level": lvl[keep],
+                         "tile": t["tile"].to_numpy(zero_copy_only=False)[keep],
+                         "n": n[keep]})
+
+    leaves = joined.map_batches(
+        leaf_mid, batch_format="pyarrow", zero_copy_batch=True
+    ).union(counts.map_batches(
+        leaf_top, batch_format="pyarrow", zero_copy_batch=True))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        lvl = t["level"].to_numpy(zero_copy_only=False)
+        tile = t["tile"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = np.empty(tile.size, dtype=np.int64)
+        y = np.empty(tile.size, dtype=np.int64)
+        for b in np.unique(lvl):
+            sel = lvl == b
+            xb, yb = codec.deinterleave(tile[sel], bits - 2 * int(b))
+            x[sel], y[sel] = xb, yb
+        return pa.table({
+            "cell_bits": pa.array(bits - 2 * lvl),
+            "tile_x": pa.array(x), "tile_y": pa.array(y), "n": t["n"],
+        })
+
+    return leaves.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

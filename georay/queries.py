@@ -4128,6 +4128,55 @@ WHERE rank <= {WSAMPLE_K}
 """
 
 
+# ------------------------------------------------------------ adaptive cells
+
+
+def q_adaptive_cells(sf_dir: str):
+    """Skew-adaptive quadtree leaves over the image capture points (the 3
+    dense urban cells of the fixture split to 32×32 while sparse ocean
+    stays 8×8) — ops.tiles.adaptive_cells: one-pass pyramid counts, one
+    child→parent self-join, fully distributed leaf rule. Threshold =
+    n_images // 64."""
+    from georay import fixtures
+
+    ds = fixtures.read_images(sf_dir, columns=["lon", "lat"])
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        cell = codec.encode(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            BITS_TILE,
+        )
+        return pa.table({"cell": cell.astype(np.int64)})
+
+    keyed = ds.map_batches(to_cell, batch_format="pyarrow", zero_copy_batch=True)
+    thr = max(1, fixtures.n_images_for(sf_dir) // 64)
+    return tiles.adaptive_cells(keyed, BITS_TILE, levels=3, threshold=thr)
+
+
+def sql_adaptive_cells(n: int) -> str:
+    thr = max(1, n // 64)
+    return f"""
+WITH p AS ({_sql_img_coords(n)}),
+c0 AS (SELECT {sql_x('lon', 5)} AS x, {sql_y('lat', 5)} AS y,
+              CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+c1 AS (SELECT x // 2 AS x, y // 2 AS y, CAST(SUM(n) AS BIGINT) AS n
+       FROM c0 GROUP BY 1, 2),
+c2 AS (SELECT x // 2 AS x, y // 2 AS y, CAST(SUM(n) AS BIGINT) AS n
+       FROM c1 GROUP BY 1, 2)
+SELECT CAST(6 AS BIGINT) AS cell_bits, x AS tile_x, y AS tile_y, n
+FROM c2 WHERE n <= {thr}
+UNION ALL
+SELECT CAST(8 AS BIGINT), c1.x, c1.y, c1.n
+FROM c1 JOIN c2 ON c2.x = c1.x // 2 AND c2.y = c1.y // 2
+WHERE c1.n <= {thr} AND c2.n > {thr}
+UNION ALL
+SELECT CAST(10 AS BIGINT), c0.x, c0.y, c0.n
+FROM c0 JOIN c1 ON c1.x = c0.x // 2 AND c1.y = c0.y // 2
+WHERE c1.n > {thr}
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4241,4 +4290,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "skyline_parts": (q_skyline_parts, SQL_SKYLINE),
         "pagerank_suppliers": (q_pagerank, SQL_PAGERANK),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+        "adaptive_cells": (q_adaptive_cells, sql_adaptive_cells(n_images)),
     }

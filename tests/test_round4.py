@@ -323,3 +323,44 @@ def test_weighted_sample_brute_parity(ray_session):
     # bias sanity: sampled rows skew heavy — mean weight of the sample
     # must exceed the population mean
     assert w[order].mean() > w.mean() * 1.2
+
+
+def test_adaptive_cells_partition_property(ray_session):
+    """Leaves form an exact partition: every point maps to exactly one
+    leaf, leaf counts match, and no non-forced leaf exceeds the
+    threshold."""
+    import ray
+
+    from georay import codec
+    from georay.ops import tiles as tiles_ops
+
+    bits, levels, thr = 10, 3, 30
+    rng = np.random.RandomState(17)
+    lon = rng.uniform(-180, 179.9, 3000)
+    lat = rng.uniform(-90, 89.9, 3000)
+    # skew: pile a third of the mass into one spot
+    lon[:1000] = -74.006
+    lat[:1000] = 40.7128
+    cell = codec.encode(lon, lat, bits).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"cell": cell})).repartition(5)
+    out = tiles_ops.adaptive_cells(ds, bits, levels=levels,
+                                   threshold=thr).to_pandas()
+
+    assert out["n"].sum() == 3000
+    # each point's finest cell must be under exactly one leaf
+    xs, ys = codec.deinterleave(cell.astype(np.uint64), bits)
+    leaves = {(int(b), int(x), int(y))
+              for b, x, y in zip(out["cell_bits"], out["tile_x"], out["tile_y"])}
+    assert len(leaves) == len(out)
+    for x, y in zip(xs, ys):
+        owners = [lb for lb in (10, 8, 6)
+                  if (lb, int(x) >> ((10 - lb) // 2),
+                      int(y) >> ((10 - lb) // 2)) in leaves]
+        assert len(owners) == 1, (x, y, owners)
+    # only forced (finest-level) leaves may exceed the threshold
+    over = out[out["n"] > thr]
+    assert (over["cell_bits"] == bits).all()
+    # the hot spot actually split to the finest precision
+    hot_cell = codec.encode(np.array([-74.006]), np.array([40.7128]), bits)
+    hx, hy = codec.deinterleave(hot_cell, bits)
+    assert (10, int(hx[0]), int(hy[0])) in leaves
