@@ -568,3 +568,59 @@ def adaptive_cells(ds, bits: int, levels: int, threshold: int,
 
     return leaves.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def tile_trend(ds, cell_col: str = "cell", x_col: str = "x", y_col: str = "y",
+               combine_partitions: int = 16):
+    """Per-tile OLS trend (least-squares slope of integer ``y`` against
+    integer ``x``), with EXACT integer moments: per-batch partials
+    accumulate (n, Σx, Σy, Σxy, Σx²) as int64 via one ``np.add.at`` pass,
+    a single Sum groupby merges them (order-independent), and the closed
+    form ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` is evaluated on the
+    small per-tile result in arbitrary-precision Python ints before ONE
+    float division — bit-identical to an SQL twin using HUGEINT products.
+    Degenerate tiles (all x equal) emit slope 0.0 via an integer branch.
+
+    Caller contract: x and y pre-scaled so per-batch Σ|x·y| fits int64
+    (e.g. hours × milli-units). Output: ``cell, n, slope``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells, inv, counts = np.unique(cell, return_inverse=True,
+                                       return_counts=True)
+        sums = np.zeros((cells.size, 4), dtype=np.int64)
+        np.add.at(sums, inv, np.stack([x, y, x * y, x * x], axis=1))
+        return pa.table({
+            "cell": cells, "p_n": counts.astype(np.int64),
+            "p_sx": sums[:, 0], "p_sy": sums[:, 1],
+            "p_sxy": sums[:, 2], "p_sxx": sums[:, 3],
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_sx", alias_name="sx"),
+                   Sum("p_sy", alias_name="sy"), Sum("p_sxy", alias_name="sxy"),
+                   Sum("p_sxx", alias_name="sxx"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).tolist()
+        sx = t["sx"].to_numpy(zero_copy_only=False).tolist()
+        sy = t["sy"].to_numpy(zero_copy_only=False).tolist()
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).tolist()
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).tolist()
+        slope = np.zeros(len(n), np.float64)
+        for i in range(len(n)):  # small: one row per tile; python bigints
+            den = n[i] * sxx[i] - sx[i] * sx[i]
+            if den != 0:
+                slope[i] = float(n[i] * sxy[i] - sx[i] * sy[i]) / float(den)
+        return pa.table({"cell": t["cell"], "n": t["n"],
+                         "slope": pa.array(slope)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -4177,6 +4177,62 @@ WHERE c1.n > {thr}
 """
 
 
+# --------------------------------------------------------------- tile trend
+
+T0_US = 1704067200000000  # epoch_us('2024-01-01'), the events table origin
+
+
+def q_tile_trend(sf_dir: str):
+    """Per-tile least-squares trend of event value over time (tiles =
+    users' synthetic home cells): x = hours since 2024-01-01, y = value in
+    exact milli-units; integer moments + bigint closed form
+    (ops.tiles.tile_trend) make the slope bit-equal to the HUGEINT SQL."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        lon, lat = spatial.synth_lonlat(
+            t["user_id"].to_numpy(zero_copy_only=False))
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (us - T0_US) // 3600000000
+        y = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 1000
+        ).astype(np.int64)
+        return pa.table({"cell": cell, "x": x, "y": y})
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = tiles.tile_trend(keyed, "cell", "x", "y")
+
+    def fin(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        return pa.table({"tile_x": x.astype(np.int64),
+                         "tile_y": y.astype(np.int64),
+                         "n": t["n"], "slope": t["slope"]})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_TILE_TREND = f"""
+WITH e AS (SELECT {sql_x(sql_lon('user_id'), 5)} AS tile_x,
+                  {sql_y(sql_lat('user_id'), 5)} AS tile_y,
+                  (epoch_us(ts) - {T0_US}) // 3600000000 AS x,
+                  CAST(ROUND(value * 1000) AS BIGINT) AS y
+           FROM events),
+a AS (SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM e GROUP BY 1, 2)
+SELECT tile_x, tile_y, n,
+  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0.0
+  ELSE CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+     / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+  END AS slope
+FROM a
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4291,4 +4347,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "pagerank_suppliers": (q_pagerank, SQL_PAGERANK),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "adaptive_cells": (q_adaptive_cells, sql_adaptive_cells(n_images)),
+        "tile_trend": (q_tile_trend, SQL_TILE_TREND),
     }

@@ -364,3 +364,37 @@ def test_adaptive_cells_partition_property(ray_session):
     hot_cell = codec.encode(np.array([-74.006]), np.array([40.7128]), bits)
     hx, hy = codec.deinterleave(hot_cell, bits)
     assert (10, int(hx[0]), int(hy[0])) in leaves
+
+
+def test_tile_trend_brute_parity(ray_session):
+    """tile_trend vs the closed-form rational slope computed per group in
+    python bigints (and cross-checked against numpy lstsq)."""
+    import ray
+
+    from georay.ops import tiles as tiles_ops
+
+    rng = np.random.RandomState(23)
+    cell = rng.randint(0, 5, 400).astype(np.int64)
+    x = rng.randint(0, 720, 400).astype(np.int64)
+    y = (x * (cell + 1) * 10 + rng.randint(-50, 50, 400)).astype(np.int64)
+    # degenerate group: constant x
+    cell = np.concatenate([cell, np.full(3, 99, np.int64)])
+    x = np.concatenate([x, np.full(3, 5, np.int64)])
+    y = np.concatenate([y, np.array([1, 2, 3], np.int64)])
+    ds = ray.data.from_arrow(
+        pa.table({"cell": cell, "x": x, "y": y})
+    ).repartition(6)
+    got = tiles_ops.tile_trend(ds).to_pandas().set_index("cell").sort_index()
+
+    for c in np.unique(cell):
+        m = cell == c
+        n, sx, sy = int(m.sum()), int(x[m].sum()), int(y[m].sum())
+        sxy, sxx = int((x[m] * y[m]).sum()), int((x[m] * x[m]).sum())
+        den = n * sxx - sx * sx
+        want = float(n * sxy - sx * sy) / float(den) if den else 0.0
+        assert float(got.loc[c, "slope"]) == want
+        assert int(got.loc[c, "n"]) == n
+        if den:  # sanity vs lstsq
+            lst = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
+            assert abs(lst - want) < 1e-6 * max(1.0, abs(want))
+    assert float(got.loc[99, "slope"]) == 0.0
