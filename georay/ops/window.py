@@ -333,3 +333,76 @@ def session(ds, key_col: str, ts_col: str, gap_us: int, ts_scale_us: int = 1,
         .groupby("_bucket")
         .map_groups(sessions_bucket, batch_format="pandas")
     )
+
+
+def transitions(ds, key_col: str, ts_col: str, order_col: str, type_col: str,
+                num_buckets: int = 32, combine_partitions: int = 8,
+                num_partitions: int = 4):
+    """First-order Markov transition matrix over per-key event sequences:
+    count every (prev type → type) bigram with rows ordered by ``(ts,
+    order)`` inside each key, then attach per-source totals and the
+    transition probability (ONE float division — SQL-replayable).
+
+    ONE groupby(hash-bucket) shuffle (the ops.buckets idiom): inside a
+    bucket a single lexsort makes every key a contiguous run; bigrams are
+    the (shifted, unshifted) code pairs with run starts masked out, and the
+    bucket collapses to per-(from, to) partial counts before anything else
+    shuffles. A tiny Sum groupby merges buckets; per-source totals are a
+    second groupby over the (few) matrix rows joined back by source type.
+    Output: ``from_type, to_type, n, from_total, prob``.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from georay.ops import buckets as bk
+    from georay.runtime import table_from_pandas
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, key_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        codes, _ = pd.factorize(g[key_col].to_numpy())
+        ts_raw = g[ts_col].astype("int64").to_numpy()
+        order = np.lexsort(
+            (g[order_col].to_numpy(np.int64), ts_raw, codes))
+        c = codes[order]
+        tcodes, tvals = pd.factorize(g[type_col].to_numpy()[order])
+        starts = bk.segment_starts(c)
+        is_start = np.zeros(c.size, bool)
+        is_start[starts] = True
+        to_idx = np.flatnonzero(~is_start)  # every non-first row is a bigram
+        pair = tcodes[to_idx - 1].astype(np.int64) * len(tvals) + tcodes[to_idx]
+        up, cnt = np.unique(pair, return_counts=True)
+        return table_from_pandas(pd.DataFrame({
+            "from_type": tvals[(up // len(tvals)).astype(np.int64)],
+            "to_type": tvals[(up % len(tvals)).astype(np.int64)],
+            "p_n": cnt.astype(np.int64),
+        }))
+
+    counts = (
+        ds.select_columns([key_col, ts_col, order_col, type_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(combine_partitions)
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .repartition(num_partitions)
+        .materialize()  # consumed twice: totals + join
+    )
+
+    totals = (
+        counts.groupby("from_type").aggregate(Sum("n", alias_name="from_total"))
+        .repartition(num_partitions)
+    )
+    joined = counts.join(totals, join_type="inner",
+                         num_partitions=num_partitions, on=("from_type",))
+
+    def prob(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = t["from_total"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("prob", pa.array(n / tot))
+
+    return joined.map_batches(prob, batch_format="pyarrow",
+                              zero_copy_batch=True)

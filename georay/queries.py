@@ -4233,6 +4233,36 @@ FROM a
 """
 
 
+# ------------------------------------------------------------- transitions
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix of event types per user (ordered by ts,
+    event_id): bigram counts + per-source totals + transition probability —
+    bucketized sequence op, one shuffle (ops.window.transitions)."""
+    from georay.ops import window as win
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return win.transitions(ev, "user_id", "ts", "event_id", "event_type")
+
+
+SQL_TRANSITIONS = """
+WITH seq AS (SELECT user_id, event_type,
+                    LAG(event_type) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             FROM events),
+c AS (SELECT prev AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total
+      FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n, t.from_total,
+       CAST(c.n AS DOUBLE) / CAST(t.from_total AS DOUBLE) AS prob
+FROM c JOIN t USING (from_type)
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4348,4 +4378,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "adaptive_cells": (q_adaptive_cells, sql_adaptive_cells(n_images)),
         "tile_trend": (q_tile_trend, SQL_TILE_TREND),
+        "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
     }

@@ -398,3 +398,51 @@ def test_tile_trend_brute_parity(ray_session):
             lst = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
             assert abs(lst - want) < 1e-6 * max(1.0, abs(want))
     assert float(got.loc[99, "slope"]) == 0.0
+
+
+def test_transitions_brute_parity(ray_session):
+    """transitions vs a per-user python bigram replica, including
+    same-timestamp ordering by the order column and single-event users."""
+    import ray
+
+    from georay.ops import window as win
+
+    rng = np.random.RandomState(31)
+    rows = []
+    eid = 0
+    for user in range(1, 40):
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append((user, rng.randint(0, 50), eid,
+                         ["view", "click", "buy"][rng.randint(0, 3)]))
+    # two events with the SAME ts for one user: order column must break it
+    rows.append((7, 99, eid + 1, "view"))
+    rows.append((7, 99, eid + 2, "buy"))
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "eid": pa.array([r[2] for r in rows], pa.int64()),
+        "et": pa.array([r[3] for r in rows]),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = win.transitions(ds, "u", "ts", "eid", "et").to_pandas()
+    got = got.set_index(["from_type", "to_type"]).sort_index()
+
+    from collections import Counter, defaultdict
+    seqs = defaultdict(list)
+    for u, ts, eid_, et in rows:
+        seqs[u].append((ts, eid_, et))
+    want = Counter()
+    for u, evs in seqs.items():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            want[(a[2], b[2])] += 1
+    tot = Counter()
+    for (f, _), n in want.items():
+        tot[f] += n
+    assert len(got) == len(want)
+    for (f, to), n in want.items():
+        row = got.loc[(f, to)]
+        assert int(row["n"]) == n
+        assert int(row["from_total"]) == tot[f]
+        assert float(row["prob"]) == float(n) / float(tot[f])
