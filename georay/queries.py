@@ -4263,6 +4263,217 @@ FROM c JOIN t USING (from_type)
 """
 
 
+# -------------------------------------------------------------- tile growth
+
+GROWTH_SPLIT_US = T0_US + 15 * 86400 * 1000000  # month midpoint
+GROWTH_K = 25
+
+
+def q_tile_growth(sf_dir: str):
+    """Spatiotemporal change detection: per-tile event counts in the two
+    month halves (before/after Jan 16), Laplace-smoothed growth ratio
+    ``(n_b+1)/(n_a+1)`` (ONE float division — SQL-replayable), top-25
+    growing tiles. Counts are one two-phase aggregate over (tile, half);
+    only O(tiles) rows reach the ratio stage."""
+    from ray.data.aggregate import Sum
+    from georay.runtime import table_from_pandas
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        lon, lat = spatial.synth_lonlat(
+            t["user_id"].to_numpy(zero_copy_only=False))
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        late = us >= GROWTH_SPLIT_US
+        cells, inv = np.unique(cell, return_inverse=True)
+        n_a = np.zeros(cells.size, np.int64)
+        n_b = np.zeros(cells.size, np.int64)
+        np.add.at(n_a, inv[~late], 1)
+        np.add.at(n_b, inv[late], 1)
+        return pa.table({"cell": cells, "p_a": n_a, "p_b": n_b})
+
+    agg = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_a", alias_name="n_a"), Sum("p_b", alias_name="n_b"))
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        n_a = t["n_a"].to_numpy(zero_copy_only=False)
+        n_b = t["n_b"].to_numpy(zero_copy_only=False)
+        g = (n_b + 1).astype(np.float64) / (n_a + 1).astype(np.float64)
+        return pa.table({"tile_x": x.astype(np.int64),
+                         "tile_y": y.astype(np.int64),
+                         "n_a": t["n_a"], "n_b": t["n_b"],
+                         "growth": pa.array(g)})
+
+    top = agg.map_batches(
+        ratio, batch_format="pyarrow"
+    ).sort(["growth", "tile_x", "tile_y"],
+           descending=[True, False, False]).limit(GROWTH_K)
+
+    def add_rank(df):
+        df = df.sort_values(["growth", "tile_x", "tile_y"],
+                            ascending=[False, True, True]
+                            ).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return table_from_pandas(df)
+
+    return top.repartition(1).map_batches(add_rank, batch_format="pandas")
+
+
+SQL_TILE_GROWTH = f"""
+WITH e AS (SELECT {sql_x(sql_lon('user_id'), 5)} AS tile_x,
+                  {sql_y(sql_lat('user_id'), 5)} AS tile_y,
+                  CASE WHEN epoch_us(ts) >= {GROWTH_SPLIT_US}
+                       THEN 1 ELSE 0 END AS late
+           FROM events),
+a AS (SELECT tile_x, tile_y,
+             CAST(SUM(1 - late) AS BIGINT) AS n_a,
+             CAST(SUM(late) AS BIGINT) AS n_b
+      FROM e GROUP BY 1, 2),
+g AS (SELECT tile_x, tile_y, n_a, n_b,
+             CAST(n_b + 1 AS DOUBLE) / CAST(n_a + 1 AS DOUBLE) AS growth
+      FROM a)
+SELECT tile_x, tile_y, n_a, n_b, growth,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY growth DESC, tile_x, tile_y) AS BIGINT) AS rank
+FROM g QUALIFY rank <= {GROWTH_K}
+"""
+
+
+# ----------------------------------------------------------- Q5 star revenue
+
+Q5_LO_US = 820454400000000   # TIMESTAMP '1996-01-01' in epoch µs
+Q5_HI_US = 852076800000000   # TIMESTAMP '1997-01-01'
+Q5_REGION = "ASIA"
+
+
+def q_local_revenue(sf_dir: str):
+    """TPC-H Q5 shape — per-nation revenue where customer and supplier
+    share the nation, region-filtered, 1996 orders. Star plan: the three
+    tiny dims (region→nation set, supplier→nation, nation→name) broadcast
+    as closure arrays; customer⋈orders is the big-big HASH JOIN;
+    lineitem pre-aggregates exact integer revenue per (orderkey, suppkey)
+    per batch BEFORE its join; one Sum groupby per nation finishes."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    nation = _read_table(sf_dir, "nation")
+    region = _read_table(sf_dir, "region")
+    rkey = region.filter(pc.equal(region["r_name"], Q5_REGION))[
+        "r_regionkey"][0].as_py()
+    nmask = pc.equal(nation["n_regionkey"], rkey)
+    nat_keys = nation.filter(nmask)["n_nationkey"].to_numpy().astype(np.int64)
+    nat_names = {int(k): str(v) for k, v in zip(
+        nation.filter(nmask)["n_nationkey"].to_numpy(),
+        nation.filter(nmask)["n_name"].to_pylist())}
+
+    supp = _read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sk_sorted = np.sort(supp["s_suppkey"].to_numpy().astype(np.int64))
+    sk_order = np.argsort(supp["s_suppkey"].to_numpy().astype(np.int64))
+    sk_nat = supp["s_nationkey"].to_numpy().astype(np.int64)[sk_order]
+    name_arr = np.full(32, "", dtype=object)
+    for k, v in nat_names.items():
+        name_arr[k] = v
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pa.array(np.isin(nk, nat_keys))
+        return pa.table({"c_custkey": t["c_custkey"].filter(keep),
+                         "c_nat": pa.array(nk[np.isin(nk, nat_keys)])})
+
+    cust_f = cust.map_batches(cust_prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = pa.array((us >= Q5_LO_US) & (us < Q5_HI_US))
+        return pa.table({"o_orderkey": t["o_orderkey"].filter(keep),
+                         "o_custkey": t["o_custkey"].filter(keep)})
+
+    orders_f = orders.map_batches(ord_prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    ord_cust = orders_f.join(cust_f, join_type="inner", num_partitions=8,
+                             on=("o_custkey",), right_on=("c_custkey",))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sk_sorted, sk)  # broadcast dim lookup,
+        # vectorized: every lineitem row resolves its supplier nation
+        pos = np.clip(pos, 0, sk_sorted.size - 1)
+        hit = sk_sorted[pos] == sk
+        s_nat = np.where(hit, sk_nat[pos], -1)
+        keep = np.isin(s_nat, nat_keys)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        pct = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        rev = cents * (100 - pct)
+        key = ok * 32 + s_nat[keep]  # nationkeys < 32: pack for one unique
+        ku, inv = np.unique(key, return_inverse=True)
+        part = np.zeros(ku.size, np.int64)
+        np.add.at(part, inv, rev)
+        return pa.table({"l_orderkey": pa.array(ku // 32),
+                         "s_nat": pa.array(ku % 32),
+                         "p_rev": pa.array(part)})
+
+    li_p = li.map_batches(li_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = li_p.join(ord_cust.select_columns(["o_orderkey", "c_nat"]),
+                       join_type="inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        s_nat = t["s_nat"].to_numpy(zero_copy_only=False)
+        c_nat = t["c_nat"].to_numpy(zero_copy_only=False)
+        keep = s_nat == c_nat
+        names = name_arr[s_nat[keep]].astype(str)
+        return pa.table({
+            "n_name": pa.array(names),
+            "p_rev": pa.array(
+                t["p_rev"].to_numpy(zero_copy_only=False)[keep]),
+        })
+
+    return (
+        joined.map_batches(same_nation, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(4)
+        .groupby("n_name")
+        .aggregate(Sum("p_rev", alias_name="revenue_u"))
+    )
+
+
+SQL_LOCAL_REVENUE = f"""
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_u
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4379,4 +4590,6 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "adaptive_cells": (q_adaptive_cells, sql_adaptive_cells(n_images)),
         "tile_trend": (q_tile_trend, SQL_TILE_TREND),
         "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
+        "tile_growth": (q_tile_growth, SQL_TILE_GROWTH),
+        "local_revenue_q5": (q_local_revenue, SQL_LOCAL_REVENUE),
     }
