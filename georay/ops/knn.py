@@ -734,3 +734,71 @@ def dwithin_shuffle(
         )
 
     return joined.map_batches(dist_filter, batch_format="pyarrow")
+
+
+def idw_broadcast(ds, q_ids, q_mx, q_my, k: int = 8,
+                  mx_col: str = "mx", my_col: str = "my",
+                  v_col: str = "v", id_col: str = "id"):
+    """Inverse-distance-weighted interpolation at a SMALL broadcast query
+    set over integer milli-degree coordinates: for each query, the k
+    nearest data points (exact int64 squared distance, ties by id) blend as
+    ``idw = Σ v/(d²+1) / Σ 1/(d²+1)`` with both sums accumulated in
+    (d², id) order — a fixed-shape float tree an SQL pivot replays
+    bit-exactly (the +1 Laplace term keeps coincident points finite).
+
+    Plan: the query matrix rides the closure (broadcast once per worker
+    process); each batch computes all query distances vectorized and keeps
+    only its local top-k per query, so the exchange carries
+    O(k × queries × blocks) rows; a groupby(query) finishes (#groups =
+    #queries — bounded, NOT a per-key explosion). Output: ``query_id,
+    n_used, idw``.
+    """
+    import pandas as pd
+
+    from georay.runtime import table_from_pandas
+
+    q_ids = np.asarray(q_ids, np.int64)
+    q_mx = np.asarray(q_mx, np.int64)
+    q_my = np.asarray(q_my, np.int64)
+    nq = q_ids.size
+
+    def local(t: pa.Table) -> pa.Table:
+        mx = t[mx_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        my = t[my_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[v_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qs, ns, ds2, vs, ids_out = [], [], [], [], []
+        for qi in range(nq):  # nq is small by contract (broadcast side)
+            d2 = (mx - q_mx[qi]) ** 2 + (my - q_my[qi]) ** 2
+            sel = np.lexsort((ids, d2))[:k]
+            qs.append(np.full(sel.size, q_ids[qi], np.int64))
+            ds2.append(d2[sel])
+            vs.append(v[sel])
+            ids_out.append(ids[sel])
+        return pa.table({
+            "query_id": np.concatenate(qs), "d2": np.concatenate(ds2),
+            "v": np.concatenate(vs), "nid": np.concatenate(ids_out),
+        })
+
+    survivors = ds.map_batches(local, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        order = np.lexsort((g["nid"].to_numpy(np.int64),
+                            g["d2"].to_numpy(np.int64)))[:k]
+        d2 = g["d2"].to_numpy(np.int64)[order]
+        v = g["v"].to_numpy(np.int64)[order]
+        num = 0.0
+        den = 0.0
+        for i in range(d2.size):  # fixed-order sum: the float contract
+            dp1 = float(d2[i] + 1)
+            num = num + float(v[i]) / dp1
+            den = den + 1.0 / dp1
+        return table_from_pandas(pd.DataFrame({
+            "query_id": [np.int64(g["query_id"].iloc[0])],
+            "n_used": [np.int64(d2.size)],
+            "idw": [num / den],
+        }))
+
+    return survivors.groupby("query_id").map_groups(
+        final, batch_format="pandas")

@@ -4474,6 +4474,76 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------- IDW
+
+IDW_K = 8
+
+
+def q_idw_grid(sf_dir: str):
+    """IDW interpolation of event values at the 16 centers of a 4×4
+    world grid: exact integer milli-degree distances, k=8 nearest, fixed
+    (d², id)-ordered float accumulation (ops.knn.idw_broadcast)."""
+    from georay.ops import knn as knn_ops
+    from georay.ops.spatial import HASH_LAT, HASH_LON
+
+    qx, qy = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    qx, qy = qx.ravel(), qy.ravel()
+    q_ids = qx * 4 + qy
+    q_mx = -180000 + qx * 90000 + 45000
+    q_my = -90000 + qy * 45000 + 22500
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        mx = (uid * HASH_LON) % 360000 - 180000
+        my = (uid * HASH_LAT) % 180000 - 90000
+        v = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 1000
+        ).astype(np.int64)
+        return pa.table({"id": t["event_id"], "mx": mx, "my": my, "v": v})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return knn_ops.idw_broadcast(pts, q_ids, q_mx, q_my, k=IDW_K)
+
+
+def sql_idw_grid(k: int = IDW_K) -> str:
+    from georay.ops.spatial import HASH_LAT, HASH_LON
+
+    wv = " + ".join(
+        f"MAX(CASE WHEN rnk = {j} THEN CAST(v AS DOUBLE)"
+        f" / CAST(d2 + 1 AS DOUBLE) END)" for j in range(1, k + 1))
+    w = " + ".join(
+        f"MAX(CASE WHEN rnk = {j} THEN 1.0"
+        f" / CAST(d2 + 1 AS DOUBLE) END)" for j in range(1, k + 1))
+    return f"""
+WITH q AS (SELECT CAST(a.qx * 4 + b.qy AS BIGINT) AS query_id,
+                  -180000 + a.qx * 90000 + 45000 AS mqx,
+                  -90000 + b.qy * 45000 + 22500 AS mqy
+           FROM range(0, 4) a(qx) CROSS JOIN range(0, 4) b(qy)),
+p AS (SELECT event_id,
+             (user_id * {HASH_LON}) % 360000 - 180000 AS mx,
+             (user_id * {HASH_LAT}) % 180000 - 90000 AS my,
+             CAST(ROUND(value * 1000) AS BIGINT) AS v
+      FROM events),
+d AS (SELECT q.query_id, p.v,
+             (p.mx - q.mqx) * (p.mx - q.mqx)
+             + (p.my - q.mqy) * (p.my - q.mqy) AS d2,
+             p.event_id
+      FROM q CROSS JOIN p),
+r AS (SELECT query_id, v, d2,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d2, event_id) AS BIGINT) AS rnk
+      FROM d)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_used,
+       ({wv}) / ({w}) AS idw
+FROM r WHERE rnk <= {k} GROUP BY query_id
+"""
+
+
+SQL_IDW_GRID = sql_idw_grid()
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4592,4 +4662,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
         "tile_growth": (q_tile_growth, SQL_TILE_GROWTH),
         "local_revenue_q5": (q_local_revenue, SQL_LOCAL_REVENUE),
+        "idw_grid": (q_idw_grid, SQL_IDW_GRID),
     }

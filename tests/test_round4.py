@@ -446,3 +446,42 @@ def test_transitions_brute_parity(ray_session):
         assert int(row["n"]) == n
         assert int(row["from_total"]) == tot[f]
         assert float(row["prob"]) == float(n) / float(tot[f])
+
+
+def test_idw_brute_parity(ray_session):
+    """idw_broadcast vs a per-query python replica with the same fixed
+    accumulation order; includes a query coincident with a data point
+    (d2=0 -> Laplace +1 keeps it finite and dominant)."""
+    import ray
+
+    from georay.ops import knn as knn_ops
+
+    rng = np.random.RandomState(41)
+    n = 300
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    mx = rng.randint(-180000, 180000, n).astype(np.int64)
+    my = rng.randint(-90000, 90000, n).astype(np.int64)
+    v = rng.randint(10, 500000, n).astype(np.int64)
+    mx[17], my[17] = 5000, 5000  # exactly at query 1
+    q_ids = np.array([0, 1], np.int64)
+    q_mx = np.array([-100000, 5000], np.int64)
+    q_my = np.array([40000, 5000], np.int64)
+
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(
+            pa.table({"id": ids, "mx": mx, "my": my, "v": v})
+        ).repartition(parts)
+        got = knn_ops.idw_broadcast(ds, q_ids, q_mx, q_my, k=5).to_pandas()
+        got = got.set_index("query_id").sort_index()
+        for qi in range(2):
+            d2 = (mx - q_mx[qi]) ** 2 + (my - q_my[qi]) ** 2
+            sel = np.lexsort((ids, d2))[:5]
+            num = den = 0.0
+            for i in sel:
+                dp1 = float(d2[i] + 1)
+                num = num + float(v[i]) / dp1
+                den = den + 1.0 / dp1
+            assert float(got.loc[q_ids[qi], "idw"]) == num / den
+            assert int(got.loc[q_ids[qi], "n_used"]) == 5
+    # the coincident point dominates query 1
+    assert abs(got.loc[1, "idw"] - v[17]) < 1.0
