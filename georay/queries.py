@@ -4544,6 +4544,65 @@ FROM r WHERE rnk <= {k} GROUP BY query_id
 SQL_IDW_GRID = sql_idw_grid()
 
 
+# ----------------------------------------------------------- caption geoparse
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def q_caption_geoparse(sf_dir: str):
+    """Multimodal × geo crossover: parse the geohash5 token out of every
+    image CAPTION (real string data read from parquet), re-encode the
+    capture coordinates, and count agreement per geohash first letter.
+    The oracle rebuilds the base32 string geohash from scratch in SQL
+    (bit-interleave + alphabet lookup), so the full S1 string-encode path
+    is SQL-verified — any drift in extract, Morton split, or alphabet
+    order breaks n_ok."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from georay import fixtures
+    from georay.runtime import table_from_pandas
+
+    ds = fixtures.read_images(sf_dir, columns=["caption", "lon", "lat"])
+
+    def partial(df):
+        extracted = df["caption"].str[-5:].to_numpy()
+        expected = codec.encode_str(
+            df["lon"].to_numpy(), df["lat"].to_numpy(), 5
+        ).astype("U5")
+        ok = (extracted == expected).astype(np.int64)
+        gh1 = pd.Series(extracted).str[0].to_numpy()
+        out = pd.DataFrame({"gh1": gh1, "p_n": 1, "p_ok": ok}).groupby(
+            "gh1", as_index=False).sum()
+        return table_from_pandas(out.astype({"p_n": np.int64}))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(8)
+        .groupby("gh1")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_ok", alias_name="n_ok"))
+    )
+
+
+def sql_caption_geoparse(n: int) -> str:
+    # 25-bit odd Morton: x (13 bits) at even positions, y (12) at odd
+    terms = [f"((x // {1 << j}) % 2) * {1 << (2 * j)}" for j in range(13)]
+    terms += [f"((y // {1 << j}) % 2) * {1 << (2 * j + 1)}" for j in range(12)]
+    morton = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{_GH_ALPHABET}', CAST((m // {1 << (20 - 5 * k)}) % 32 "
+        f"AS INTEGER) + 1, 1)" for k in range(5))
+    return f"""
+WITH p AS ({_sql_img_coords(n)}),
+g AS (SELECT {sql_x('lon', 13)} AS x, {sql_y('lat', 12)} AS y FROM p),
+m AS (SELECT {morton} AS m FROM g),
+gh AS (SELECT {chars} AS gh5 FROM m)
+SELECT substr(gh5, 1, 1) AS gh1, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_ok
+FROM gh GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4663,4 +4722,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "tile_growth": (q_tile_growth, SQL_TILE_GROWTH),
         "local_revenue_q5": (q_local_revenue, SQL_LOCAL_REVENUE),
         "idw_grid": (q_idw_grid, SQL_IDW_GRID),
+        "caption_geoparse": (q_caption_geoparse, sql_caption_geoparse(n_images)),
     }

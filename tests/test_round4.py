@@ -485,3 +485,48 @@ def test_idw_brute_parity(ray_session):
             assert int(got.loc[q_ids[qi], "n_used"]) == 5
     # the coincident point dominates query 1
     assert abs(got.loc[1, "idw"] - v[17]) < 1.0
+
+
+def test_caption_geoparse_detects_corruption(ray_session):
+    """The geoparse consistency counter must actually catch wrong captions
+    (negative control for the all-consistent fixture)."""
+    import ray
+
+    from georay import codec
+    from georay.ops import window as _  # noqa: F401 (module-level import rule)
+    from georay.queries import q_caption_geoparse  # noqa: F401
+
+    rng = np.random.RandomState(43)
+    lon = rng.uniform(-180, 179.9, 200)
+    lat = rng.uniform(-90, 89.9, 200)
+    gh = codec.encode_str(lon, lat, 5).astype("U5")
+    caps = np.array([f"caption for img{i:012d}: {g}"
+                     for i, g in enumerate(gh)], object)
+    caps[5] = caps[5][:-5] + "zzzzz"  # corrupt one
+    t = pa.table({"caption": pa.array(list(caps), pa.string()),
+                  "lon": lon, "lat": lat})
+
+    # replicate the query's partial+aggregate over an in-memory table
+    from ray.data.aggregate import Sum
+    import pandas as pd
+    from georay.runtime import table_from_pandas
+
+    def partial(df):
+        extracted = df["caption"].str[-5:].to_numpy()
+        expected = codec.encode_str(
+            df["lon"].to_numpy(), df["lat"].to_numpy(), 5).astype("U5")
+        ok = (extracted == expected).astype(np.int64)
+        gh1 = pd.Series(extracted).str[0].to_numpy()
+        out = pd.DataFrame({"gh1": gh1, "p_n": 1, "p_ok": ok}).groupby(
+            "gh1", as_index=False).sum()
+        return table_from_pandas(out.astype({"p_n": np.int64}))
+
+    got = (
+        ray.data.from_arrow(t).repartition(4)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("gh1")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_ok", alias_name="n_ok"))
+        .to_pandas()
+    )
+    assert got["n"].sum() == 200
+    assert got["n"].sum() - got["n_ok"].sum() == 1  # exactly the corruption
