@@ -4603,6 +4603,83 @@ FROM gh GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- mutual kNN
+
+
+def q_ann_mutual(sf_dir: str):
+    """Reciprocal nearest-neighbor matching (the record-linkage 'best
+    match' rule) within the query subset: pairs where each vector is in
+    the other's cosine top-k. One brute_topk pass, then a self-join on the
+    packed (a,b)↔(b,a) key — only O(k·|Q|) rank rows shuffle."""
+    from georay.ops import similarity as sim
+
+    q_table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mask = (q_table["vec_id"].to_numpy() % 10) == 0
+    q_ids = q_table["vec_id"].to_numpy()[mask]
+    q_mat = sim.emb_matrix(q_table["embedding"])[mask]
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def subset(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vid % 10 == 0))
+
+    sub = emb.map_batches(subset, batch_format="pyarrow", zero_copy_batch=True)
+    ranks = sim.brute_topk(sub, q_ids, q_mat, k=ANN_K).materialize()
+
+    B = np.int64(1) << np.int64(32)
+
+    def fwd_key(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": q * B + n, "id_a": q, "id_b": n, "rank_ab": r})
+
+    def rev_key(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": n * B + q, "rank_ba": r})
+
+    fwd = ranks.map_batches(fwd_key, batch_format="pyarrow",
+                            zero_copy_batch=True).repartition(4)
+    rev = ranks.map_batches(rev_key, batch_format="pyarrow",
+                            zero_copy_batch=True).repartition(4)
+    joined = fwd.join(rev, join_type="inner", num_partitions=4, on=("pk",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        keep = a < b  # each mutual pair appears twice; keep one
+        return pa.table({
+            "id_a": pa.array(a[keep]), "id_b": pa.array(b[keep]),
+            "rank_ab": pa.array(
+                t["rank_ab"].to_numpy(zero_copy_only=False)[keep]),
+            "rank_ba": pa.array(
+                t["rank_ba"].to_numpy(zero_copy_only=False)[keep]),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_ANN_MUTUAL = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+r AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                        DESC, b.vec_id) AS BIGINT) AS rank
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+t AS (SELECT * FROM r WHERE rank <= {ANN_K})
+SELECT f.query_id AS id_a, f.neighbor_id AS id_b,
+       f.rank AS rank_ab, g.rank AS rank_ba
+FROM t f JOIN t g
+  ON g.query_id = f.neighbor_id AND g.neighbor_id = f.query_id
+WHERE f.query_id < f.neighbor_id
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4723,4 +4800,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "local_revenue_q5": (q_local_revenue, SQL_LOCAL_REVENUE),
         "idw_grid": (q_idw_grid, SQL_IDW_GRID),
         "caption_geoparse": (q_caption_geoparse, sql_caption_geoparse(n_images)),
+        "ann_mutual": (q_ann_mutual, SQL_ANN_MUTUAL),
     }

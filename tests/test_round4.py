@@ -530,3 +530,35 @@ def test_caption_geoparse_detects_corruption(ray_session):
     )
     assert got["n"].sum() == 200
     assert got["n"].sum() - got["n_ok"].sum() == 1  # exactly the corruption
+
+
+def test_ann_mutual_symmetry(ray_session):
+    """Every emitted pair must be reciprocal top-k, every reciprocal
+    pair must be emitted (brute verification on a small embedding set)."""
+    import ray
+
+    from georay.queries import q_ann_mutual, ANN_K  # noqa: F401
+
+    # build brute ranks on the sf0.001 subset and compare
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    mask = vid % 10 == 0
+    ids = vid[mask]
+    from georay.ops.similarity import emb_matrix, _normalize
+    m = _normalize(emb_matrix(t["embedding"])[mask])
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    topk = {}
+    for i, q in enumerate(ids):
+        order = np.lexsort((ids, -sims[i]))[:ANN_K]
+        topk[int(q)] = set(int(ids[j]) for j in order)
+    want = {(a, b) for a in topk for b in topk[a]
+            if a < b and a in topk[b]}
+
+    got = q_ann_mutual("/root/testdata/sf0.001").to_pandas()
+    got_pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert got_pairs == want
+    assert ((got["rank_ab"] >= 1) & (got["rank_ab"] <= ANN_K)).all()
+    assert ((got["rank_ba"] >= 1) & (got["rank_ba"] <= ANN_K)).all()
