@@ -4680,6 +4680,213 @@ WHERE f.query_id < f.neighbor_id
 """
 
 
+# ---------------------------------------------------------------- colocation
+
+COLOC_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_colocation(sf_dir: str):
+    """Spatial co-location mining (participation-lift of category pairs):
+    which event types occur together in the same user-home tile more than
+    chance — lift = n_ab·K / (n_a·n_b) over per-cell presence sets.
+    Plan: per-batch presence bitmap per cell (wide 0/1 columns, the pivot
+    idiom) → ONE Max groupby builds the distinct (cell → presence vector)
+    table → per-batch partial pair-AND sums reduce to 5+10+1 driver ints
+    (bounded, like k-means) → the 10-row matrix finalizes driver-side."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    tlist = COLOC_TYPES
+    nt = len(tlist)
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def presence(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(uid)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cells, inv = np.unique(cell, return_inverse=True)
+        cols = {"cell": cells}
+        for i, ty in enumerate(tlist):
+            m = np.zeros(cells.size, np.int64)
+            m[inv[et == ty]] = 1
+            cols[f"p{i}"] = m
+        return pa.table(cols)
+
+    pres = (
+        ev.map_batches(presence, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(*[Max(f"p{i}", alias_name=f"b{i}") for i in range(nt)])
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        b = np.stack(
+            [t[f"b{i}"].to_numpy(zero_copy_only=False) for i in range(nt)],
+            axis=1,
+        )
+        out = {"k_part": [np.int64(t.num_rows)]}
+        for i in range(nt):
+            out[f"n{i}"] = [b[:, i].sum(dtype=np.int64)]
+            for j in range(i + 1, nt):
+                out[f"n{i}_{j}"] = [(b[:, i] & b[:, j]).sum(dtype=np.int64)]
+        return pa.table({kk: pa.array(v, pa.int64()) for kk, v in out.items()})
+
+    st = pres.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().sum()  # bounded: one row per presence block
+    k_cells = int(st["k_part"])
+    rows = []
+    for i in range(nt):
+        for j in range(i + 1, nt):
+            n_ab = int(st[f"n{i}_{j}"])
+            if n_ab == 0:
+                continue
+            n_a, n_b = int(st[f"n{i}"]), int(st[f"n{j}"])
+            lift = (float(n_ab) * float(k_cells)) / float(n_a * n_b)
+            rows.append((tlist[i], tlist[j], n_ab, n_a, n_b, lift))
+    return pd.DataFrame(
+        rows, columns=["type_a", "type_b", "n_ab", "n_a", "n_b", "lift"]
+    ).astype({"n_ab": np.int64, "n_a": np.int64, "n_b": np.int64})
+
+
+SQL_COLOCATION = f"""
+WITH e AS (SELECT DISTINCT {sql_x(sql_lon('user_id'), 5)} AS x,
+                           {sql_y(sql_lat('user_id'), 5)} AS y,
+                           event_type
+           FROM events),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k
+       FROM (SELECT DISTINCT x, y FROM e)),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM e a JOIN e b
+        ON a.x = b.x AND a.y = b.y AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab, na.n AS n_a, nb.n AS n_b,
+       (CAST(n_ab AS DOUBLE) * CAST(k AS DOUBLE))
+         / CAST(na.n * nb.n AS DOUBLE) AS lift
+FROM p JOIN n na ON na.event_type = type_a
+       JOIN n nb ON nb.event_type = type_b
+CROSS JOIN st
+"""
+
+
+# ---------------------------------------------------------- tile image stats
+
+_CHANSUM_TABLE_CACHE: dict[int, str] = {}
+
+
+def _sql_chansum_values() -> str:
+    """(pmod, sum_r, sum_g, sum_b, npx) literal rows for one pixel period,
+    through the SAME encode→decode path the stage runs (q6 is lossy — the
+    decoded sums differ from the synth pattern's)."""
+    cached = _CHANSUM_TABLE_CACHE.get(0)
+    if cached is None:
+        from georay import images
+        from georay.fixtures import PIXEL_PERIOD
+
+        rows = []
+        for p in range(PIXEL_PERIOD):
+            w, h = images.image_dims(p)
+            fmt = images.image_fmt(p)
+            blob = images.encode_image(images.synth_pixels(p, w, h), fmt)
+            px = images.decode_image(blob, fmt).astype(np.int64)
+            s = px.reshape(-1, 3).sum(axis=0)
+            rows.append(f"({p}, {s[0]}, {s[1]}, {s[2]}, {w * h})")
+        cached = ",\n  ".join(rows)
+        _CHANSUM_TABLE_CACHE[0] = cached
+    return cached
+
+
+def q_tile_image_stats(sf_dir: str):
+    """Per-tile color statistics of the DECODED images (multimodal × geo
+    rollup): exact int64 channel sums per image, two-phase per-tile
+    aggregation, means as one float division each. The decode runs on the
+    real binary column; the oracle replays it through a 768-entry
+    period-literal table (the images_features idiom) joined to the coord
+    formula."""
+    from ray.data.aggregate import Sum
+
+    from georay import fixtures, images
+
+    ds = fixtures.read_images(
+        sf_dir, columns=["fmt", "bytes", "lon", "lat"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        fmts = t["fmt"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        n = len(blobs)
+        sums = np.zeros((n, 3), np.int64)
+        npx = np.zeros(n, np.int64)
+        for i in range(n):  # decode is inherently per-image
+            px = images.decode_image(blobs[i], fmts[i]).astype(np.int64)
+            sums[i] = px.reshape(-1, 3).sum(axis=0)
+            npx[i] = px.shape[0] * px.shape[1]
+        cells, inv = np.unique(cell, return_inverse=True)
+        out = np.zeros((cells.size, 5), np.int64)
+        np.add.at(out, inv, np.column_stack(
+            [np.ones(n, np.int64), npx, sums]))
+        return pa.table({
+            "cell": cells, "p_img": out[:, 0], "p_px": out[:, 1],
+            "p_r": out[:, 2], "p_g": out[:, 3], "p_b": out[:, 4],
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_img", alias_name="n_img"),
+                   Sum("p_px", alias_name="n_px"),
+                   Sum("p_r", alias_name="sum_r"),
+                   Sum("p_g", alias_name="sum_g"),
+                   Sum("p_b", alias_name="sum_b"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        n_px = t["n_px"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols = {"tile_x": pa.array(x.astype(np.int64)),
+                "tile_y": pa.array(y.astype(np.int64)),
+                "n_img": t["n_img"]}
+        for ch in ("r", "g", "b"):
+            s = t[f"sum_{ch}"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            cols[f"mean_{ch}"] = pa.array(s / n_px)
+        return pa.table(cols)
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_tile_image_stats(n: int) -> str:
+    return f"""
+WITH img AS ({_sql_img(n)}),
+co AS ({_sql_img_coords(n)}),
+ch(pmod, sum_r, sum_g, sum_b, npx) AS (VALUES
+  {_sql_chansum_values()}
+),
+j AS (SELECT {sql_x('co.lon', 5)} AS tile_x, {sql_y('co.lat', 5)} AS tile_y,
+             ch.sum_r, ch.sum_g, ch.sum_b, ch.npx
+      FROM img JOIN co ON co.i = img.i
+      JOIN ch ON ch.pmod = img.pix % 768),
+a AS (SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n_img,
+             CAST(SUM(npx) AS BIGINT) AS n_px,
+             CAST(SUM(sum_r) AS BIGINT) AS sr,
+             CAST(SUM(sum_g) AS BIGINT) AS sg,
+             CAST(SUM(sum_b) AS BIGINT) AS sb
+      FROM j GROUP BY 1, 2)
+SELECT tile_x, tile_y, n_img,
+       CAST(sr AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_r,
+       CAST(sg AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_g,
+       CAST(sb AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_b
+FROM a
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -4801,4 +5008,9 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "idw_grid": (q_idw_grid, SQL_IDW_GRID),
         "caption_geoparse": (q_caption_geoparse, sql_caption_geoparse(n_images)),
         "ann_mutual": (q_ann_mutual, SQL_ANN_MUTUAL),
+        "colocation_lift": (q_colocation, SQL_COLOCATION),
+        "tile_image_stats": (
+            q_tile_image_stats,
+            sql_tile_image_stats(n_images) if include_sql else None,
+        ),
     }

@@ -562,3 +562,39 @@ def test_ann_mutual_symmetry(ray_session):
     assert got_pairs == want
     assert ((got["rank_ab"] >= 1) & (got["rank_ab"] <= ANN_K)).all()
     assert ((got["rank_ba"] >= 1) & (got["rank_ba"] <= ANN_K)).all()
+
+
+def test_colocation_brute_parity(ray_session):
+    """colocation lift vs a set-based python replica on the sf0.001
+    events table (exact integers + single-division float)."""
+    import duckdb
+
+    from georay import codec
+    from georay.ops import spatial
+    from georay.queries import q_colocation, COLOC_TYPES, BITS_TILE
+
+    sf = "/root/testdata/sf0.001"
+    got = q_colocation(sf).sort_values(["type_a", "type_b"]).reset_index(
+        drop=True)
+
+    df = duckdb.sql(
+        f"SELECT user_id, event_type FROM "
+        f"read_parquet('{sf}/events.parquet')").df()
+    lon, lat = spatial.synth_lonlat(df["user_id"].to_numpy())
+    cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+    by_type = {t: set(cell[df["event_type"].to_numpy() == t])
+               for t in COLOC_TYPES}
+    k = len(set(cell))
+    rows = []
+    for i, a in enumerate(COLOC_TYPES):
+        for b in COLOC_TYPES[i + 1:]:
+            n_ab = len(by_type[a] & by_type[b])
+            if n_ab:
+                n_a, n_b = len(by_type[a]), len(by_type[b])
+                rows.append((a, b, n_ab, n_a, n_b,
+                             (float(n_ab) * float(k)) / float(n_a * n_b)))
+    assert len(got) == len(rows)
+    for (a, b, n_ab, n_a, n_b, lift), (_, r) in zip(rows, got.iterrows()):
+        assert (r["type_a"], r["type_b"]) == (a, b)
+        assert (int(r["n_ab"]), int(r["n_a"]), int(r["n_b"])) == (n_ab, n_a, n_b)
+        assert float(r["lift"]) == lift
