@@ -4887,6 +4887,332 @@ FROM a
 """
 
 
+# ----------------------------------------------------------------- tile rollup
+
+ROLLUP_LEVELS = [5, 3, 1, 0]  # 32x32, 8x8, 2x2, whole-earth
+
+
+def q_tile_rollup(sf_dir: str):
+    """Hierarchical spatial drill-down (GROUPING SETS over cell precisions):
+    order counts + exact cent revenue at FOUR tile resolutions in ONE pass —
+    the partial stage emits per-batch (level, x, y) rows for every level, so
+    a single Sum groupby finalizes the whole cube (no per-level rescan; the
+    coarse levels ride along for O(levels) extra partial rows per batch)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE)
+        x5, y5 = codec.deinterleave(cell, BITS_TILE)
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy()
+        outs = []
+        for lv in ROLLUP_LEVELS:
+            sh = 5 - lv
+            k = ((x5 >> sh).astype(np.int64) << 6) | (y5 >> sh).astype(
+                np.int64)
+            uk, inv = np.unique(k, return_inverse=True)
+            n = np.bincount(inv).astype(np.int64)
+            s = np.zeros(uk.size, np.int64)
+            np.add.at(s, inv, cents)
+            outs.append(pa.table({
+                "level": np.full(uk.size, lv, np.int64),
+                "tile_x": uk >> 6, "tile_y": uk & 63,
+                "p_n": n, "p_cents": s,
+            }))
+        return pa.concat_tables(outs)
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["level", "tile_x", "tile_y"])
+        .aggregate(Sum("p_n", alias_name="n"),
+                   Sum("p_cents", alias_name="sum_cents"))
+    )
+
+
+def _sql_rollup_level(lv: int) -> str:
+    d = 1 << (5 - lv)
+    return f"""SELECT CAST({lv} AS BIGINT) AS level, x5 // {d} AS tile_x,
+       y5 // {d} AS tile_y, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY 1, 2, 3"""
+
+
+SQL_TILE_ROLLUP = f"""
+WITH b AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x5,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y5,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+{chr(10).join(_sql_rollup_level(lv) + ("" if lv == ROLLUP_LEVELS[-1] else chr(10) + "UNION ALL")
+              for lv in ROLLUP_LEVELS)}
+"""
+
+
+# -------------------------------------------------------------- tile diversity
+
+
+def q_tile_diversity(sf_dir: str):
+    """Per-tile category diversity: Gini–Simpson index 1 − Σ(nᵢ/n)² over
+    event types per user-home tile — kept EXACT by multiplying out to the
+    integer form (n² − Σnᵢ²)/n²: two stacked two-phase integer aggregates
+    ((cell,type) counts, then per-cell moment sums) and ONE float division
+    at the end, mirrored verbatim in the SQL twin."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    p1_schema = pa.schema([("cell", pa.int64()), ("event_type", pa.string()),
+                           ("p_n", pa.int64())])
+
+    def p1(df: pd.DataFrame):
+        lon, lat = spatial.synth_lonlat(df["user_id"].to_numpy())
+        df = pd.DataFrame({
+            "cell": codec.encode(lon, lat, BITS_TILE).astype(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+        })
+        g = (df.groupby(["cell", "event_type"], as_index=False)
+             .size().rename(columns={"size": "p_n"}))
+        return runtime.table_from_pandas(g, schema=p1_schema)
+
+    counts = (
+        ev.map_batches(p1, batch_format="pandas")
+        .repartition(8)
+        .groupby(["cell", "event_type"])
+        .aggregate(Sum("p_n", alias_name="n_ct"))
+    )
+
+    def p2(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        n = t["n_ct"].to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(cell, return_inverse=True)
+        out = np.zeros((uc.size, 3), np.int64)
+        np.add.at(out, inv, np.column_stack(
+            [n, n * n, np.ones(n.size, np.int64)]))
+        return pa.table({"cell": uc, "p_sum": out[:, 0], "p_ssq": out[:, 1],
+                         "p_t": out[:, 2]})
+
+    mom = (
+        counts.map_batches(p2, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_sum", alias_name="n"),
+                   Sum("p_ssq", alias_name="ssq"),
+                   Sum("p_t", alias_name="n_types"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        ssq = t["ssq"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tile_x": x.astype(np.int64), "tile_y": y.astype(np.int64),
+            "n": n, "n_types": t["n_types"],
+            "gini": (n * n - ssq).astype(np.float64)
+            / (n * n).astype(np.float64),
+        })
+
+    return mom.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TILE_DIVERSITY = f"""
+WITH c AS (SELECT {sql_x(sql_lon('user_id'), 5)} AS x,
+                  {sql_y(sql_lat('user_id'), 5)} AS y,
+                  event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3)
+SELECT x AS tile_x, y AS tile_y,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n) * SUM(n) - SUM(n * n) AS DOUBLE)
+         / CAST(SUM(n) * SUM(n) AS DOUBLE) AS gini
+FROM c GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ cohort retention
+
+DAY_US = 86_400_000_000
+COHORT_BUCKETS = 16
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-active day, counted
+    at each later active day offset. Distinct (user, day) pairs via a
+    two-phase groupby; the per-user MIN-day + offset expansion runs in
+    hash-BUCKETED groups (segmented numpy across users inside a bucket —
+    the rank.py idiom, never one Python call per user); a final small Sum
+    groupby merges bucket partials."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from georay.ops.sketch import splitmix64
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        k = np.unique((u << 20) | day)  # day < 2^20 until year 4840
+        return pa.table({"user_id": k >> 20, "day": k & ((1 << 20) - 1)})
+
+    uw = (
+        ev.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["user_id", "day"])
+        .aggregate(Count())
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        b = (splitmix64(u.astype(np.uint64))
+             % np.uint64(COHORT_BUCKETS)).astype(np.int64)
+        return pa.table({"bucket": b, "user_id": u, "day": t["day"]})
+
+    part_schema = pa.schema([("cohort_day", pa.int64()),
+                             ("day_offset", pa.int64()),
+                             ("p_n", pa.int64())])
+
+    def per_bucket(df: pd.DataFrame):
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        o = np.lexsort((d, u))
+        u, d = u[o], d[o]
+        first = np.r_[0, 1 + np.flatnonzero(u[1:] != u[:-1])]
+        runs = np.diff(np.r_[first, u.size])
+        cohort = np.repeat(d[first], runs)  # sorted → first day is MIN
+        k, n = np.unique((cohort << 20) | (d - cohort), return_counts=True)
+        return runtime.table_from_pandas(
+            pd.DataFrame({"cohort_day": k >> 20,
+                          "day_offset": k & ((1 << 20) - 1),
+                          "p_n": n.astype(np.int64)}),
+            schema=part_schema)
+
+    return (
+        uw.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(4)
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("p_n", alias_name="n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = f"""
+WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day
+            FROM events),
+c AS (SELECT user_id, MIN(day) AS cd FROM uw GROUP BY user_id)
+SELECT c.cd AS cohort_day, uw.day - c.cd AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------------------- triangle count
+
+TRI_DEG = 3
+
+
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting over a deterministic hash-derived
+    social graph (each customer gets {TRI_DEG} splitmix64 neighbors): the
+    node-iterator plan — orient edges low→high, self-join on the LOW vertex
+    to enumerate wedges, then an inner join of wedge closures (b,c) against
+    the packed edge-key set. Only edge/wedge rows shuffle; the graph is
+    never collected on the driver."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from georay.ops.sketch import splitmix64
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    n_nodes = cust.count()
+    B = np.int64(1) << np.int64(32)
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        u = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.repeat(u, TRI_DEG)
+        seed = (a * 4 + np.tile(np.arange(TRI_DEG, dtype=np.int64), u.size))
+        d = (splitmix64(seed.astype(np.uint64))
+             % np.uint64(n_nodes)).astype(np.int64) + 1
+        lo, hi = np.minimum(a, d), np.maximum(a, d)
+        m = lo != hi
+        return pa.table({"ek": np.unique(lo[m] * B + hi[m])})
+
+    edges_keys = (
+        cust.map_batches(gen_edges, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .repartition(8)
+        .groupby("ek")
+        .aggregate(Count())
+        .repartition(4)  # merge blocks: Acero join rejects schema-less empties
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ek = t["ek"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": ek // B, "b": ek % B, "ek": ek,
+                         "flag": np.ones(ek.size, np.int64)})
+
+    edges = edges_keys.map_batches(
+        unpack, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_edges = edges.count()
+
+    left = edges.select_columns(["a", "b"])
+
+    def as_right(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "c": t["b"]})
+
+    right = edges.map_batches(as_right, batch_format="pyarrow",
+                              zero_copy_batch=True).repartition(4)
+    wedges = left.repartition(4).join(right, join_type="inner",
+                                      num_partitions=4, on=("a",))
+
+    def close_key(t: pa.Table) -> pa.Table:
+        b = t["b"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        m = b < c  # each wedge pair appears twice; keep the ordered one
+        return pa.table({"ek": b[m] * B + c[m]})
+
+    closing = wedges.map_batches(close_key, batch_format="pyarrow",
+                                 zero_copy_batch=True).repartition(4)
+    tri = closing.join(
+        edges.select_columns(["ek", "flag"]).repartition(4),
+        join_type="inner", num_partitions=4, on=("ek",))
+    n_tri = tri.count()
+
+    return pd.DataFrame({
+        "n_nodes": [np.int64(n_nodes)], "n_edges": [np.int64(n_edges)],
+        "n_triangles": [np.int64(n_tri)],
+    })
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS UBIGINT) AS nc FROM customer),
+src AS (SELECT c_custkey, j FROM customer
+        CROSS JOIN (VALUES (0), (1), (2)) s(j)),
+e0 AS (SELECT LEAST(c_custkey, CAST(hu % nc AS BIGINT) + 1) AS a,
+              GREATEST(c_custkey, CAST(hu % nc AS BIGINT) + 1) AS b
+       FROM {sketch_sql_subquery('src', 'c_custkey * 4 + j', 'hu')} h
+       CROSS JOIN nn),
+e AS (SELECT DISTINCT a, b FROM e0 WHERE a <> b),
+w AS (SELECT e1.b, e2.b AS c3 FROM e e1 JOIN e e2
+      ON e2.a = e1.a AND e1.b < e2.b)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM w JOIN e ON e.a = w.b AND e.b = w.c3
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -5013,4 +5339,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
             q_tile_image_stats,
             sql_tile_image_stats(n_images) if include_sql else None,
         ),
+        "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
+        "tile_diversity": (q_tile_diversity, SQL_TILE_DIVERSITY),
+        "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+        "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     }

@@ -598,3 +598,87 @@ def test_colocation_brute_parity(ray_session):
         assert (r["type_a"], r["type_b"]) == (a, b)
         assert (int(r["n_ab"]), int(r["n_a"]), int(r["n_b"])) == (n_ab, n_a, n_b)
         assert float(r["lift"]) == lift
+
+
+def test_tile_rollup_level_consistency(ray_session):
+    """Every coarser level must re-aggregate exactly from level 5, and the
+    level-0 row is the whole-table total."""
+    from georay.queries import q_tile_rollup, ROLLUP_LEVELS
+
+    df = q_tile_rollup("/root/testdata/sf0.001").to_pandas()
+    l5 = df[df["level"] == 5]
+    for lv in ROLLUP_LEVELS:
+        sub = df[df["level"] == lv]
+        assert sub["n"].sum() == l5["n"].sum()
+        assert sub["sum_cents"].sum() == l5["sum_cents"].sum()
+        d = 1 << (5 - lv)
+        roll = (
+            l5.assign(tx=l5["tile_x"] // d, ty=l5["tile_y"] // d)
+            .groupby(["tx", "ty"], as_index=False)[["n", "sum_cents"]].sum()
+            .sort_values(["tx", "ty"]).reset_index(drop=True)
+        )
+        got = sub.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+        assert (got["tile_x"].to_numpy() == roll["tx"].to_numpy()).all()
+        assert (got["n"].to_numpy() == roll["n"].to_numpy()).all()
+        assert (got["sum_cents"].to_numpy()
+                == roll["sum_cents"].to_numpy()).all()
+    total = df[df["level"] == 0]
+    assert len(total) == 1 and (total["tile_x"] == 0).all()
+
+
+def test_triangle_count_brute_parity(ray_session):
+    """Pipeline triangle count vs a set-based brute replica of the same
+    hash-derived graph at sf0.001."""
+    import duckdb
+
+    from georay.ops.sketch import splitmix64
+    from georay.queries import q_triangle_count, TRI_DEG
+
+    sf = "/root/testdata/sf0.001"
+    got = q_triangle_count(sf)
+
+    keys = duckdb.sql(
+        f"SELECT c_custkey FROM read_parquet('{sf}/customer.parquet')"
+    ).df()["c_custkey"].to_numpy().astype(np.int64)
+    n = keys.size
+    edges = set()
+    for u in keys:
+        for j in range(TRI_DEG):
+            d = int(splitmix64(np.uint64(u * 4 + j)) % np.uint64(n)) + 1
+            if d != u:
+                edges.add((min(int(u), d), max(int(u), d)))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1 for a, b in edges for c in adj[a]
+        if c > b and c in adj[b]
+    )
+    assert int(got["n_nodes"].iloc[0]) == n
+    assert int(got["n_edges"].iloc[0]) == len(edges)
+    assert int(got["n_triangles"].iloc[0]) == tri
+
+
+def test_cohort_retention_offset_zero_is_cohort_size(ray_session):
+    """Offset-0 counts must equal cohort sizes (every user is active on
+    their own first day), offsets are non-negative, and total user-days
+    are conserved."""
+    import duckdb
+
+    from georay.queries import q_cohort_retention, DAY_US
+
+    sf = "/root/testdata/sf0.001"
+    got = q_cohort_retention(sf).to_pandas()
+    assert (got["day_offset"] >= 0).all()
+
+    df = duckdb.sql(
+        f"SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day "
+        f"FROM read_parquet('{sf}/events.parquet')").df()
+    cohort = df.groupby("user_id")["day"].min()
+    sizes = cohort.value_counts()
+    z = got[got["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    assert sorted(z.index) == sorted(sizes.index)
+    for cd, n in sizes.items():
+        assert int(z.loc[cd]) == int(n)
+    assert int(got["n_users"].sum()) == len(df)
