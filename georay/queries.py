@@ -5213,6 +5213,260 @@ FROM w JOIN e ON e.a = w.b AND e.b = w.c3
 """
 
 
+# ------------------------------------------------------------------- moran's I
+
+
+def q_moran_i(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of per-tile order counts
+    (queen 8-neighbor weights over OCCUPIED cells, the Getis-Ord
+    convention). The distributed part is the two-phase count aggregate;
+    the ≤2^bits-row cell table finalizes driver-side with exact Python
+    integers (overflow-free at any scale) after multiplying out the mean:
+    I = K·Σw(K·xᵢ−S)(K·xⱼ−S) / (W·Σ(K·xᵢ−S)²) — ONE float division, the
+    SQL twin uses HUGEINT for the same products."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: ≤ 2^BITS_TILE occupied cells
+
+    cell = agg["cell"].to_numpy().astype(np.uint64)
+    x, y = codec.deinterleave(cell, BITS_TILE)
+    n = agg["n"].to_numpy()
+    K = len(agg)
+    S = int(n.sum())
+    z = {(int(a), int(b)): K * int(v) - S for a, b, v in zip(x, y, n)}
+    W = 0
+    cross = 0
+    ss = sum(v * v for v in z.values())
+    for (cx, cy), zv in z.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nb = z.get((cx + dx, cy + dy))
+                if nb is not None:
+                    W += 1
+                    cross += zv * nb
+    return pd.DataFrame({
+        "k_cells": [np.int64(K)], "w_pairs": [np.int64(W)],
+        "moran_i": [float(K * cross) / float(W * ss)],
+    })
+
+
+SQL_MORAN_I = f"""
+WITH c AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, CAST(SUM(n) AS HUGEINT) AS s
+       FROM c),
+num AS (SELECT CAST(COUNT(*) AS HUGEINT) AS w,
+               SUM((k * a.n - s) * (k * b.n - s)) AS cross_sum
+        FROM c a JOIN c b
+          ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+             AND NOT (a.x = b.x AND a.y = b.y)
+        CROSS JOIN st),
+den AS (SELECT SUM((k * n - s) * (k * n - s)) AS ss FROM c CROSS JOIN st)
+SELECT CAST(k AS BIGINT) AS k_cells, CAST(w AS BIGINT) AS w_pairs,
+       CAST(k * cross_sum AS DOUBLE) / CAST(w * ss AS DOUBLE) AS moran_i
+FROM st CROSS JOIN num CROSS JOIN den
+"""
+
+
+# ----------------------------------------------------------------- trimmed mean
+
+TRIM_PCT_NUM = 1  # trim floor(n/10) rows at each end
+TRIM_PCT_DEN = 10
+
+
+def _flag_cents_partials(sf_dir: str):
+    """Per-BATCH (l_returnflag, cents) count partials over lineitem —
+    deliberately NOT globally aggregated. Ray's sort-aggregate reduce pays
+    per-GROUP Python overhead (~14 s measured on the 60k distinct-cents
+    groups at sf0.01); the rank-statistic consumers below instead group by
+    the 3-value flag only and merge the duplicate cents rows vectorized
+    (their fins sort and treat the rows as a run-length multiset, which is
+    exact whether or not equal cents are pre-merged). Output rows are
+    bounded by distinct-cents-per-batch × batches — the price-cents domain,
+    not the row count."""
+    import pyarrow.compute as pc
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        cents = np.asarray(pc.cast(pc.round(pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()), 100.0)), pa.int64()))
+        codes, inv = np.unique(flag, return_inverse=True)
+        nf = np.int64(len(codes))
+        key = cents * nf + inv  # cents ≤ ~1e7 so the pack never overflows
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "l_returnflag": codes[(uk % nf).astype(np.intp)],
+            "cents": uk // nf,
+            "n_v": n.astype(np.int64),
+        })
+
+    return li.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_trimmed_mean(sf_dir: str):
+    """10%-trimmed mean of extended price per return flag: drop the
+    floor(n/10) lowest- and highest-cent rows and average the rest. The
+    trim is over per-batch (flag, cents) COUNT partials (bounded by the
+    price domain × batches, not the row count) so ties are multiset-exact —
+    the kept sum never depends on tie order. Deliberately NO global
+    (flag, cents) aggregate (see _flag_cents_partials): the 3-group flag
+    groupby sorts the partial rows by cents inside map_groups and does
+    run-length prefix math directly on the unmerged multiset — 3 Python
+    calls total (~2 s vs ~14 s for the 60k-group aggregate, measured)."""
+    import pandas as pd
+
+    counts = _flag_cents_partials(sf_dir)
+
+    out_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("n", pa.int64()),
+        ("n_kept", pa.int64()), ("kept_sum_cents", pa.int64()),
+        ("trimmed_mean", pa.float64()),
+    ])
+
+    def head_sum(c: np.ndarray, v: np.ndarray, k: int) -> int:
+        """Exact sum of the k smallest rows of the run-length multiset."""
+        if k == 0:
+            return 0
+        csum = np.cumsum(c)
+        i = int(np.searchsorted(csum, k, side="left"))  # csum[i-1] < k <= csum[i]
+        full = int((c[:i] * v[:i]).sum())
+        prev = int(csum[i - 1]) if i > 0 else 0
+        return full + (k - prev) * int(v[i])
+
+    def fin(df: pd.DataFrame):
+        df = df.sort_values("cents")
+        c = df["n_v"].to_numpy()
+        v = df["cents"].to_numpy()
+        n = int(c.sum())
+        k = (n * TRIM_PCT_NUM) // TRIM_PCT_DEN
+        total = int((c * v).sum())
+        lo = head_sum(c, v, k)
+        hi = head_sum(c[::-1], v[::-1], k)
+        kept_n = n - 2 * k
+        kept = total - lo - hi
+        return runtime.table_from_pandas(pd.DataFrame({
+            "l_returnflag": [df["l_returnflag"].iloc[0]],
+            "n": [np.int64(n)], "n_kept": [np.int64(kept_n)],
+            "kept_sum_cents": [np.int64(kept)],
+            "trimmed_mean": [float(kept) / float(kept_n)],
+        }), schema=out_schema)
+
+    return counts.groupby("l_returnflag").map_groups(
+        fin, batch_format="pandas")
+
+
+SQL_TRIMMED_MEAN = f"""
+WITH c AS (SELECT l_returnflag,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+r AS (SELECT l_returnflag, cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cents) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS nn
+      FROM c)
+SELECT l_returnflag, CAST(MAX(nn) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(cents) AS BIGINT) AS kept_sum_cents,
+       CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS trimmed_mean
+FROM r
+WHERE rk > nn * {TRIM_PCT_NUM} // {TRIM_PCT_DEN}
+  AND rk <= nn - nn * {TRIM_PCT_NUM} // {TRIM_PCT_DEN}
+GROUP BY l_returnflag
+"""
+
+
+# ------------------------------------------------------------ ntile histogram
+
+NTILE_K = 4
+
+
+def q_ntile_hist(sf_dir: str):
+    """Equi-depth (NTILE) histogram of cents per return flag: bucket
+    counts, sums, and min/max. Deterministic despite ties because NTILE's
+    rank ranges are fixed and every row inside a tie run carries the same
+    value — so per-bucket sums are tie-order-free. Computed from per-batch
+    (flag, cents) count partials (see _flag_cents_partials for why there is
+    no global cents aggregate) by clipping each row's rank interval against
+    the bucket boundaries (vectorized over rows, K=4 passes; a tie run split
+    across partial rows clips to the same per-value totals, so pre-merging
+    duplicate cents is unnecessary)."""
+    import pandas as pd
+
+    counts = _flag_cents_partials(sf_dir)
+
+    out_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("bucket", pa.int64()),
+        ("n", pa.int64()), ("sum_cents", pa.int64()),
+        ("min_cents", pa.int64()), ("max_cents", pa.int64()),
+    ])
+
+    def fin(df: pd.DataFrame):
+        df = df.sort_values("cents")
+        c = df["n_v"].to_numpy()
+        v = df["cents"].to_numpy()
+        n = int(c.sum())
+        sizes = n // NTILE_K + (np.arange(NTILE_K) < n % NTILE_K)
+        bounds = np.r_[0, np.cumsum(sizes)]
+        csum = np.cumsum(c)
+        lo = csum - c  # start rank (0-based) of each value's tie run
+        rows = []
+        for b in range(NTILE_K):
+            take = np.clip(
+                np.minimum(csum, bounds[b + 1]) - np.maximum(lo, bounds[b]),
+                0, None)
+            m = take > 0
+            rows.append((df["l_returnflag"].iloc[0], b + 1,
+                         int(take.sum()), int((take * v).sum()),
+                         int(v[m][0]), int(v[m][-1])))
+        return runtime.table_from_pandas(pd.DataFrame(
+            rows, columns=["l_returnflag", "bucket", "n", "sum_cents",
+                           "min_cents", "max_cents"]), schema=out_schema)
+
+    return counts.groupby("l_returnflag").map_groups(
+        fin, batch_format="pandas")
+
+
+SQL_NTILE_HIST = f"""
+WITH c AS (SELECT l_returnflag,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+r AS (SELECT l_returnflag, cents,
+             NTILE({NTILE_K}) OVER (PARTITION BY l_returnflag
+                                    ORDER BY cents) AS bucket
+      FROM c)
+SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM r GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -5340,6 +5594,9 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
             sql_tile_image_stats(n_images) if include_sql else None,
         ),
         "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
+        "moran_i": (q_moran_i, SQL_MORAN_I),
+        "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
+        "ntile_hist": (q_ntile_hist, SQL_NTILE_HIST),
         "tile_diversity": (q_tile_diversity, SQL_TILE_DIVERSITY),
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
         "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
