@@ -5467,6 +5467,138 @@ FROM r GROUP BY 1, 2
 """
 
 
+# -------------------------------------------------------------- cell bbox (S3)
+
+
+def q_cell_bbox(sf_dir: str):
+    """Per-occupied-cell bounding box + count — the S3/I3 ``bounding_box``
+    corner rule (codec.py:205) oracle-verified: lon_min = x/2^nx·360−180,
+    lon_max = lon_min + 360/2^nx (exact dyadic cell size), mirrored verbatim
+    in SQL. Two-phase count aggregate; the bbox map runs distributed over
+    the ≤2^bits aggregated cell rows."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def bbox(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        lon_min, lat_min, lon_max, lat_max = codec.bounding_box(
+            cell, BITS_TILE)
+        return pa.table({
+            "x": x, "y": y,
+            "n": t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "lon_min": lon_min, "lat_min": lat_min,
+            "lon_max": lon_max, "lat_max": lat_max,
+        })
+
+    return agg.map_batches(bbox, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_CELL_BBOX = f"""
+WITH c AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2)
+SELECT x, y, n,
+       CAST(x AS DOUBLE) / 32.0 * 360.0 - 180.0 AS lon_min,
+       CAST(y AS DOUBLE) / 32.0 * 180.0 - 90.0 AS lat_min,
+       (CAST(x AS DOUBLE) / 32.0 * 360.0 - 180.0) + 11.25 AS lon_max,
+       (CAST(y AS DOUBLE) / 32.0 * 180.0 - 90.0) + 5.625 AS lat_max
+FROM c
+"""
+
+
+# -------------------------------------------------------- precision error (S7)
+
+PREC_ERR_BITS = (10, 20, 30)
+
+
+def q_precision_error(sf_dir: str):
+    """Data-driven validation of the S7/I7 ``error_with_precision`` table:
+    at three bit precisions, the max |point − decoded-center| per axis over
+    all customers, plus the count of rows within the half-cell error bound
+    (codec.py:195's 360/2^nx ÷ 2 — every row must satisfy it, and the SQL
+    twin recomputes decode centers + the identical dyadic bound). One
+    Max/Sum aggregate over 3 groups; only (bits, partial) rows shuffle."""
+    from ray.data.aggregate import Max, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        rows = {"bits": [], "p_dlon": [], "p_dlat": [], "p_n": [],
+                "p_within": []}
+        for bits in PREC_ERR_BITS:
+            x, y = codec.xy_from_lonlat(lon, lat, bits)
+            clon, clat = codec.cell_center(x, y, bits)
+            dlon = np.abs(lon - clon)
+            dlat = np.abs(lat - clat)
+            lon_err, lat_err = codec.error_with_precision(bits)
+            within = int(((dlon <= lon_err / 2)
+                          & (dlat <= lat_err / 2)).sum())
+            rows["bits"].append(np.int64(bits))
+            rows["p_dlon"].append(float(dlon.max()))
+            rows["p_dlat"].append(float(dlat.max()))
+            rows["p_n"].append(np.int64(len(key)))
+            rows["p_within"].append(np.int64(within))
+        return pa.table(rows)
+
+    return (
+        cust.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("bits")
+        .aggregate(Max("p_dlon", alias_name="max_dlon"),
+                   Max("p_dlat", alias_name="max_dlat"),
+                   Sum("p_n", alias_name="n"),
+                   Sum("p_within", alias_name="n_within"))
+    )
+
+
+def _sql_precision_error() -> str:
+    branches = []
+    for bits in PREC_ERR_BITS:
+        nx, ny = codec.split_bits(bits)
+        lon = sql_lon("c_custkey")
+        lat = sql_lat("c_custkey")
+        x = sql_x(lon, nx)
+        y = sql_y(lat, ny)
+        clon = f"((CAST({x} AS DOUBLE) + 0.5) / {float(1 << nx)!r} * 360.0 - 180.0)"
+        clat = f"((CAST({y} AS DOUBLE) + 0.5) / {float(1 << ny)!r} * 180.0 - 90.0)"
+        dlon = f"ABS(({lon}) - {clon})"
+        dlat = f"ABS(({lat}) - {clat})"
+        half_lon = (360.0 / (1 << nx)) / 2
+        half_lat = (180.0 / (1 << ny)) / 2
+        branches.append(f"""
+SELECT CAST({bits} AS BIGINT) AS bits,
+       MAX({dlon}) AS max_dlon, MAX({dlat}) AS max_dlat,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN {dlon} <= {half_lon!r} AND {dlat} <= {half_lat!r}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+FROM customer""")
+    return "\nUNION ALL\n".join(branches)
+
+
+SQL_PRECISION_ERROR = _sql_precision_error()
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -5595,6 +5727,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         ),
         "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
         "moran_i": (q_moran_i, SQL_MORAN_I),
+        "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
+        "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
         "ntile_hist": (q_ntile_hist, SQL_NTILE_HIST),
         "tile_diversity": (q_tile_diversity, SQL_TILE_DIVERSITY),
