@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from georay import cells, codec
+from georay.ops import hilbert as hilbert_ops
 from georay.ops import join as join_ops
 from georay.ops import knn as knn_ops
 from georay.ops import pip as pip_ops
@@ -5599,6 +5600,79 @@ FROM customer""")
 SQL_PRECISION_ERROR = _sql_precision_error()
 
 
+# ------------------------------------------------------------- hilbert order
+
+
+def q_hilbert_order(sf_dir: str):
+    """Hilbert curve index per occupied tile cell (ops/hilbert.py — the
+    locality-preserving alternative to Morton for range partitioning).
+    Two-phase count aggregate, then the vectorized rotate/reflect walk over
+    the ≤2^bits aggregated cells; the SQL twin unrolls the identical
+    5-level loop as a CTE chain (pure integer CASE arithmetic, bit-exact)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def key_stage(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        d = hilbert_ops.hilbert_from_xy(x, y, BITS_TILE // 2)
+        return pa.table({
+            "x": x, "y": y, "hkey": d,
+            "n": t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+
+    return agg.map_batches(key_stage, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _sql_hilbert_order() -> str:
+    """Unroll hilbert_from_xy's level loop as integer-CASE CTE stages."""
+    order = BITS_TILE // 2
+    ctes = ["c0 AS (SELECT x0, y0, n, x0 AS x, y0 AS y, "
+            "CAST(0 AS BIGINT) AS d FROM cells)"]
+    for lvl in range(order):
+        s = 1 << (order - 1 - lvl)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        dinc = (f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+                f" WHEN {rx} = 0 AND {ry} = 1 THEN 1"
+                f" WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)")
+        xn = (f"(CASE WHEN {ry} = 0 THEN"
+              f" (CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
+              f" ELSE x END)")
+        yn = (f"(CASE WHEN {ry} = 0 THEN"
+              f" (CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
+              f" ELSE y END)")
+        ctes.append(
+            f"c{lvl + 1} AS (SELECT x0, y0, n, {xn} AS x, {yn} AS y, "
+            f"d + {s * s} * {dinc} AS d FROM c{lvl})")
+    cells_cte = (f"cells AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x0, "
+                 f"{sql_y(sql_lat('o_custkey'), 5)} AS y0, "
+                 f"CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2)")
+    return (f"WITH {cells_cte},\n" + ",\n".join(ctes)
+            + f"\nSELECT x0 AS x, y0 AS y, CAST(d AS BIGINT) AS hkey, n "
+              f"FROM c{order}")
+
+
+SQL_HILBERT_ORDER = _sql_hilbert_order()
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -5729,6 +5803,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "moran_i": (q_moran_i, SQL_MORAN_I),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
+        "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),
         "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
         "ntile_hist": (q_ntile_hist, SQL_NTILE_HIST),
         "tile_diversity": (q_tile_diversity, SQL_TILE_DIVERSITY),

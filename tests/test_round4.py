@@ -682,3 +682,61 @@ def test_cohort_retention_offset_zero_is_cohort_size(ray_session):
     for cd, n in sizes.items():
         assert int(z.loc[cd]) == int(n)
     assert int(got["n_users"].sum()) == len(df)
+
+
+def test_hilbert_bijection_adjacency_roundtrip():
+    """Full enumeration at order 4: the key is a bijection onto
+    [0, 4^order), consecutive indices are 4-adjacent grid neighbors (the
+    Hilbert locality property Morton lacks), and xy_from_hilbert inverts."""
+    import numpy as np
+
+    from georay.ops.hilbert import hilbert_from_xy, xy_from_hilbert
+
+    order, n = 4, 16
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = hilbert_from_xy(xx.ravel(), yy.ravel(), order)
+    assert sorted(d) == list(range(n * n))
+    idx = np.argsort(d)
+    px, py = xx.ravel()[idx], yy.ravel()[idx]
+    assert (np.abs(np.diff(px)) + np.abs(np.diff(py)) == 1).all()
+    rx, ry = xy_from_hilbert(d, order)
+    assert (rx == xx.ravel()).all() and (ry == yy.ravel()).all()
+
+
+def test_hilbert_canonical_order1():
+    import numpy as np
+
+    from georay.ops.hilbert import hilbert_from_xy
+
+    d = hilbert_from_xy(np.array([0, 0, 1, 1]), np.array([0, 1, 1, 0]), 1)
+    assert d.tolist() == [0, 1, 2, 3]
+
+
+def test_hilbert_sort_locality(ray_session):
+    """hilbert_sort output is key-ordered, and equal-size key ranges have
+    far smaller bounding boxes than the unsorted stream (the partition-
+    pruning payoff)."""
+    import numpy as np
+    import ray
+
+    from georay.ops.hilbert import hilbert_from_lonlat, hilbert_sort
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 4096)
+    lat = rng.uniform(-90, 90, 4096)
+    ds = ray.data.from_arrow(pa.table({"lon": lon, "lat": lat}))
+    out = hilbert_sort(ds.repartition(8), bits=16).to_pandas()
+    k = out["hkey"].to_numpy()
+    assert (np.diff(k) >= 0).all()
+    assert (np.sort(k) == np.sort(hilbert_from_lonlat(lon, lat, 16))).all()
+
+    def chunk_area(lon_v, lat_v, parts):
+        a = 0.0
+        for c in np.array_split(np.arange(len(lon_v)), parts):
+            a += (lon_v[c].max() - lon_v[c].min()) * (lat_v[c].max() - lat_v[c].min())
+        return a
+
+    sorted_area = chunk_area(out["lon"].to_numpy(), out["lat"].to_numpy(), 16)
+    unsorted_area = chunk_area(lon, lat, 16)
+    assert sorted_area < unsorted_area / 4
