@@ -5600,6 +5600,136 @@ FROM customer""")
 SQL_PRECISION_ERROR = _sql_precision_error()
 
 
+# -------------------------------------------------------------- cell area (S8)
+
+
+def q_cell_area(sf_dir: str):
+    """Spherical cell area (S8, codec.area model="sphere") per occupied
+    tile cell, oracle-verified: R²·Δλ·(sin φ₂ − sin φ₁) with the identical
+    float64 expression tree in SQL. Bit-exact because every grid boundary
+    is a dyadic-exact degree value and numpy's sin/radians match DuckDB's
+    libm on those inputs (asserted by this query's hash match). Two-phase
+    count aggregate; the area map runs distributed over ≤2^bits cells."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def area_stage(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        return pa.table({
+            "x": x, "y": y,
+            "n": t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "area_m2": codec.area(cell, BITS_TILE, model="sphere"),
+        })
+
+    return agg.map_batches(area_stage, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _sql_cell_area() -> str:
+    rr = 6371008.8 * 6371008.8  # _EARTH_R², evaluated the same way in codec
+    return f"""
+WITH c AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+b AS (SELECT x, y, n,
+             CAST(x AS DOUBLE) / 32.0 * 360.0 - 180.0 AS lon_min,
+             CAST(y AS DOUBLE) / 32.0 * 180.0 - 90.0 AS lat_min
+      FROM c)
+SELECT x, y, n,
+       {rr!r} * radians((lon_min + 11.25) - lon_min)
+              * (sin(radians(lat_min + 5.625)) - sin(radians(lat_min)))
+         AS area_m2
+FROM b
+"""
+
+
+SQL_CELL_AREA = _sql_cell_area()
+
+
+# ------------------------------------------------------------- where zones (S9)
+
+BITS_ZONE_PARENT = 6  # 8 x 8 parents over the 32 x 32 tile grid
+
+
+def q_where_zones(sf_dir: str):
+    """codec.where_zones (S9) oracle: assemble the 32×32 occupancy raster
+    (−1 = empty, else the 6-bit PARENT code of the fine cell), run the
+    zone scan, and report each occupied parent's bounding index box. The
+    distributed part is the two-phase count aggregate; the raster is
+    ≤2^bits cells by construction (X9 tiles are small), so the zone scan
+    itself is a bounded driver step — same boundedness contract as
+    raster_assembly. SQL twin: MIN/MAX row/col per parent over occupied
+    fine cells."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: ≤ 2^BITS_TILE occupied cells
+
+    nx, ny = codec.split_bits(BITS_TILE)
+    cell = agg["cell"].to_numpy().astype(np.uint64)
+    x, y = codec.deinterleave(cell, BITS_TILE)
+    lon_c, lat_c = codec.cell_center(x, y, BITS_TILE)
+    parent = codec.encode(lon_c, lat_c, BITS_ZONE_PARENT).astype(np.int64)
+    raster = np.full((1 << ny, 1 << nx), -1, dtype=np.int64)
+    raster[y, x] = parent
+    zones = codec.where_zones(raster)
+    zones.pop(-1, None)
+    codes = np.array(sorted(zones), dtype=np.uint64)
+    px, py = codec.deinterleave(codes, BITS_ZONE_PARENT)
+    boxes = [zones[int(c)] for c in codes]
+    return pd.DataFrame({
+        "px": px.astype(np.int64), "py": py.astype(np.int64),
+        "row_min": np.array([b[0][0] for b in boxes], dtype=np.int64),
+        "row_max": np.array([b[0][1] for b in boxes], dtype=np.int64),
+        "col_min": np.array([b[1][0] for b in boxes], dtype=np.int64),
+        "col_max": np.array([b[1][1] for b in boxes], dtype=np.int64),
+    })
+
+
+SQL_WHERE_ZONES = f"""
+WITH c AS (SELECT DISTINCT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                           {sql_y(sql_lat('o_custkey'), 5)} AS y
+           FROM orders)
+SELECT x // 4 AS px, y // 4 AS py,
+       CAST(MIN(y) AS BIGINT) AS row_min, CAST(MAX(y) AS BIGINT) AS row_max,
+       CAST(MIN(x) AS BIGINT) AS col_min, CAST(MAX(x) AS BIGINT) AS col_max
+FROM c GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- hilbert order
 
 
@@ -5804,6 +5934,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),
+        "cell_area": (q_cell_area, SQL_CELL_AREA),
+        "where_zones": (q_where_zones, SQL_WHERE_ZONES),
         "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
         "ntile_hist": (q_ntile_hist, SQL_NTILE_HIST),
         "tile_diversity": (q_tile_diversity, SQL_TILE_DIVERSITY),
