@@ -3579,6 +3579,51 @@ WHERE x >= {sql_x(str(IDX_BOX[0]), 8)} AND x <= {sql_x(str(IDX_BOX[2]), 8)}
 """
 
 
+IDX_PROBE_KEYS = (3, 7, 11, 19)
+
+
+def q_index_query_cells(sf_dir: str):
+    """X5 parity oracle: ``CellIndex.query_cells`` with ring-1 neighbor
+    expansion (the reference's border-tolerance query) over the cached
+    customer index — partition-pruned read + exact cell refine. The SQL
+    twin joins customers to the probe cells on wrapped-longitude /
+    clamped-latitude Chebyshev distance ≤ 1 (cells.k_ring's grid
+    semantics, cells.py:42)."""
+    import os
+
+    from georay.fixtures import CACHE_ROOT
+    from georay.index import CellIndex
+
+    root = os.path.join(
+        CACHE_ROOT, f"index_customer_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if not os.path.exists(os.path.join(root, "_index.json")):
+        cust = _read(sf_dir, "customer", columns=["c_custkey"])
+        pts = spatial.points_with_cells(cust, "c_custkey", BITS_IDX, xy=False)
+        CellIndex.build(pts, root, bits=BITS_IDX, prefix_bits=6)
+    idx = CellIndex(root)
+    keys = np.array(IDX_PROBE_KEYS, dtype=np.int64)
+    lon, lat = spatial.synth_lonlat(keys)
+    probes = codec.encode(lon, lat, BITS_IDX)
+    out = idx.query_cells(probes, columns=["c_custkey"],
+                          expand_neighbors=True, ring=1)
+    if out is None:
+        import pandas as pd
+
+        return pd.DataFrame({"c_custkey": np.empty(0, dtype=np.int64)})
+    return out.select_columns(["c_custkey"])
+
+
+SQL_INDEX_QUERY_CELLS = f"""
+WITH c AS ({_sql_point_cte('customer', 'c_custkey', BITS_IDX)}),
+p AS (SELECT {sql_x(sql_lon('k'), 8)} AS px, {sql_y(sql_lat('k'), 8)} AS py
+      FROM (SELECT UNNEST({list(IDX_PROBE_KEYS)}) AS k))
+SELECT DISTINCT c_custkey FROM c JOIN p
+  ON (((x - px) % 256 + 256) % 256) IN (0, 1, 255)
+ AND ABS(y - py) <= 1
+"""
+
+
 # -------------------------------------------------------------------- flagship
 
 
@@ -5869,6 +5914,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "compact_cells": (q_compact, SQL_COMPACT),
         "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
         "index_query_box": (q_index_query_box, SQL_INDEX_QUERY_BOX),
+        "index_query_cells": (q_index_query_cells, SQL_INDEX_QUERY_CELLS),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_session": (q_events_session, SQL_EVENTS_SESSION),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
