@@ -5848,6 +5848,29 @@ def _sql_hilbert_order() -> str:
 SQL_HILBERT_ORDER = _sql_hilbert_order()
 
 
+# ------------------------------------------- fuzzy edit-distance-1 dedup pairs
+
+
+def q_fuzzy_edit1(sf_dir: str):
+    """SymSpell-style fuzzy dedup: all distinct ``documents.source`` pairs
+    at byte-level edit distance ≤ 1 (ops/fuzzy.py). Blocking is the
+    symmetric-delete neighborhood — candidates share a deletion-variant
+    hash, no all-pairs stage — with exact vectorized verification inside
+    each variant bucket. Byte-level distance ≡ DuckDB's character-level
+    ``levenshtein`` on this ASCII corpus."""
+    from georay.ops import fuzzy as fuzzy_ops
+
+    docs = _read(sf_dir, "documents", columns=["source"])
+    return fuzzy_ops.edit1_pairs(docs, "source")
+
+
+SQL_FUZZY_EDIT1 = """
+WITH d AS (SELECT DISTINCT source AS s FROM documents)
+SELECT a.s AS a, b.s AS b
+FROM d a JOIN d b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -5987,4 +6010,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "tile_diversity": (q_tile_diversity, SQL_TILE_DIVERSITY),
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
         "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+        "fuzzy_edit1": (q_fuzzy_edit1, SQL_FUZZY_EDIT1),
     }

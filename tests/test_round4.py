@@ -740,3 +740,59 @@ def test_hilbert_sort_locality(ray_session):
     sorted_area = chunk_area(out["lon"].to_numpy(), out["lat"].to_numpy(), 16)
     unsorted_area = chunk_area(lon, lat, 16)
     assert sorted_area < unsorted_area / 4
+
+
+def test_fuzzy_verify_edit1_exact():
+    """verify_edit1 agrees with a classic DP Levenshtein on random pairs."""
+    import numpy as np
+
+    from georay.ops.fuzzy import verify_edit1
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    rng = np.random.default_rng(11)
+    alpha = np.array(list("abc"))
+    pa_, pb_ = [], []
+    for _ in range(400):
+        la = rng.integers(0, 6)
+        lb = rng.integers(0, 6)
+        pa_.append("".join(alpha[rng.integers(0, 3, la)]))
+        pb_.append("".join(alpha[rng.integers(0, 3, lb)]))
+    got = verify_edit1(np.array(pa_, dtype=object), np.array(pb_, dtype=object))
+    want = np.array([lev(a, b) <= 1 for a, b in zip(pa_, pb_)])
+    assert (got == want).all()
+
+
+def test_fuzzy_edit1_pairs_brute_parity(ray_session):
+    """edit1_pairs over a random corpus == brute-force all-pairs check,
+    including duplicates in the input (distinct-pair semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.ops import fuzzy
+    from georay.ops.fuzzy import verify_edit1
+
+    rng = np.random.default_rng(3)
+    alpha = np.array(list("ab"))
+    corpus = ["".join(alpha[rng.integers(0, 2, rng.integers(1, 7))])
+              for _ in range(500)]
+    ds = ray.data.from_arrow(pa.table({"s": np.array(corpus, dtype=object)}))
+    out = fuzzy.edit1_pairs(ds.repartition(4), "s", num_buckets=8).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+
+    uniq = sorted(set(corpus))
+    ia, ib = np.triu_indices(len(uniq), k=1)
+    ua = np.array(uniq, dtype=object)
+    ok = verify_edit1(ua[ia], ua[ib])
+    want = {(ua[i], ua[j]) for i, j in zip(ia[ok], ib[ok])}
+    assert got == want and len(want) > 50
