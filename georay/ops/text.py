@@ -220,6 +220,125 @@ def dedup_by_fingerprint(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def make_gram_hash_rows(k: int, id_col: str, text_col: str):
+    """Batch fn: one ``(g, id)`` row per k-token window of every document.
+
+    Fully vectorized via the offsets idiom — tokens factorize per batch,
+    only DISTINCT tokens are string-hashed, and the k-gram hash is a k-term
+    polynomial combine of consecutive token hashes (k shifted multiply-adds,
+    no per-window loop). Each token fingerprint passes through splitmix64
+    BEFORE the combine so token boundaries can't alias (see
+    ngram_span_stats's docstring for the aliasing example). Shared by
+    ngram_span_stats and decontaminate."""
+    import pandas as pd
+
+    def gram_rows(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        tok_lists = df[text_col].str.split(" ")
+        lens = tok_lists.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in tok_lists]) if len(df) else \
+            np.empty(0, dtype=object)
+        codes, uniq = pd.factorize(flat)
+        tok_h = (
+            splitmix64(fingerprint64(np.asarray(uniq, dtype=object)))[codes]
+            if uniq.size else np.empty(0, dtype=np.uint64)
+        )
+        n_grams = np.maximum(lens - k + 1, 0)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        gram_offs = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
+        base = np.repeat(offs, n_grams)
+        ramp = np.arange(int(n_grams.sum()), dtype=np.int64) - np.repeat(
+            gram_offs, n_grams
+        )
+        starts = base + ramp
+        powers = _fp_powers(k)
+        g = np.zeros(starts.size, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                g += tok_h[starts + j] * powers[k - 1 - j]
+        doc = np.repeat(df[id_col].to_numpy().astype(np.int64), n_grams)
+        return pa.table({"g": g.view(np.int64), id_col: doc})
+
+    return gram_rows
+
+
+def decontaminate(train, bench, k: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 8,
+                  combine_partitions: int = 8):
+    """Benchmark decontamination (the GPT-3 appendix-C / Brown et al. 2020
+    shape, at token-k-gram granularity): flag every training document that
+    shares ANY k-token span with a held-out benchmark corpus, reporting per
+    train doc its total span count and how many spans are contaminated.
+
+    Plan — only 64-bit gram hashes ever shuffle, never text, and the
+    benchmark side is a HASH JOIN, never a broadcast (a benchmark can be
+    millions of grams; nothing here assumes it fits in one object):
+
+    1. Both corpora tokenize to (gram_hash, id) rows via
+       :func:`make_gram_hash_rows`.
+    2. The benchmark grams dedup with a two-phase count (count_by) — its
+       output is the distinct contaminated-gram key set.
+    3. Train gram totals come straight off the gram rows (per-batch
+       partials); contaminated counts come from an inner hash join of the
+       train gram rows against the distinct benchmark grams. Both partial
+       streams UNION into one Sum groupby, so clean documents (zero
+       contaminated spans) still appear — no outer join needed.
+
+    Output: ``id_col, n_grams, n_contam`` for train docs with ≥ k tokens.
+    """
+    from ray.data.aggregate import Sum
+
+    from georay.ops.tiles import count_by
+
+    gram_rows = make_gram_hash_rows(k, id_col, text_col)
+
+    train_grams = train.select_columns([id_col, text_col]).map_batches(
+        gram_rows, batch_format="pandas"
+    ).materialize()  # consumed twice: totals + the contamination join
+
+    bench_keys = count_by(
+        bench.select_columns([id_col, text_col])
+        .map_batches(gram_rows, batch_format="pandas")
+        .select_columns(["g"]),
+        "g", out_col="_n_bench", combine_partitions=combine_partitions,
+    ).repartition(num_partitions)  # merge blocks: Acero rejects
+    # schema-less empties (CLAUDE.md invariant)
+
+    def totals(t: pa.Table) -> pa.Table:
+        doc = t[id_col].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(doc, return_counts=True)
+        z = np.zeros(u.size, np.int64)
+        return pa.table({id_col: u, "p_grams": cnt.astype(np.int64),
+                         "p_contam": z})
+
+    total_partials = train_grams.map_batches(
+        totals, batch_format="pyarrow", zero_copy_batch=True)
+
+    hits = train_grams.join(
+        bench_keys, join_type="inner", num_partitions=num_partitions,
+        on=("g",), right_suffix="_r",
+    )
+
+    def contam(t: pa.Table) -> pa.Table:
+        doc = t[id_col].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(doc, return_counts=True)
+        z = np.zeros(u.size, np.int64)
+        return pa.table({id_col: u, "p_grams": z,
+                         "p_contam": cnt.astype(np.int64)})
+
+    contam_partials = hits.map_batches(
+        contam, batch_format="pyarrow", zero_copy_batch=True)
+
+    return (
+        total_partials.union(contam_partials)
+        .repartition(combine_partitions)
+        .groupby(id_col)
+        .aggregate(Sum("p_grams", alias_name="n_grams"),
+                   Sum("p_contam", alias_name="n_contam"))
+    )
+
+
 def ngram_span_stats(ds, k: int = 8, id_col: str = "doc_id",
                      text_col: str = "text", num_partitions: int = 8,
                      combine_partitions: int = 8):
@@ -253,39 +372,11 @@ def ngram_span_stats(ds, k: int = 8, id_col: str = "doc_id",
 
     Output: ``id_col, n_spans, n_dup_spans`` for docs with ≥ k tokens.
     """
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
     from georay.ops.tiles import count_by
 
-    def gram_rows(df: pd.DataFrame) -> pa.Table:
-        df = df.reset_index(drop=True)
-        tok_lists = df[text_col].str.split(" ")
-        lens = tok_lists.str.len().to_numpy().astype(np.int64)
-        flat = np.concatenate([np.asarray(t, dtype=object)
-                               for t in tok_lists]) if len(df) else \
-            np.empty(0, dtype=object)
-        codes, uniq = pd.factorize(flat)
-        tok_h = (
-            splitmix64(fingerprint64(np.asarray(uniq, dtype=object)))[codes]
-            if uniq.size else np.empty(0, dtype=np.uint64)
-        )
-        n_grams = np.maximum(lens - k + 1, 0)
-        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
-        gram_offs = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
-        base = np.repeat(offs, n_grams)
-        ramp = np.arange(int(n_grams.sum()), dtype=np.int64) - np.repeat(
-            gram_offs, n_grams
-        )
-        starts = base + ramp
-        powers = _fp_powers(k)
-        g = np.zeros(starts.size, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(k):
-                g += tok_h[starts + j] * powers[k - 1 - j]
-        doc = np.repeat(df[id_col].to_numpy().astype(np.int64), n_grams)
-        return pa.table({"g": g.view(np.int64), id_col: doc})
+    gram_rows = make_gram_hash_rows(k, id_col, text_col)
 
     grams = ds.select_columns([id_col, text_col]).map_batches(
         gram_rows, batch_format="pandas"

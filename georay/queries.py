@@ -3813,6 +3813,46 @@ GROUP BY doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C shape): train docs =
+    ``doc_id % 10 != 0``, benchmark = the rest; per train doc, its 8-token
+    span count and how many spans appear ANYWHERE in the benchmark. The
+    benchmark gram set is hash-joined, never broadcast
+    (ops.text.decontaminate)."""
+    from georay.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % 10 == 0) if keep_bench else (d % 10 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    train = docs.map_batches(split(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    bench = docs.map_batches(split(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return text_ops.decontaminate(train, bench, k=8)
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id,
+         array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS g
+  FROM toks, UNNEST(range(1, CAST(len(ts) AS BIGINT) - 6)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(b.g) AS BIGINT) AS n_contam
+FROM train t LEFT JOIN bench b USING (g)
+GROUP BY t.doc_id
+"""
+
+
 def q_top_orders_monthly(sf_dir: str):
     """Top-5 orders by price per calendar month — the ROW_NUMBER() <= k
     shape via two-phase grouped top-k (ops.rank.grouped_topk): only per-
@@ -5965,6 +6005,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "video_frames": (q_video_frames, sql_video_frames(n_video)),
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
         "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "setsim_join": (q_setsim_join, SQL_SETSIM),
         "cooccur_topk": (q_cooccur_topk, SQL_COOCCUR),
         "top_orders_monthly": (q_top_orders_monthly, SQL_TOP_ORDERS_MONTHLY),

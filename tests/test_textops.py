@@ -772,3 +772,64 @@ def test_sq8_topk_matches_brute_int_ranking(ray_session, emb_table):
         rows, columns=["query_id", "neighbor_id", "score", "rank"]
     ).sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_decontaminate_vs_brute(ray_session):
+    """Brute-force parity: per train doc, total k-grams and grams present
+    in the benchmark gram set (string-level ground truth vs the hashed
+    distributed plan), including docs with zero contamination and docs
+    shorter than k (absent from both)."""
+    import ray.data
+
+    from georay.ops.text import decontaminate
+
+    rng = np.random.RandomState(23)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for did in range(80):
+        toks = [vocab[j] for j in rng.randint(0, 30, size=rng.randint(2, 25))]
+        docs.append((did, " ".join(toks)))
+    # plant a 6-token benchmark span inside two train docs
+    span = " ".join(vocab[3:9])
+    docs[7] = (7, docs[7][1] + " " + span)          # bench (7 % 7 == 0)
+    docs[12] = (12, span + " " + docs[12][1])       # train, contaminated
+    docs[19] = (19, "x " + span)                    # train, contaminated
+    k = 4
+    bench_ids = {d for d, _ in docs if d % 7 == 0}
+
+    def grams(text):
+        ts = text.split(" ")
+        return [" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)]
+
+    bench_set = {g for d, t in docs if d in bench_ids for g in grams(t)}
+    want = {}
+    for d, t in docs:
+        if d in bench_ids:
+            continue
+        gs = grams(t)
+        if gs:
+            want[d] = (len(gs), sum(g in bench_set for g in gs))
+
+    tab = pa.table(
+        {"doc_id": np.array([d for d, _ in docs], dtype=np.int64),
+         "text": [t for _, t in docs]}
+    )
+    ds = ray.data.from_arrow(tab).repartition(5)
+
+    def keep(pred):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(pred(ids)))
+        return fn
+
+    train = ds.map_batches(keep(lambda i: i % 7 != 0), batch_format="pyarrow")
+    bench = ds.map_batches(keep(lambda i: i % 7 == 0), batch_format="pyarrow")
+    got = (
+        decontaminate(train, bench, k=k, num_partitions=3,
+                      combine_partitions=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[int(row.doc_id)] == (int(row.n_grams), int(row.n_contam))
+    assert got["n_contam"].sum() >= 2 * (6 - k + 1)  # planted spans found
