@@ -5207,6 +5207,130 @@ GROUP BY 1, 2
 
 TRI_DEG = 3
 
+KCORE_K = 5
+KCORE_ROUNDS = 3
+
+
+def q_kcore(sf_dir: str):
+    """K-core decomposition by distributed peeling over the same
+    hash-derived social graph as ``triangle_count``: {KCORE_ROUNDS} rounds
+    of (two-phase degree count → keep nodes with degree ≥ {KCORE_K} →
+    filter edges to surviving endpoints via two hash joins). At fixpoint
+    this is the exact k-core; the operator contract (and the SQL twin,
+    which unrolls the rounds as chained CTEs, the kmeans/pagerank idiom)
+    is the fixed-round prefix — each round is one O(edges) exchange, the
+    graph never collects on the driver. Output: (node, deg) in the
+    round-{KCORE_ROUNDS} subgraph."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from georay.ops.sketch import splitmix64
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    n_nodes = cust.count()
+    B = np.int64(1) << np.int64(32)
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        u = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.repeat(u, TRI_DEG)
+        seed = (a * 4 + np.tile(np.arange(TRI_DEG, dtype=np.int64), u.size))
+        d = (splitmix64(seed.astype(np.uint64))
+             % np.uint64(n_nodes)).astype(np.int64) + 1
+        lo, hi = np.minimum(a, d), np.maximum(a, d)
+        m = lo != hi
+        return pa.table({"ek": np.unique(lo[m] * B + hi[m])})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ek = t["ek"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": ek // B, "b": ek % B})
+
+    edges = (
+        cust.map_batches(gen_edges, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .repartition(8)
+        .groupby("ek")
+        .aggregate(Count())
+        .repartition(4)
+        .map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        node = np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False),
+        ])
+        u, cnt = np.unique(node, return_counts=True)
+        return pa.table({"node": u, "p_deg": cnt.astype(np.int64)})
+
+    def degrees(es):
+        return (
+            es.map_batches(deg_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(4)
+            .groupby("node")
+            .aggregate(Sum("p_deg", alias_name="deg"))
+            .repartition(4)  # merge blocks: Acero rejects schema-less empties
+        )
+
+    for _ in range(KCORE_ROUNDS):
+        surv = degrees(edges).map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["deg"], KCORE_K)
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).repartition(2).materialize()  # consumed twice (both join sides)
+
+        def as_key(col):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.rename_columns([col])
+            return fn
+
+        edges = (
+            edges.join(
+                surv.map_batches(as_key("a"), batch_format="pyarrow"),
+                join_type="inner", num_partitions=4, on=("a",),
+            )
+            .join(
+                surv.map_batches(as_key("b"), batch_format="pyarrow")
+                .repartition(2),
+                join_type="inner", num_partitions=4, on=("b",),
+            )
+            .select_columns(["a", "b"])
+            .materialize()
+        )
+
+    return degrees(edges)
+
+
+SQL_KCORE = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS UBIGINT) AS nc FROM customer),
+src AS (SELECT c_custkey, j FROM customer
+        CROSS JOIN (VALUES (0), (1), (2)) s(j)),
+e0 AS (SELECT LEAST(c_custkey, CAST(hu % nc AS BIGINT) + 1) AS a,
+              GREATEST(c_custkey, CAST(hu % nc AS BIGINT) + 1) AS b
+       FROM {sketch_sql_subquery('src', 'c_custkey * 4 + j', 'hu')} h
+       CROSS JOIN nn),
+e AS (SELECT DISTINCT a, b FROM e0 WHERE a <> b),
+d1 AS (SELECT node, COUNT(*) AS c FROM
+       (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+v1 AS (SELECT node FROM d1 WHERE c >= {KCORE_K}),
+e1 AS (SELECT e.a, e.b FROM e JOIN v1 va ON va.node = e.a
+       JOIN v1 vb ON vb.node = e.b),
+d2 AS (SELECT node, COUNT(*) AS c FROM
+       (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node),
+v2 AS (SELECT node FROM d2 WHERE c >= {KCORE_K}),
+e2 AS (SELECT e1.a, e1.b FROM e1 JOIN v2 va ON va.node = e1.a
+       JOIN v2 vb ON vb.node = e1.b),
+d3 AS (SELECT node, COUNT(*) AS c FROM
+       (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node),
+v3 AS (SELECT node FROM d3 WHERE c >= {KCORE_K}),
+e3 AS (SELECT e2.a, e2.b FROM e2 JOIN v3 va ON va.node = e2.a
+       JOIN v3 vb ON vb.node = e2.b)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+(SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY node
+"""
+
 
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting over a deterministic hash-derived
@@ -6051,5 +6175,6 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "tile_diversity": (q_tile_diversity, SQL_TILE_DIVERSITY),
         "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
         "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+        "kcore": (q_kcore, SQL_KCORE),
         "fuzzy_edit1": (q_fuzzy_edit1, SQL_FUZZY_EDIT1),
     }

@@ -796,3 +796,45 @@ def test_fuzzy_edit1_pairs_brute_parity(ray_session):
     ok = verify_edit1(ua[ia], ua[ib])
     want = {(ua[i], ua[j]) for i, j in zip(ia[ok], ib[ok])}
     assert got == want and len(want) > 50
+
+
+def test_kcore_brute_parity(ray_session):
+    """Replicate the 3-round K=5 peeling in plain numpy on the sf0.001
+    hash graph and require exact (node, deg) parity with the distributed
+    join-based peeling."""
+    import duckdb
+
+    from georay.ops.sketch import splitmix64
+    from georay.queries import q_kcore, KCORE_K, KCORE_ROUNDS, TRI_DEG
+
+    sf = "/root/testdata/sf0.001"
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/customer.parquet')"
+    ).fetchone()[0]
+    keys = duckdb.sql(
+        f"SELECT c_custkey FROM read_parquet('{sf}/customer.parquet')"
+    ).fetchdf()["c_custkey"].to_numpy().astype(np.int64)
+
+    a = np.repeat(keys, TRI_DEG)
+    seed = a * 4 + np.tile(np.arange(TRI_DEG, dtype=np.int64), keys.size)
+    d = (splitmix64(seed.astype(np.uint64)) % np.uint64(n)).astype(
+        np.int64) + 1
+    lo, hi = np.minimum(a, d), np.maximum(a, d)
+    m = lo != hi
+    ek = np.unique(lo[m] * (np.int64(1) << 32) + hi[m])
+    ea, eb = ek >> 32, ek & ((np.int64(1) << 32) - 1)
+
+    for _ in range(KCORE_ROUNDS):
+        nodes = np.concatenate([ea, eb])
+        u, cnt = np.unique(nodes, return_counts=True)
+        surv = set(u[cnt >= KCORE_K].tolist())
+        keep = np.array([x in surv and y in surv for x, y in zip(ea, eb)])
+        ea, eb = ea[keep], eb[keep]
+
+    u, cnt = np.unique(np.concatenate([ea, eb]), return_counts=True)
+    want = dict(zip(u.tolist(), cnt.tolist()))
+
+    got = q_kcore(sf).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[int(r.node)] == int(r.deg)
