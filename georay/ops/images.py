@@ -314,6 +314,55 @@ def sample_video_frames(ds, every_n: int = 10):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
 
 
+def scene_cuts(ds, thresh_per_byte: int = 7):
+    """Scene-cut detection over video payloads: per video, the per-frame
+    byte-sum signature is diffed frame-to-frame and a cut is declared where
+    ``|Δsum| > thresh_per_byte · frame_bytes`` (a mean per-byte shift above
+    the threshold). A video's frames live inside its ONE blob row, so the
+    whole detector is an embarrassingly-parallel ``map_batches`` — no
+    shuffle, no frame explosion; only (video_id, n_frames, n_cuts) leaves
+    the stage. Same rawv-only codec boundary as
+    :func:`sample_video_frames` (no ffmpeg in this sandbox).
+
+    Real scene-cut detectors swap the byte-sum signature for a color
+    histogram or feature distance per frame — the plumbing (in-blob frame
+    walk, per-video vectorized diff) is identical.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        ids = t["video_id"].to_pylist()
+        n = len(blobs)
+        n_frames = np.zeros(n, np.int64)
+        n_cuts = np.zeros(n, np.int64)
+        for j, (fmt, blob) in enumerate(zip(fmts, blobs)):
+            if fmt != "rawv":
+                raise NotImplementedError(
+                    f"video codec {fmt!r} unavailable in this sandbox"
+                    " (no ffmpeg)"
+                )
+            w, h, nf = np.frombuffer(blob[:6], dtype=np.uint16)
+            fb = int(w) * int(h) * 3
+            # all frames of one video in ONE vectorized pass
+            fr = np.frombuffer(blob, dtype=np.uint8, count=int(nf) * fb,
+                               offset=6).reshape(int(nf), fb)
+            sums = fr.sum(axis=1, dtype=np.int64)
+            n_frames[j] = int(nf)
+            n_cuts[j] = int(
+                (np.abs(np.diff(sums)) > thresh_per_byte * fb).sum()
+            )
+        return pa.table(
+            {
+                "video_id": pa.array(ids, pa.string()),
+                "n_frames": pa.array(n_frames),
+                "n_cuts": pa.array(n_cuts),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
 def perceptual_hashes(ds, out_col: str = "ahash"):
     """image_id + 64-bit perceptual aHash per image: decode → grayscale
     8×8 block means → median threshold (images.ahash64). Stateless tasks;

@@ -1616,6 +1616,51 @@ FROM s
 """
 
 
+def q_video_scene_cuts(sf_dir: str):
+    """Scene-cut detection: per video, count frame-to-frame signature
+    jumps above 7·frame_bytes (ops.images.scene_cuts — zero-shuffle, the
+    frames never explode out of the blob row)."""
+    from georay import fixtures
+    from georay.ops import images as img_ops
+
+    ds = fixtures.read_video(sf_dir)
+    cuts = img_ops.scene_cuts(ds, thresh_per_byte=7)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.cast(pc.utf8_slice_codeunits(t["video_id"], 3, 12), pa.int64())
+        return pa.table({"vid_idx": idx, "n_frames": t["n_frames"],
+                         "n_cuts": t["n_cuts"]})
+
+    return cuts.map_batches(project, batch_format="pyarrow")
+
+
+def sql_video_scene_cuts(n: int) -> str:
+    """LAG twin over the closed-form frame byte sums (sql_video_frames'
+    arithmetic-run formula at frame step 1)."""
+    return f"""
+WITH v AS (SELECT i, 4 + (i % 3) * 2 AS w, 4 + (i % 2) * 2 AS h,
+                  10 + (i % 11) * 3 AS nf
+           FROM range(0, {n}) t(i)),
+f AS (SELECT i, w * h * 3 AS fb, nf, unnest(range(0, nf)) AS fidx FROM v),
+s AS (SELECT i, fidx, fb, nf, (i * 31 + fidx * 7) % 256 AS st FROM f),
+fs AS (SELECT i, fidx, fb, nf,
+       CAST(CASE WHEN st + fb <= 256
+            THEN fb * st + fb * (fb - 1) // 2
+            ELSE (st + 255) * (256 - st) // 2
+               + (fb - (256 - st) - 1) * (fb - (256 - st)) // 2 END
+            AS BIGINT) AS fsum
+       FROM s),
+d AS (SELECT i, nf, fb,
+             fsum - LAG(fsum) OVER (PARTITION BY i ORDER BY fidx) AS dd
+      FROM fs)
+SELECT i AS vid_idx, CAST(MAX(nf) AS BIGINT) AS n_frames,
+       CAST(COUNT(*) FILTER (ABS(dd) > 7 * fb) AS BIGINT) AS n_cuts
+FROM d GROUP BY i
+"""
+
+
 # ------------------------------------------------------ near-dup / text suite
 
 
@@ -6127,6 +6172,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         ),
         "audio_features": (q_audio_features, sql_audio_features(n_audio)),
         "video_frames": (q_video_frames, sql_video_frames(n_video)),
+        "video_scene_cuts": (q_video_scene_cuts,
+                             sql_video_scene_cuts(n_video)),
         "knn_global": (q_knn_global, SQL_KNN_GLOBAL),
         "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

@@ -135,3 +135,38 @@ def test_audio_unknown_codec_raises(ray_session):
     )
     with pytest.raises(Exception, match="audio codec|NotImplemented"):
         audio_features(ray.data.from_arrow(t)).to_pandas()
+
+
+def test_scene_cuts_planted_jump(ray_session):
+    """A video whose frames are constant except one hard jump must report
+    exactly 2 cuts (into and out of... no — one transition per boundary:
+    constant→bright counts once) at the 7·fb threshold."""
+    import struct
+
+    import ray
+
+    from georay.ops.images import scene_cuts
+
+    w, h, nf = 4, 4, 6
+    fb = w * h * 3
+    frames = np.zeros((nf, fb), dtype=np.uint8)
+    frames[:] = 10
+    frames[3] = 200  # one bright frame → cuts at 2->3 and 3->4
+    blob = struct.pack("<HHH", w, h, nf) + frames.tobytes()
+    flat = np.full((nf, fb), 10, dtype=np.uint8)  # no jump anywhere
+    blob2 = struct.pack("<HHH", w, h, nf) + flat.tobytes()
+    t = pa.table(
+        {
+            "video_id": ["v1", "v2"],
+            "fmt": ["rawv", "rawv"],
+            "bytes": pa.array([blob, blob2], pa.binary()),
+        }
+    )
+    out = scene_cuts(ray.data.from_arrow(t)).to_pandas().set_index("video_id")
+    assert out.loc["v1", "n_frames"] == nf and out.loc["v1", "n_cuts"] == 2
+    assert out.loc["v2", "n_cuts"] == 0
+
+    bad = pa.table({"video_id": ["x"], "fmt": ["mp4"],
+                    "bytes": pa.array([b"\x00" * 32], pa.binary())})
+    with pytest.raises(Exception, match="ffmpeg|video codec"):
+        scene_cuts(ray.data.from_arrow(bad)).to_pandas()
