@@ -3466,6 +3466,53 @@ WHERE rank <= 20
 """
 
 
+def q_mix_sources(sf_dir: str):
+    """Training-data mixture weighting (the LLM corpus-mixing shape: each
+    source gets a sampling weight; weights < 1 thin deterministically,
+    weights > 1 up-sample by emitting copies): source ``srcN`` keeps a doc
+    iff ``splitmix64(doc_id) % 4 < N % 4 + 1`` (rates 0.25/0.50/0.75/1.0)
+    and emits 2 copies when ``N % 5 == 0`` (weight 2·rate). Stateless,
+    zero-shuffle, reproducible across runs and cluster sizes — the mixture
+    is a pure function of (doc_id, source), never of block boundaries."""
+    from georay.ops.sketch import splitmix64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def mix(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_pylist()
+        sn = pd.Series(src).str.slice(3).astype(np.int64).to_numpy()
+        hu = splitmix64(doc.astype(np.uint64))
+        keep = (hu % np.uint64(4)).astype(np.int64) < (sn % 4 + 1)
+        doc, sn = doc[keep], sn[keep]
+        src_arr = pa.array(src).filter(pa.array(keep))
+        nc = np.where(sn % 5 == 0, 2, 1).astype(np.int64)
+        idx = np.repeat(np.arange(doc.size), nc)
+        offs = np.concatenate([[0], np.cumsum(nc)])[:-1]
+        copy = np.arange(int(nc.sum()), dtype=np.int64) - np.repeat(offs, nc)
+        return pa.table({
+            "doc_id": doc[idx],
+            "source": src_arr.take(pa.array(idx)),
+            "copy": copy,
+        })
+
+    return docs.map_batches(mix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_MIX_SOURCES = f"""
+WITH h AS (SELECT doc_id, source, hu FROM
+  {sketch_sql_subquery('(SELECT doc_id, source FROM documents)', 'doc_id')}),
+p AS (SELECT doc_id, source, CAST(SUBSTR(source, 4) AS BIGINT) AS sn, hu
+      FROM h),
+k AS (SELECT doc_id, source, CASE WHEN sn % 5 = 0 THEN 2 ELSE 1 END AS nc
+      FROM p WHERE CAST(hu % 4 AS BIGINT) < sn % 4 + 1)
+SELECT doc_id, source, CAST(c AS BIGINT) AS copy
+FROM k, UNNEST(range(0, nc)) t(c)
+"""
+
+
 def q_top_customers(sf_dir: str):
     """Global sort + limit (distributed range-partitioned sort): top 50
     customers by account balance, deterministic tie-break on key."""
@@ -6158,6 +6205,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "grouped_quantiles": (q_quantiles, SQL_QUANTILES),
         "grouped_quantiles_binned": (q_quantiles_binned, SQL_QUANTILES_BINNED),
         "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "mix_sources": (q_mix_sources, SQL_MIX_SOURCES),
         "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
         "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
         "customers_no_orders_bloom": (
