@@ -244,6 +244,70 @@ def q_polygon_cover_compact(sf_dir: str):
     return _cover_xy(cells.uncompact_dataset(mixed, BITS_POLY))
 
 
+def q_cover_area(sf_dir: str):
+    """Spherical area of a polygon's cell cover, per latitude band (S4×S8
+    composition: polyfill → codec.area): each band's area is
+    ``n_cells × band_cell_area`` — ONE float multiply of an int count by
+    the closed-form band area, so no float summation order ever crosses
+    the distributed/SQL boundary (band boundaries are dyadic-exact
+    degrees; the sin/radians parity is the cell_area contract)."""
+    from ray.data.aggregate import Sum
+
+    rx, ry = poly_l_ring()
+    cov = cells.polygon_cover_dataset(rx, ry, BITS_POLY)
+
+    def band_partial(t: pa.Table) -> pa.Table:
+        _, y = codec.deinterleave(
+            t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            BITS_POLY,
+        )
+        u, n = np.unique(y.astype(np.int64), return_counts=True)
+        return pa.table({"cy": u, "p_n": n.astype(np.int64)})
+
+    agg = (
+        cov.map_batches(band_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .repartition(4)
+        .groupby("cy")
+        .aggregate(Sum("p_n", alias_name="n_cells"))
+    )
+
+    nx, ny = codec.split_bits(BITS_POLY)
+
+    def fin(t: pa.Table) -> pa.Table:
+        y = t["cy"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # one representative cell per band: x = 0 (area is x-independent;
+        # every band boundary is a dyadic-exact degree value)
+        code = codec.interleave(np.zeros_like(y), y, BITS_POLY)
+        n = t["n_cells"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band = codec.area(code, BITS_POLY, model="sphere")
+        return pa.table({
+            "cy": t["cy"], "n_cells": t["n_cells"],
+            "area_m2": n.astype(np.float64) * band,
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_cover_area() -> str:
+    nx, ny = codec.split_bits(BITS_POLY)
+    sx, sy = 360.0 / (1 << nx), 180.0 / (1 << ny)
+    rr = 6371008.8 * 6371008.8
+    return f"""
+WITH cov AS ({_sql_polygon_cover()}),
+b AS (SELECT cy, CAST(COUNT(*) AS BIGINT) AS n_cells FROM cov GROUP BY cy),
+g AS (SELECT cy, n_cells,
+             CAST(cy AS DOUBLE) / {float(1 << ny)!r} * 180.0 - 90.0 AS lat_min
+      FROM b)
+SELECT cy, n_cells,
+       CAST(n_cells AS DOUBLE) *
+       ({rr!r} * radians((-180.0 + {sx!r}) - (-180.0))
+               * (sin(radians(lat_min + {sy!r})) - sin(radians(lat_min))))
+         AS area_m2
+FROM g
+"""
+
+
 def _sql_polygon_cover() -> str:
     nx, ny = codec.split_bits(BITS_POLY)
     sx, sy = 360.0 / (1 << nx), 180.0 / (1 << ny)
@@ -269,6 +333,7 @@ WHERE (lon >= {l0!r} AND lon < {l0 + w!r}
 
 
 SQL_POLYGON_COVER = _sql_polygon_cover()
+SQL_COVER_AREA = _sql_cover_area()
 
 
 # ---------------------------------------------------------------- spatial join
@@ -6149,6 +6214,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "cover_grid": (q_cover_grid, SQL_COVER_GRID),
         "polygon_cover": (q_polygon_cover, SQL_POLYGON_COVER),
         "polygon_cover_compact": (q_polygon_cover_compact, SQL_POLYGON_COVER),
+        "cover_area": (q_cover_area, SQL_COVER_AREA),
         "spatial_join": (q_spatial_join, SQL_SPATIAL_JOIN),
         "spatial_join_shuffle": (q_spatial_join_shuffle, SQL_SPATIAL_JOIN),
         "knn_ring1": (q_knn, SQL_KNN),
