@@ -813,3 +813,128 @@ def sq8_topk(ds, query_mask_mod: int = 10, k: int = 5,
     return local.repartition(8).groupby("query_id").map_groups(
         merge, batch_format="pandas"
     )
+
+
+def pq_topk(ds, m_subspaces: int = 8, n_codewords: int = 16,
+            query_mask_mod: int = 10, k: int = 5,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            combine_partitions: int = 4):
+    """ANN top-k via PRODUCT QUANTIZATION with asymmetric-distance (ADC)
+    scoring (Jegou et al. 2011) - the memory scale path beyond SQ8: each
+    vector stores only ``m_subspaces`` one-byte codeword ids (64x smaller
+    than float32 at 64 dims / 8 subspaces), and scoring gathers per-query
+    lookup tables instead of touching the vector at all.
+
+    Exactness contract: everything downstream of the float input runs on
+    SQ8 INTEGER codes (:func:`sq8_quantize` with the distributed per-dim
+    ranges), so subspace assignment (integer L2, ties to the lowest
+    codeword id) and ADC scores (integer dots) are order-independent and
+    the full ranking is SQL-checkable bit-for-bit.
+
+    Codebook: the ``n_codewords`` vectors with the smallest ids serve as
+    codewords per subspace (random-sample codebook - the standard PQ init;
+    a k-means refinement would slot in via the kmeans op without changing
+    the scoring contract). Tiny (cw x dims ints), broadcast once.
+
+    Per batch: quantize -> per-subspace assignment (one (rows, cw, d_sub)
+    squared-distance reduction per subspace) -> per-query LUT gather ->
+    local top-k; one small per-query merge finishes. Self-matches
+    excluded. Output: ``query_id, neighbor_id, score, rank``."""
+    import pandas as pd
+    import ray
+
+    from georay.runtime import per_process
+
+    ranges_t = pa.concat_tables(
+        list(dim_ranges(ds, emb_col, combine_partitions).iter_batches(
+            batch_format="pyarrow"
+        ))
+    )
+    order = np.argsort(ranges_t["dim"].to_numpy(zero_copy_only=False))
+    mn = ranges_t["mn"].to_numpy(zero_copy_only=False)[order]
+    mx = ranges_t["mx"].to_numpy(zero_copy_only=False)[order]
+
+    def pick(pred):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            keep = pa.array(pred(ids))
+            return pa.table(
+                {id_col: t[id_col].filter(keep),
+                 emb_col: t[emb_col].filter(keep)}
+            )
+        return fn
+
+    def collect(pred):
+        t = pa.concat_tables(
+            list(ds.map_batches(pick(pred), batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        o = np.argsort(ids, kind="quicksort")
+        return ids[o], sq8_quantize(emb_matrix(t[emb_col])[o], mn, mx)
+
+    cb_ids, cb_codes = collect(lambda i: i < n_codewords)  # codebook rows
+    q_ids, q_codes = collect(lambda i: i % query_mask_mod == 0)
+
+    d = cb_codes.shape[1]
+    if d % m_subspaces:
+        raise ValueError(f"dims {d} not divisible by {m_subspaces} subspaces")
+    d_sub = d // m_subspaces
+    # (cw, sub, d_sub) codebook and (nq, sub, cw) per-query ADC tables
+    cb_sub = cb_codes.reshape(cb_codes.shape[0], m_subspaces, d_sub)
+    q_sub = q_codes.reshape(q_codes.shape[0], m_subspaces, d_sub)
+    lut = np.einsum("qsd,csd->qsc", q_sub, cb_sub)  # int64-exact
+    ref = ray.put((q_ids, lut.reshape(q_ids.size, -1), cb_sub, mn, mx))
+    state_key = ref.hex()
+
+    class LocalTopK:
+        def __init__(self):
+            (self.q_ids, self.lut2, self.cb_sub, self.mn,
+             self.mx) = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            id_order = np.argsort(ids, kind="stable")
+            ids = ids[id_order]
+            codes = sq8_quantize(emb_matrix(t[emb_col]), self.mn, self.mx)[
+                id_order
+            ].reshape(ids.size, m_subspaces, d_sub)
+            n_cw = self.cb_sub.shape[0]
+            # per-subspace integer L2 assignment; argmin ties -> lowest cw
+            assign = np.empty((ids.size, m_subspaces), np.int64)
+            for s in range(m_subspaces):
+                diff = codes[:, s, None, :] - self.cb_sub[None, :, s, :]
+                assign[:, s] = np.argmin(
+                    np.einsum("rcd,rcd->rc", diff, diff), axis=1
+                )
+            flat = assign + n_cw * np.arange(m_subspaces, dtype=np.int64)
+            scores = self.lut2[:, flat].sum(axis=2)  # (nq, rows) int64
+            scores[self.q_ids[:, None] == ids[None, :]] = -1  # codes >= 0
+            kk = min(k, ids.size)
+            part = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+            qidx = np.repeat(np.arange(self.q_ids.size), kk)
+            nidx = part.reshape(-1)
+            return pa.table(
+                {
+                    "query_id": self.q_ids[qidx],
+                    "neighbor_id": ids[nidx],
+                    "score": scores[qidx, nidx],
+                }
+            )
+
+    def local_fn(t: pa.Table) -> pa.Table:
+        return per_process(state_key, LocalTopK)(t)
+
+    local = ds.map_batches(local_fn, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["score"] >= 0]
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "score", "rank"]]
+
+    return local.repartition(8).groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    )

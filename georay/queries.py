@@ -1151,6 +1151,58 @@ def q_ann_sq8(sf_dir: str):
     return sim.sq8_topk(emb, query_mask_mod=10, k=ANN_K)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (ADC scoring): vectors compress to 8
+    one-byte codeword ids over SQ8 integer codes; per-query lookup tables
+    score without touching vectors. Full ranking bit-exact vs SQL — the
+    assignment argmin, LUT dots, and tie-breaks are all integer
+    (ops.similarity.pq_topk)."""
+    from georay.ops import similarity as sim
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.pq_topk(emb, m_subspaces=8, n_codewords=16,
+                       query_mask_mod=10, k=ANN_K)
+
+
+SQL_ANN_PQ = f"""
+WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(range(len(embedding))) AS dim
+            FROM embeddings),
+r AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+qt AS (SELECT vec_id, dim, CAST(dim // 8 AS BIGINT) AS sub,
+         CASE WHEN mx > mn THEN
+           LEAST(GREATEST(CAST(FLOOR((CAST(v AS DOUBLE) - mn) * 255.0
+                                     / (CAST(mx AS DOUBLE) - mn)) AS BIGINT),
+                          0), 255)
+         ELSE 0 END AS q
+       FROM ex JOIN r USING (dim)),
+cb AS (SELECT vec_id AS cw, dim, sub, q FROM qt WHERE vec_id < 16),
+dist AS (SELECT d.vec_id, d.sub, c.cw,
+                SUM((d.q - c.q) * (d.q - c.q)) AS d2
+         FROM qt d JOIN cb c ON c.dim = d.dim
+         GROUP BY 1, 2, 3),
+asg AS (SELECT vec_id, sub, cw FROM (
+          SELECT vec_id, sub, cw,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY d2, cw) AS rn
+          FROM dist) WHERE rn = 1),
+s AS (SELECT qv.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(SUM(qv.q * c.q) AS BIGINT) AS score
+      FROM qt qv
+      JOIN asg a ON a.sub = qv.sub AND a.vec_id <> qv.vec_id
+      JOIN cb c ON c.cw = a.cw AND c.sub = a.sub AND c.dim = qv.dim
+      WHERE qv.vec_id % 10 = 0
+      GROUP BY 1, 2)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM s)
+WHERE rank <= {ANN_K}
+"""
+
+
 SQL_ANN_SQ8 = f"""
 WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
                    unnest(range(len(embedding))) AS dim
@@ -6250,6 +6302,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH),
         "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
         "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
+        "ann_pq": (q_ann_pq, SQL_ANN_PQ),
         "ann_filtered": (q_ann_filtered, SQL_ANN_FILTERED),
         "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_SQ8),
         "kmeans_clusters": (q_kmeans, sql_kmeans()),

@@ -833,3 +833,58 @@ def test_decontaminate_vs_brute(ray_session):
     for _, row in got.iterrows():
         assert want[int(row.doc_id)] == (int(row.n_grams), int(row.n_contam))
     assert got["n_contam"].sum() >= 2 * (6 - k + 1)  # planted spans found
+
+
+def test_pq_topk_recall_and_brute_parity(ray_session):
+    """PQ-ADC ranking on clustered data: (a) the pipeline's PQ scores
+    must equal a numpy replica of the same quantize→assign→LUT math
+    (plan-independence), and (b) every PQ neighbor must land inside the
+    query's cluster and inside SQ8-brute's top-cluster-size candidates —
+    the honest contract for a quantizer that collapses a tight cluster
+    onto few codewords (exact top-5 order within 40 near-identical
+    same-cluster points is unrecoverable by design)."""
+    import ray
+
+    from georay.ops import similarity as sim
+    from georay.ops.similarity import emb_matrix, sq8_quantize  # noqa: F401
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(6, 16).astype(np.float32) * 8
+    mat = np.vstack([
+        centers[i % 6] + rng.randn(16).astype(np.float32) * 0.3
+        for i in range(240)
+    ]).astype(np.float32)
+    ids = np.arange(240, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": list(mat)})
+    ).repartition(4)
+    m_sub, n_cw, k = 4, 12, 5
+    got = sim.pq_topk(ds, m_subspaces=m_sub, n_codewords=n_cw,
+                      query_mask_mod=24, k=k).to_pandas()
+
+    # numpy replica
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    codes = sq8_quantize(mat, mn, mx)
+    d_sub = 16 // m_sub
+    cb = codes[:n_cw].reshape(n_cw, m_sub, d_sub)
+    cs = codes.reshape(240, m_sub, d_sub)
+    assign = np.stack([
+        np.argmin(((cs[:, s, None, :] - cb[None, :, s, :]) ** 2).sum(-1), 1)
+        for s in range(m_sub)
+    ], axis=1)
+    recon = np.stack([cb[assign[:, s], s, :] for s in range(m_sub)], axis=1)
+    q_mask = ids % 24 == 0
+    for q in ids[q_mask]:
+        sc = (cs[q][None] * recon).sum(axis=(1, 2))
+        sc[q] = -1
+        order = np.lexsort((ids, -sc))[:k]
+        sub = got[got.query_id == q].sort_values("rank")
+        assert list(sub.neighbor_id) == [int(ids[j]) for j in order]
+        assert list(sub.score) == [int(sc[j]) for j in order]
+
+    cluster_size = 240 // 6
+    brute = sim.sq8_topk(ds, query_mask_mod=24, k=cluster_size).to_pandas()
+    b = set(zip(brute["query_id"], brute["neighbor_id"]))
+    for _, r in got.iterrows():
+        assert int(r.neighbor_id) % 6 == int(r.query_id) % 6  # same cluster
+        assert (r.query_id, r.neighbor_id) in b  # inside SQ8 top-40
