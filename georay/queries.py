@@ -3583,6 +3583,70 @@ WHERE rank <= 20
 """
 
 
+def q_tile_reconcile(sf_dir: str):
+    """Dataset reconciliation (pipeline-validation shape: diff two
+    independently-computed spatial aggregates): per-tile order counts
+    FULL-OUTER-joined against per-tile event counts, null-filled to 0 —
+    tiles covered by only one side surface with an explicit zero instead
+    of silently dropping. Two two-phase partial counts (only (cell, n)
+    rows shuffle) and ONE outer hash join on the cell key."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def counted(ds, key_col, out_col):
+        def partial(t: pa.Table) -> pa.Table:
+            key = t[key_col].to_numpy(zero_copy_only=False)
+            lon, lat = spatial.synth_lonlat(key)
+            cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+            u, n = np.unique(cell, return_counts=True)
+            return pa.table({"cell": u, "p_n": n.astype(np.int64)})
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(8)
+            .groupby("cell")
+            .aggregate(Sum("p_n", alias_name=out_col))
+            .repartition(4)  # merge blocks: Acero rejects schema-less empties
+        )
+
+    a = counted(_read(sf_dir, "orders", columns=["o_custkey"]),
+                "o_custkey", "n_orders")
+    b = counted(_read(sf_dir, "events", columns=["user_id"]),
+                "user_id", "n_events")
+
+    joined = a.join(b, join_type="full_outer", num_partitions=4,
+                    on=("cell",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        cell = pc.fill_null(t["cell"], 0)  # key is never null in full_outer
+        x, y = codec.deinterleave(
+            cell.to_numpy(zero_copy_only=False).astype(np.uint64), BITS_TILE)
+        no = pc.fill_null(t["n_orders"], 0).to_numpy(zero_copy_only=False)
+        ne = pc.fill_null(t["n_events"], 0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": x.astype(np.int64), "y": y.astype(np.int64),
+            "n_orders": no.astype(np.int64), "n_events": ne.astype(np.int64),
+            "diff": (no - ne).astype(np.int64),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_TILE_RECONCILE = f"""
+WITH a AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2),
+b AS (SELECT {sql_x(sql_lon('user_id'), 5)} AS x,
+             {sql_y(sql_lat('user_id'), 5)} AS y,
+             CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+SELECT COALESCE(a.x, b.x) AS x, COALESCE(a.y, b.y) AS y,
+       COALESCE(a.n, 0) AS n_orders, COALESCE(b.n, 0) AS n_events,
+       COALESCE(a.n, 0) - COALESCE(b.n, 0) AS diff
+FROM a FULL OUTER JOIN b ON a.x = b.x AND a.y = b.y
+"""
+
+
 def q_mix_sources(sf_dir: str):
     """Training-data mixture weighting (the LLM corpus-mixing shape: each
     source gets a sampling weight; weights < 1 thin deterministically,
@@ -6378,6 +6442,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
             sql_tile_image_stats(n_images) if include_sql else None,
         ),
         "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
+        "tile_reconcile": (q_tile_reconcile, SQL_TILE_RECONCILE),
         "moran_i": (q_moran_i, SQL_MORAN_I),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
