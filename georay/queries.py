@@ -3852,6 +3852,80 @@ WHERE x >= {sql_x(str(IDX_BOX[0]), 8)} AND x <= {sql_x(str(IDX_BOX[2]), 8)}
 """
 
 
+def q_index_lifecycle(sf_dir: str):
+    """Full index lifecycle under oracle check (X2 update / X3
+    extend+compact / X4 scan in one pipeline): build the cell index over
+    the ODD customer keys, ``extend`` it with the even half (the
+    reference's update path), ``compact`` the doubled partition files,
+    then scan and two-phase-count per cell. The oracle is the plain
+    per-cell count over ALL customers — any row lost or duplicated by
+    extend/compact breaks the match. A fresh root per call: the lifecycle
+    itself is the unit under test, never a cache hit."""
+    import os
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from georay.index import CellIndex
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_idx_lifecycle_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def half(rem: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t["c_custkey"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(k % 2 == rem))
+        return fn
+
+    odd = cust.map_batches(half(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    even = cust.map_batches(half(0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    CellIndex.build(
+        spatial.points_with_cells(odd, "c_custkey", BITS_IDX, xy=False),
+        root, bits=BITS_IDX, prefix_bits=6,
+    )
+    idx = CellIndex(root)
+    idx.extend(
+        spatial.points_with_cells(even, "c_custkey", BITS_IDX, xy=False))
+    idx.compact()
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_IDX)
+        key = (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
+        u, n = np.unique(key, return_counts=True)
+        return pa.table({"k": u, "p_n": n.astype(np.int64)})
+
+    agg = (
+        idx.scan(columns=["cell"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby("k")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": k >> np.int64(32),
+                         "y": k & np.int64(0xFFFFFFFF), "n": t["n"]})
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_INDEX_LIFECYCLE = f"""
+WITH c AS ({_sql_point_cte('customer', 'c_custkey', BITS_IDX)})
+SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY x, y
+"""
+
+
 IDX_PROBE_KEYS = (3, 7, 11, 19)
 
 
@@ -6377,6 +6451,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "compact_roundtrip": (q_compact_roundtrip, SQL_COMPACT_ROUNDTRIP),
         "index_query_box": (q_index_query_box, SQL_INDEX_QUERY_BOX),
         "index_query_cells": (q_index_query_cells, SQL_INDEX_QUERY_CELLS),
+        "index_lifecycle": (q_index_lifecycle, SQL_INDEX_LIFECYCLE),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "events_session": (q_events_session, SQL_EVENTS_SESSION),
         "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
