@@ -5036,6 +5036,52 @@ FROM gh GROUP BY 1
 """
 
 
+def q_cell_prefix_scan(sf_dir: str):
+    """The classic geohash STRING range query: every base32 prefix is a
+    contiguous key range, so 'd*' selects one precision-1 cell without
+    decoding. Customers are encoded to geohash5 strings and prefix-
+    filtered in one zero-shuffle pass; the oracle rebuilds the base32
+    string from scratch in SQL (the caption_geoparse Morton idiom), so
+    the emitted STRINGS — not just counts — cross the oracle boundary.
+    At scale the same prefix maps to CellIndex partition pruning
+    (X5/X6); this query pins the string-path equivalence."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        gh = codec.encode_str(lon, lat, 5).astype("U5")
+        keep = np.char.startswith(gh, "d")
+        return pa.table({
+            "c_custkey": pa.array(key[keep]),
+            "gh5": pa.array(gh[keep].tolist(), pa.string()),
+        })
+
+    return cust.map_batches(scan, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _sql_cell_prefix_scan() -> str:
+    terms = [f"((x // {1 << j}) % 2) * {1 << (2 * j)}" for j in range(13)]
+    terms += [f"((y // {1 << j}) % 2) * {1 << (2 * j + 1)}" for j in range(12)]
+    morton = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{_GH_ALPHABET}', CAST((m // {1 << (20 - 5 * k)}) % 32 "
+        f"AS INTEGER) + 1, 1)" for k in range(5))
+    return f"""
+WITH g AS (SELECT c_custkey,
+                  {sql_x(sql_lon('c_custkey'), 13)} AS x,
+                  {sql_y(sql_lat('c_custkey'), 12)} AS y
+           FROM customer),
+m AS (SELECT c_custkey, {morton} AS m FROM g),
+gh AS (SELECT c_custkey, {chars} AS gh5 FROM m)
+SELECT c_custkey, gh5 FROM gh WHERE substr(gh5, 1, 1) = 'd'
+"""
+
+
+SQL_CELL_PREFIX_SCAN = _sql_cell_prefix_scan()
+
+
 # ---------------------------------------------------------------- mutual kNN
 
 
@@ -6510,6 +6556,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "local_revenue_q5": (q_local_revenue, SQL_LOCAL_REVENUE),
         "idw_grid": (q_idw_grid, SQL_IDW_GRID),
         "caption_geoparse": (q_caption_geoparse, sql_caption_geoparse(n_images)),
+        "cell_prefix_scan": (q_cell_prefix_scan, SQL_CELL_PREFIX_SCAN),
         "ann_mutual": (q_ann_mutual, SQL_ANN_MUTUAL),
         "colocation_lift": (q_colocation, SQL_COLOCATION),
         "tile_image_stats": (
