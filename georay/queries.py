@@ -1203,6 +1203,20 @@ WHERE rank <= {ANN_K}
 """
 
 
+def q_ann_ivf_pq(sf_dir: str):
+    """IVF × PQ composition (FAISS IVF,PQ shape) at FULL probe — the
+    pruning machinery runs live (bucket assignment, per-bucket LUT
+    scoring) but with n_probe == n_centroids the result is mathematically
+    identical to ann_pq, so the relational PQ oracle hard-checks it;
+    pruned recall is unit-tested (ops.similarity.ivf_pq_topk)."""
+    from georay.ops import similarity as sim
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.ivf_pq_topk(emb, m_subspaces=8, n_codewords=16,
+                           query_mask_mod=10, k=ANN_K,
+                           n_centroids=8, n_probe=8)
+
+
 SQL_ANN_SQ8 = f"""
 WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
                    unnest(range(len(embedding))) AS dim
@@ -6487,6 +6501,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
         "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
         "ann_pq": (q_ann_pq, SQL_ANN_PQ),
+        "ann_ivf_pq": (q_ann_ivf_pq, SQL_ANN_PQ),
         "ann_filtered": (q_ann_filtered, SQL_ANN_FILTERED),
         "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_SQ8),
         "kmeans_clusters": (q_kmeans, sql_kmeans()),

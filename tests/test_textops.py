@@ -888,3 +888,41 @@ def test_pq_topk_recall_and_brute_parity(ray_session):
     for _, r in got.iterrows():
         assert int(r.neighbor_id) % 6 == int(r.query_id) % 6  # same cluster
         assert (r.query_id, r.neighbor_id) in b  # inside SQ8 top-40
+
+
+def test_ivf_pq_pruned_recall(ray_session):
+    """Pruned IVF×PQ must (a) equal full-probe exactly when n_probe ==
+    n_centroids (vs pq_topk) and (b) keep recall ≥ 0.9 vs the full PQ
+    ranking when probing 2 of 6 clusters on well-separated data (pruning
+    is the only approximation on top of PQ)."""
+    import ray
+
+    from georay.ops import similarity as sim
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 16).astype(np.float32) * 8
+    mat = np.vstack([
+        centers[i % 6] + rng.randn(16).astype(np.float32) * 0.3
+        for i in range(240)
+    ]).astype(np.float32)
+    ids = np.arange(240, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": list(mat)})
+    ).repartition(4)
+    kw = dict(m_subspaces=4, n_codewords=12, query_mask_mod=24, k=5)
+    full_pq = sim.pq_topk(ds, **kw).to_pandas()
+    full_probe = sim.ivf_pq_topk(
+        ds, n_centroids=6, n_probe=6, sample_mat=mat[::5], **kw
+    ).to_pandas()
+    cols = ["query_id", "neighbor_id", "score", "rank"]
+    a = full_pq[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = full_probe[cols].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert a.astype(np.int64).equals(b.astype(np.int64))
+
+    pruned = sim.ivf_pq_topk(
+        ds, n_centroids=6, n_probe=2, sample_mat=mat[::5], **kw
+    ).to_pandas()
+    fb = set(zip(full_pq["query_id"], full_pq["neighbor_id"]))
+    pb = set(zip(pruned["query_id"], pruned["neighbor_id"]))
+    assert len(fb & pb) / len(fb) >= 0.9
