@@ -3661,6 +3661,79 @@ FROM a FULL OUTER JOIN b ON a.x = b.x AND a.y = b.y
 """
 
 
+def q_tile_mad(sf_dir: str):
+    """Robust per-tile dispersion — median + MAD (median absolute
+    deviation) of order value, the outlier-resistant alternative to
+    mean/stddev: a genuinely TWO-PASS distributed statistic (the second
+    pass depends on the first's result). Pass 1: exact per-tile median via
+    distributed integer histograms (ops.sketch.grouped_quantiles); the
+    tiny median table hash-joins back onto the rows; pass 2: the same
+    histogram machinery over |cents − median|. Both passes shuffle only
+    (tile, value, count) histogram rows."""
+    from georay.ops.sketch import grouped_quantiles
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        tile = np.char.mod("%d", x.astype(np.int64) * 32 + y.astype(np.int64))
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy()
+        return pa.table({"tile": pa.array(tile.tolist(), pa.string()),
+                         "cents": pa.array(cents)})
+
+    prepped = orders.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice: median pass + the join back
+
+    med = grouped_quantiles(prepped, "tile", "cents", qs=(0.5,))
+
+    def as_med(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["tile", "med"])
+
+    med = med.map_batches(as_med, batch_format="pyarrow").repartition(2)
+
+    joined = prepped.join(med, join_type="inner", num_partitions=4,
+                          on=("tile",))
+
+    def dev(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        m = t["med"].to_numpy(zero_copy_only=False)
+        return pa.table({"tile": t["tile"], "dev": np.abs(c - m)})
+
+    mad = grouped_quantiles(
+        joined.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True),
+        "tile", "dev", qs=(0.5,),
+    )
+
+    def as_mad(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["tile", "mad"])
+
+    mad = mad.map_batches(as_mad, batch_format="pyarrow").repartition(2)
+    return med.join(mad, join_type="inner", num_partitions=2, on=("tile",))
+
+
+SQL_TILE_MAD = f"""
+WITH o AS (SELECT CAST({sql_x(sql_lon('o_custkey'), 5)} * 32
+                       + {sql_y(sql_lat('o_custkey'), 5)} AS VARCHAR) AS tile,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+m AS (SELECT tile, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+      FROM o GROUP BY tile),
+d AS (SELECT o.tile, m.med, ABS(o.cents - m.med) AS dev
+      FROM o JOIN m USING (tile))
+SELECT tile, CAST(MAX(med) AS BIGINT) AS med,
+       CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+FROM d GROUP BY tile
+"""
+
+
 def q_mix_sources(sf_dir: str):
     """Training-data mixture weighting (the LLM corpus-mixing shape: each
     source gets a sampling weight; weights < 1 thin deterministically,
@@ -6580,6 +6653,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         ),
         "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
         "tile_reconcile": (q_tile_reconcile, SQL_TILE_RECONCILE),
+        "tile_mad": (q_tile_mad, SQL_TILE_MAD),
         "moran_i": (q_moran_i, SQL_MORAN_I),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
