@@ -514,6 +514,71 @@ FROM c JOIN s
 )
 
 
+RIPLEY_RADII = (6.0, 12.0)
+
+
+def q_ripley_pairs(sf_dir: str):
+    """Ripley's K numerator — the point-pattern clustering statistic: the
+    exact count of unordered customer pairs within distance r, for a
+    ladder of radii, in ONE pass of the largest radius's ring join (each
+    smaller radius is a free vectorized filter on the same dist² column).
+    Pairs never materialize beyond per-batch count partials — the join
+    feeds an immediate reduce. Same frozen squared-degree metric as the
+    dwithin family, so counts are exact."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust_pts = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN,
+                                         xy=False)
+    refs = _small_points(
+        _read_table(sf_dir, "customer", columns=["c_custkey"]),
+        "c_custkey", BITS_JOIN,
+    )
+    refs = refs.rename_columns(
+        ["ref_key" if c == "c_custkey" else c for c in refs.column_names]
+    )
+    rmax = max(RIPLEY_RADII)
+    pairs = knn_ops.dwithin_ring(
+        cust_pts, refs, bits=BITS_JOIN, radius=rmax,
+        query_cols=["c_custkey"], ref_id="ref_key",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["c_custkey"].to_numpy(zero_copy_only=False)
+        b = t["ref_key"].to_numpy(zero_copy_only=False)
+        d2 = t["dist2"].to_numpy(zero_copy_only=False)
+        m = a < b  # unordered pairs once; drops self-pairs too
+        d2 = d2[m]
+        rs, ns = [], []
+        for r in RIPLEY_RADII:
+            rs.append(r)
+            ns.append(int((d2 <= r * r).sum()))
+        return pa.table({"r": pa.array(rs, pa.float64()),
+                         "p_n": pa.array(ns, pa.int64())})
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .repartition(2)
+        .groupby("r")
+        .aggregate(Sum("p_n", alias_name="n_pairs"))
+    )
+
+
+SQL_RIPLEY_PAIRS = f"""
+WITH c AS ({_sql_point_cte('customer', 'c_custkey', BITS_JOIN)}),
+p AS (SELECT (a.lon - b.lon) * (a.lon - b.lon)
+            + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey)
+SELECT 6.0 AS r, CAST(COUNT(*) FILTER (d2 <= 6.0 * 6.0) AS BIGINT) AS n_pairs
+FROM p
+UNION ALL
+SELECT 12.0 AS r,
+       CAST(COUNT(*) FILTER (d2 <= 12.0 * 12.0) AS BIGINT) AS n_pairs
+FROM p
+"""
+
+
 # -------------------------------------------------------------- grid DBSCAN
 
 DBSCAN_EPS = 6.0  # degrees (ring 1 at BITS_JOIN)
@@ -6543,6 +6608,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "knn_ring1": (q_knn, SQL_KNN),
         "dwithin": (q_dwithin, SQL_DWITHIN),
         "dwithin_shuffle": (q_dwithin_shuffle, SQL_DWITHIN),
+        "ripley_pairs": (q_ripley_pairs, SQL_RIPLEY_PAIRS),
         "grid_dbscan": (q_grid_dbscan, SQL_GRID_DBSCAN),
         "box_join": (q_box_join, SQL_BOX_JOIN),
         "pip_nation": (q_pip, SQL_PIP),
