@@ -514,6 +514,83 @@ FROM c JOIN s
 )
 
 
+def q_tile_render(sf_dir: str):
+    """Map-tile RENDERING — the encode side of the image pipeline (every
+    other image query only decodes): order points rasterize to an 8×8
+    count raster per tile (256×256 fine grid = 32×32 tiles × 8×8 pixels),
+    each raster ENCODES to a real PNG blob with the engine's codec and is
+    immediately decoded back inside the same distributed stage (lossless
+    round-trip proven in-flight). Plan: two-phase fine-cell counts →
+    per-tile assemble/encode/decode (≤1024 bounded groups — the good
+    map_groups case). The oracle replays the count arithmetic; the
+    emitted dec_sum comes from the DECODED pixels, so a codec defect
+    breaks the match."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from georay import images
+    from georay.runtime import table_from_pandas
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, 16).astype(np.int64)  # 256×256 fine
+        u, n = np.unique(cell, return_counts=True)
+        return pa.table({"fcell": u, "p_n": n.astype(np.int64)})
+
+    counts = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("fcell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def tag_tile(t: pa.Table) -> pa.Table:
+        fc = t["fcell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fx, fy = codec.deinterleave(fc, 16)
+        return pa.table({
+            "tile": (fx // 8).astype(np.int64) * 32 + (fy // 8).astype(np.int64),
+            "px": (fx % 8).astype(np.int64), "py": (fy % 8).astype(np.int64),
+            "n": t["n"],
+        })
+
+    tagged = counts.map_batches(tag_tile, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def render(g: pd.DataFrame) -> pa.Table:
+        raster = np.zeros((8, 8, 3), np.uint8)
+        v = np.minimum(g["n"].to_numpy(), 255).astype(np.uint8)
+        raster[g["py"].to_numpy(), g["px"].to_numpy(), :] = v[:, None]
+        blob = images.encode_image(raster, "png")
+        back = images.decode_image(blob, "png")  # lossless round-trip
+        tile = int(g["tile"].iloc[0])
+        return table_from_pandas(pd.DataFrame({
+            "tile_x": [tile // 32], "tile_y": [tile % 32],
+            "n_nonzero": [int((back.reshape(-1, 3)[:, 0] > 0).sum())],
+            "dec_sum": [int(back.astype(np.int64).sum())],
+        }))
+
+    return tagged.repartition(4).groupby("tile").map_groups(
+        render, batch_format="pandas")
+
+
+SQL_TILE_RENDER = f"""
+WITH g AS (SELECT {sql_x(sql_lon('o_custkey'), 8)} AS fx,
+                  {sql_y(sql_lat('o_custkey'), 8)} AS fy
+           FROM orders),
+cnt AS (SELECT fx, fy, COUNT(*) AS n FROM g GROUP BY 1, 2),
+t AS (SELECT fx // 8 AS tile_x, fy // 8 AS tile_y, LEAST(n, 255) AS v
+      FROM cnt)
+SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+       CAST(3 * SUM(v) AS BIGINT) AS dec_sum
+FROM t GROUP BY 1, 2
+"""
+
+
 RIPLEY_RADII = (6.0, 12.0)
 
 
@@ -6609,6 +6686,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "dwithin": (q_dwithin, SQL_DWITHIN),
         "dwithin_shuffle": (q_dwithin_shuffle, SQL_DWITHIN),
         "ripley_pairs": (q_ripley_pairs, SQL_RIPLEY_PAIRS),
+        "tile_render": (q_tile_render, SQL_TILE_RENDER),
         "grid_dbscan": (q_grid_dbscan, SQL_GRID_DBSCAN),
         "box_join": (q_box_join, SQL_BOX_JOIN),
         "pip_nation": (q_pip, SQL_PIP),
