@@ -308,6 +308,97 @@ FROM g
 """
 
 
+def q_cover_morphology(sf_dir: str):
+    """GIS buffer / shrink as grid morphology over the polyfill cover:
+    DILATION (every cell within ring-1 of the cover — the one-cell
+    buffer) and EROSION (cover cells whose whole in-grid neighborhood is
+    covered — the one-cell shrink) in ONE support-count plan: each cover
+    cell votes for its ≤9 in-grid ring-1 cells (x wraps the antimeridian,
+    y clamps at the poles by dropping), a Sum groupby tallies support,
+    and one hash join back against the cover marks membership. Output:
+    (x, y, in_cover, eroded) over the dilated set."""
+    from ray.data.aggregate import Sum
+
+    rx, ry = poly_l_ring()
+    cov = cells.polygon_cover_dataset(rx, ry, BITS_POLY).materialize()
+    nx, ny = codec.split_bits(BITS_POLY)
+    w, h = 1 << nx, 1 << ny
+
+    def votes(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_POLY)
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        ks = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx = (x + dx) % w
+                ty = y + dy
+                m = (ty >= 0) & (ty < h)
+                ks.append(tx[m] * h + ty[m])
+        k = np.concatenate(ks)
+        u, n = np.unique(k, return_counts=True)
+        return pa.table({"k": u, "p_n": n.astype(np.int64)})
+
+    support = (
+        cov.map_batches(votes, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .groupby("k")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .repartition(4)  # merge blocks: Acero rejects schema-less empties
+    )
+
+    def marker(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_POLY)
+        return pa.table({
+            "k": x.astype(np.int64) * h + y.astype(np.int64),
+            "_inc": np.ones(x.size, np.int64),
+        })
+
+    cov_marks = cov.map_batches(marker, batch_format="pyarrow",
+                                zero_copy_batch=True).repartition(2)
+    joined = support.join(cov_marks, join_type="left_outer",
+                          num_partitions=4, on=("k",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = t["k"].to_numpy(zero_copy_only=False)
+        x, y = k // h, k % h
+        n = t["n"].to_numpy(zero_copy_only=False)
+        inc = pc.fill_null(t["_inc"], 0).to_numpy(zero_copy_only=False)
+        need = np.where((y == 0) | (y == h - 1), 6, 9)
+        return pa.table({
+            "x": x, "y": y, "in_cover": inc.astype(np.int64),
+            "eroded": ((inc == 1) & (n == need)).astype(np.int64),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def _sql_cover_morphology() -> str:
+    nx, ny = codec.split_bits(BITS_POLY)
+    w, h = 1 << nx, 1 << ny
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+WITH cov AS ({_sql_polygon_cover()}),
+off(dx, dy) AS (VALUES {offs}),
+sup AS (SELECT ((cx + dx) % {w} + {w}) % {w} AS tx, cy + dy AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cov CROSS JOIN off
+        WHERE cy + dy BETWEEN 0 AND {h - 1}
+        GROUP BY 1, 2)
+SELECT s.tx AS x, s.ty AS y,
+       CAST(CASE WHEN c.cx IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_cover,
+       CAST(CASE WHEN c.cx IS NOT NULL
+                  AND s.n = CASE WHEN s.ty IN (0, {h - 1}) THEN 6 ELSE 9 END
+            THEN 1 ELSE 0 END AS BIGINT) AS eroded
+FROM sup s LEFT JOIN cov c ON c.cx = s.tx AND c.cy = s.ty
+"""
+
+
 def _sql_polygon_cover() -> str:
     nx, ny = codec.split_bits(BITS_POLY)
     sx, sy = 360.0 / (1 << nx), 180.0 / (1 << ny)
@@ -334,6 +425,7 @@ WHERE (lon >= {l0!r} AND lon < {l0 + w!r}
 
 SQL_POLYGON_COVER = _sql_polygon_cover()
 SQL_COVER_AREA = _sql_cover_area()
+SQL_COVER_MORPHOLOGY = _sql_cover_morphology()
 
 
 # ---------------------------------------------------------------- spatial join
@@ -6680,6 +6772,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "polygon_cover": (q_polygon_cover, SQL_POLYGON_COVER),
         "polygon_cover_compact": (q_polygon_cover_compact, SQL_POLYGON_COVER),
         "cover_area": (q_cover_area, SQL_COVER_AREA),
+        "cover_morphology": (q_cover_morphology, SQL_COVER_MORPHOLOGY),
         "spatial_join": (q_spatial_join, SQL_SPATIAL_JOIN),
         "spatial_join_shuffle": (q_spatial_join_shuffle, SQL_SPATIAL_JOIN),
         "knn_ring1": (q_knn, SQL_KNN),
