@@ -802,3 +802,168 @@ def idw_broadcast(ds, q_ids, q_mx, q_my, k: int = 8,
 
     return survivors.groupby("query_id").map_groups(
         final, batch_format="pandas")
+
+
+def geodesic_rings(bits: int, d_meters: float,
+                   radius_m: float = 6371008.8) -> tuple[int, np.ndarray]:
+    """Latitude-adaptive candidate ring table for a GEODESIC distance-
+    within join on the lon/lat grid: returns ``(ring_y, ring_x[H])`` where
+    two points within great-circle distance d are provably at most
+    ``ring_y`` y-cells apart, and — for a query in y-row qy — at most
+    ``ring_x[qy]`` x-cells apart (``ring_x[qy] >= W`` means "all
+    longitudes": near the poles a fixed-width lon ring is WRONG, a short
+    geodesic crosses many meridians, so rows whose reachable band nears a
+    pole degrade to a full-row sweep).
+
+    Bounds (haversine kernel h = sin²(Δφ/2) + cosφa·cosφb·sin²(Δλ/2)):
+    |Δφ| <= d/R always, and sin²(Δλ/2) <= sin²(d/2R)/(cosφa·cosφb) with
+    cosφa/cosφb lower-bounded over the query row / reachable band edge —
+    the Matuschek bounding-box argument, made rigorous per cell row."""
+    import math
+
+    from georay import codec
+
+    nx, ny = codec.split_bits(bits)
+    W, H = 1 << nx, 1 << ny
+    lon_err, lat_err = codec.error_with_precision(bits)
+    d_deg = math.degrees(d_meters / radius_m)
+    ring_y = int(d_deg // lat_err) + 1
+    t = math.sin(d_meters / (2.0 * radius_m))
+    ring_x = np.empty(H, np.int64)
+    for qy in range(H):
+        y0 = qy * lat_err - 90.0
+        a = max(abs(y0), abs(y0 + lat_err))  # worst |lat| in the query row
+        b = a + ring_y * lat_err  # worst |lat| in the reachable band
+        if b >= 90.0:
+            ring_x[qy] = W  # band touches a pole: all longitudes
+            continue
+        denom = math.cos(math.radians(a)) * math.cos(math.radians(b))
+        ratio = t / math.sqrt(denom)
+        if ratio >= 1.0:
+            ring_x[qy] = W
+            continue
+        dlam = math.degrees(2.0 * math.asin(ratio))
+        ring_x[qy] = int(dlam // lon_err) + 1
+    return ring_y, ring_x
+
+
+def geodesic_dwithin_ring(
+    queries_ds,
+    refs_table: pa.Table,
+    bits: int,
+    d_meters: float,
+    query_cols: list[str] | None = None,
+    ref_id: str = "ref_id",
+    cell_col: str = "cell",
+    radius_m: float = 6371008.8,
+):
+    """All (query, ref) pairs within GREAT-CIRCLE distance ``d_meters`` —
+    the geodesic counterpart of :func:`dwithin_ring`. The filter runs on
+    the monotone haversine KERNEL (no asin/sqrt in the hot loop or the
+    oracle boundary): keep iff
+    ``sin²(Δφ/2) + cosφa·cosφb·sin²(Δλ/2) <= sin²(d/2R)``, with ONE
+    frozen float64 expression tree mirrored by the SQL twin (numpy and
+    DuckDB libm agree bit-for-bit on these inputs — the cell_area
+    contract, re-probed for sin/cos at join time in tests).
+
+    Candidates come from the latitude-adaptive ring of
+    :func:`geodesic_rings` — fixed y half-width, PER-ROW x half-width
+    (grows with |lat|, degrades to all-longitudes where the reachable
+    band nears a pole, so polar geometry can't drop pairs). Broadcast
+    variant: refs ship once, cell-sorted; candidate gather loops over the
+    <= H distinct query rows per batch, vectorized inside each row.
+    Output: query_cols, ``ref_id``, ``hav`` (the kernel value)."""
+    import math
+
+    import ray
+
+    from georay import codec
+
+    nx, ny = codec.split_bits(bits)
+    W, H = 1 << nx, 1 << ny
+    ring_y, ring_x = geodesic_rings(bits, d_meters, radius_m)
+    t = math.sin(d_meters / (2.0 * radius_m))
+    thresh = t * t
+
+    rcell = refs_table[cell_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(rcell, kind="stable")
+    packed = {
+        "cell": rcell[order],
+        "lon": refs_table["lon"].to_numpy(zero_copy_only=False)[order],
+        "lat": refs_table["lat"].to_numpy(zero_copy_only=False)[order],
+        "id": refs_table[ref_id].to_numpy(zero_copy_only=False)[order],
+    }
+    refs_ref = ray.put(packed)
+    key = refs_ref.hex() + "-geodwithin"
+
+    class GeoDWithin:
+        def __init__(self):
+            self.refs = ray.get(refs_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            refs = self.refs
+            qcell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            qlon = t["lon"].to_numpy(zero_copy_only=False)
+            qlat = t["lat"].to_numpy(zero_copy_only=False)
+            qx, qy = codec.deinterleave(qcell, bits)
+            qx = qx.astype(np.int64)
+            qy = qy.astype(np.int64)
+            out_q, out_r, out_h = [], [], []
+            for row in np.unique(qy):
+                rx = int(ring_x[row])
+                dxs = (np.arange(-rx, rx + 1, dtype=np.int64)
+                       if 2 * rx + 1 < W else np.arange(W, dtype=np.int64))
+                dys = np.arange(-ring_y, ring_y + 1, dtype=np.int64)
+                dys = dys[(row + dys >= 0) & (row + dys < H)]
+                sel = np.flatnonzero(qy == row)
+                # candidate cells: |sel| x (dxs*dys) grid, x wraps
+                cx = (qx[sel][:, None] + dxs[None, :]) % W  # (s, dx)
+                cand_x = np.repeat(cx, dys.size, axis=1).reshape(-1)
+                cand_y = np.tile(np.tile(row + dys, dxs.size), sel.size)
+                cand = codec.interleave(
+                    cand_x.astype(np.uint64), cand_y.astype(np.uint64), bits
+                ).astype(np.int64)
+                flat_q = np.repeat(sel, dxs.size * dys.size)
+                lo = np.searchsorted(refs["cell"], cand, side="left")
+                hi = np.searchsorted(refs["cell"], cand, side="right")
+                counts = hi - lo
+                total = int(counts.sum())
+                if total == 0:
+                    continue
+                qidx = np.repeat(flat_q, counts)
+                starts = np.repeat(np.cumsum(counts) - counts, counts)
+                ridx = np.arange(total) - starts + np.repeat(lo, counts)
+                # frozen haversine-kernel expression tree (== SQL twin)
+                sp = np.sin((np.radians(qlat[qidx])
+                             - np.radians(refs["lat"][ridx])) / 2.0)
+                sl = np.sin((np.radians(qlon[qidx])
+                             - np.radians(refs["lon"][ridx])) / 2.0)
+                h = sp * sp + (np.cos(np.radians(qlat[qidx]))
+                               * np.cos(np.radians(refs["lat"][ridx]))) \
+                    * (sl * sl)
+                keep = h <= thresh
+                out_q.append(qidx[keep])
+                out_r.append(ridx[keep])
+                out_h.append(h[keep])
+            if out_q:
+                qsel = np.concatenate(out_q)
+                rsel = np.concatenate(out_r)
+                hav = np.concatenate(out_h)
+            else:
+                qsel = np.empty(0, np.int64)
+                rsel = np.empty(0, np.int64)
+                hav = np.empty(0, np.float64)
+            keep_cols = query_cols or list(t.column_names)
+            base = t.take(pa.array(qsel))
+            cols = {name: base[name] for name in keep_cols}
+            cols[ref_id] = pa.array(refs["id"][rsel])
+            cols["hav"] = pa.array(hav)
+            return pa.table(cols)
+
+    from georay.runtime import per_process
+
+    def fn(t: pa.Table) -> pa.Table:
+        inst = per_process(key, GeoDWithin)
+        return inst(t)
+
+    return queries_ds.map_batches(fn, batch_format="pyarrow")

@@ -748,6 +748,58 @@ FROM p
 """
 
 
+GEODESIC_D_M = 2_000_000.0  # 2000 km
+
+
+def _sql_hav(alat: str, alon: str, blat: str, blon: str) -> str:
+    """The frozen haversine-kernel expression tree (must match numpy's in
+    ops.knn.geodesic_dwithin_ring term for term)."""
+    return (
+        f"sin((radians({alat}) - radians({blat})) / 2.0)"
+        f" * sin((radians({alat}) - radians({blat})) / 2.0)"
+        f" + (cos(radians({alat})) * cos(radians({blat})))"
+        f" * (sin((radians({alon}) - radians({blon})) / 2.0)"
+        f" * sin((radians({alon}) - radians({blon})) / 2.0))"
+    )
+
+
+def q_dwithin_geodesic(sf_dir: str):
+    """GREAT-CIRCLE proximity join — (customer, supplier) pairs within
+    2000 km of true geodesic distance (every other proximity op uses the
+    squared-degree metric): latitude-adaptive candidate rings (x half-
+    width grows with |lat|, all-longitudes near the poles — a fixed lon
+    ring is provably wrong there), monotone haversine-kernel filter with
+    a frozen float64 expression tree the SQL twin replays bit-for-bit
+    (ops.knn.geodesic_dwithin_ring)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    supp = _small_points(
+        _read_table(sf_dir, "supplier", columns=["s_suppkey"]),
+        "s_suppkey", BITS_JOIN,
+    )
+    out = knn_ops.geodesic_dwithin_ring(
+        cust, supp, bits=BITS_JOIN, d_meters=GEODESIC_D_M,
+        query_cols=["c_custkey"], ref_id="s_suppkey",
+    )
+    return out.select_columns(["c_custkey", "s_suppkey", "hav"])
+
+
+def _sql_dwithin_geodesic() -> str:
+    import math
+
+    t = math.sin(GEODESIC_D_M / (2.0 * 6371008.8))
+    hav = _sql_hav("c.lat", "c.lon", "s.lat", "s.lon")
+    return f"""
+WITH c AS ({_sql_point_cte('customer', 'c_custkey', BITS_JOIN)}),
+     s AS ({_sql_point_cte('supplier', 's_suppkey', BITS_JOIN)})
+SELECT c.c_custkey, s.s_suppkey, {hav} AS hav
+FROM c JOIN s ON {hav} <= {t * t!r}
+"""
+
+
+SQL_DWITHIN_GEODESIC = _sql_dwithin_geodesic()
+
+
 # -------------------------------------------------------------- grid DBSCAN
 
 DBSCAN_EPS = 6.0  # degrees (ring 1 at BITS_JOIN)
@@ -6780,6 +6832,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "dwithin_shuffle": (q_dwithin_shuffle, SQL_DWITHIN),
         "ripley_pairs": (q_ripley_pairs, SQL_RIPLEY_PAIRS),
         "tile_render": (q_tile_render, SQL_TILE_RENDER),
+        "dwithin_geodesic": (q_dwithin_geodesic, SQL_DWITHIN_GEODESIC),
         "grid_dbscan": (q_grid_dbscan, SQL_GRID_DBSCAN),
         "box_join": (q_box_join, SQL_BOX_JOIN),
         "pip_nation": (q_pip, SQL_PIP),

@@ -562,3 +562,51 @@ def test_pivot_counts_matches_crosstab(ray_session):
     want["n_zz"] = 0
     want["n_other"] = (ct["c"] + ct["d"]).to_numpy(np.int64)
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_geodesic_dwithin_polar_brute_parity(ray_session):
+    """The latitude-adaptive ring must not lose pairs anywhere —
+    especially near the poles, where two points 1 km apart can differ by
+    180 degrees of longitude and any fixed-width lon ring is wrong.
+    Brute haversine over a point set loaded with polar, antimeridian,
+    and equatorial cases must match exactly (ids AND kernel values)."""
+    import ray
+
+    from georay import codec
+    from georay.ops import knn as knn_ops
+
+    rng = np.random.RandomState(3)
+    lon = np.concatenate([
+        rng.uniform(-180, 180, 300),
+        np.array([179.9, -179.9, 0.1, -0.1, 10.0, -170.0]),   # antimeridian
+        rng.uniform(-180, 180, 20),                           # polar cloud
+    ])
+    lat = np.concatenate([
+        rng.uniform(-85, 85, 300),
+        np.array([0.0, 0.0, 89.0, 89.0, -89.5, -89.5]),
+        rng.uniform(88.5, 89.99, 20),
+    ])
+    n = lon.size
+    ids = np.arange(n, dtype=np.int64)
+    bits = 8
+    cell = codec.encode(lon, lat, bits).astype(np.int64)
+    t = pa.table({"qid": ids, "lon": lon, "lat": lat, "cell": cell})
+    refs = pa.table({"rid": ids + 1000, "lon": lon, "lat": lat, "cell": cell})
+    d = 1_500_000.0
+    got = knn_ops.geodesic_dwithin_ring(
+        ray.data.from_arrow(t).repartition(3), refs, bits=bits, d_meters=d,
+        query_cols=["qid"], ref_id="rid",
+    ).to_pandas()
+
+    import math
+    thr = math.sin(d / (2.0 * 6371008.8)) ** 2
+    sp = np.sin((np.radians(lat)[:, None] - np.radians(lat)[None, :]) / 2.0)
+    sl = np.sin((np.radians(lon)[:, None] - np.radians(lon)[None, :]) / 2.0)
+    h = sp * sp + (np.cos(np.radians(lat))[:, None]
+                   * np.cos(np.radians(lat))[None, :]) * (sl * sl)
+    want = {(int(i), int(j) + 1000) for i in ids for j in ids
+            if h[i, j] <= thr}
+    assert set(zip(got["qid"], got["rid"])) == want
+    # polar points must have found cross-longitude partners
+    polar = got[got.qid >= 306]
+    assert len(polar) > 20
