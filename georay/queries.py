@@ -800,6 +800,72 @@ FROM c JOIN s ON {hav} <= {t * t!r}
 SQL_DWITHIN_GEODESIC = _sql_dwithin_geodesic()
 
 
+def q_nearest_geodesic(sf_dir: str):
+    """Nearest-facility assignment by TRUE geodesic distance: each
+    customer's closest supplier under the monotone haversine kernel
+    (broadcast the small side once, vectorized kernel matrix per batch,
+    argmin with supplier-id tie-break). Unlike the ring joins this is
+    exact with NO candidate geometry at all — the right plan when one
+    side fits a broadcast; the ring path (dwithin_geodesic) is the
+    big-side alternative."""
+    import ray
+
+    from georay.runtime import per_process
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    supp_t = _small_points(
+        _read_table(sf_dir, "supplier", columns=["s_suppkey"]),
+        "s_suppkey", BITS_JOIN,
+    )
+    sid = supp_t["s_suppkey"].to_numpy()
+    o = np.argsort(sid, kind="quicksort")  # argmin tie → smallest suppkey
+    packed = (sid[o], supp_t["lon"].to_numpy()[o], supp_t["lat"].to_numpy()[o])
+    ref = ray.put(packed)
+    state_key = ref.hex() + "-nearest-geo"
+
+    class Nearest:
+        def __init__(self):
+            self.sid, self.slon, self.slat = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            key = t["c_custkey"].to_numpy(zero_copy_only=False)
+            lon, lat = spatial.synth_lonlat(key)
+            sp = np.sin((np.radians(lat)[:, None]
+                         - np.radians(self.slat)[None, :]) / 2.0)
+            sl = np.sin((np.radians(lon)[:, None]
+                         - np.radians(self.slon)[None, :]) / 2.0)
+            h = sp * sp + (np.cos(np.radians(lat))[:, None]
+                           * np.cos(np.radians(self.slat))[None, :]) \
+                * (sl * sl)
+            best = np.argmin(h, axis=1)  # first minimum = smallest suppkey
+            return pa.table({
+                "c_custkey": pa.array(key),
+                "s_suppkey": pa.array(self.sid[best]),
+                "hav": pa.array(h[np.arange(key.size), best]),
+            })
+
+    def fn(t: pa.Table) -> pa.Table:
+        return per_process(state_key, Nearest)(t)
+
+    return cust.map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_nearest_geodesic() -> str:
+    hav = _sql_hav("c.lat", "c.lon", "s.lat", "s.lon")
+    return f"""
+WITH c AS ({_sql_point_cte('customer', 'c_custkey', BITS_JOIN)}),
+     s AS ({_sql_point_cte('supplier', 's_suppkey', BITS_JOIN)}),
+r AS (SELECT c.c_custkey, s.s_suppkey, {hav} AS hav,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                ORDER BY {hav}, s.s_suppkey) AS rn
+      FROM c CROSS JOIN s)
+SELECT c_custkey, s_suppkey, hav FROM r WHERE rn = 1
+"""
+
+
+SQL_NEAREST_GEODESIC = _sql_nearest_geodesic()
+
+
 # -------------------------------------------------------------- grid DBSCAN
 
 DBSCAN_EPS = 6.0  # degrees (ring 1 at BITS_JOIN)
@@ -6833,6 +6899,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ripley_pairs": (q_ripley_pairs, SQL_RIPLEY_PAIRS),
         "tile_render": (q_tile_render, SQL_TILE_RENDER),
         "dwithin_geodesic": (q_dwithin_geodesic, SQL_DWITHIN_GEODESIC),
+        "nearest_geodesic": (q_nearest_geodesic, SQL_NEAREST_GEODESIC),
         "grid_dbscan": (q_grid_dbscan, SQL_GRID_DBSCAN),
         "box_join": (q_box_join, SQL_BOX_JOIN),
         "pip_nation": (q_pip, SQL_PIP),
