@@ -477,7 +477,8 @@ def hamming_near_dup_pairs(sig_ds, id_col: str = "doc_id",
                            hash_col: str = "simhash", max_hamming: int = 6,
                            n_blocks: int = 8, max_bucket: int | None = 4096,
                            num_partitions: int = 16,
-                           log_prefix: str = "georay.hamming"):
+                           log_prefix: str = "georay.hamming",
+                           group_col: str | None = None):
     """Near-dup pairs under Hamming distance over ANY int64 hash column
     (simhash of documents, perceptual aHash of images, ...): split the
     64-bit hash into ``n_blocks`` equal blocks and bucket by (block_idx,
@@ -503,6 +504,13 @@ def hamming_near_dup_pairs(sig_ds, id_col: str = "doc_id",
     naive row-level plan measured 10+ min at 10⁵ images over 768 distinct
     aHashes; this plan runs in seconds on identical input. Identical-sig
     pairs (Hamming 0) expand once, from the block-0 bucket.
+
+    ``group_col`` (optional, int64) BLOCKS the search: pairs are only
+    sought within the same group (dedup within a tile / language /
+    domain — the standard curation blocking pattern). The group id packs
+    ABOVE the block bits of the bucket key, so pigeonhole exactness,
+    bucket capping, and the first-matching-block rule all hold per group
+    and cross-group hash collisions are structurally impossible.
 
     A pair is emitted only by its FIRST matching block (lowest equal
     block), so output pairs are globally unique with NO second dedup
@@ -530,12 +538,15 @@ def hamming_near_dup_pairs(sig_ds, id_col: str = "doc_id",
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         sh = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        grp = (t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+               if group_col is not None else None)
         mask = np.uint64((1 << width) - 1)
         out_ids, out_bucket, out_sig = [], [], []
         for b in range(n_blocks):
             val = ((sh >> np.uint64(b * width)) & mask).astype(np.int64)
             out_ids.append(ids)
-            out_bucket.append((b << width) | val)
+            blk_key = (grp * n_blocks + b) if grp is not None else b
+            out_bucket.append((blk_key << width) | val)
             out_sig.append(sh.astype(np.int64))
         bucket = np.concatenate(out_bucket)
         with np.errstate(over="ignore"):
@@ -574,7 +585,10 @@ def hamming_near_dup_pairs(sig_ds, id_col: str = "doc_id",
         np.cumsum(ccount, out=row_start[1:])
         combo_bucket = (uc // usig.size).astype(np.int64)  # dense bucket rank
         combo_sig = usig[uc % usig.size]
-        blk_of_bucket = (ub.view(np.uint64) >> np.uint64(width)).astype(np.int64)
+        blk_of_bucket = (
+            (ub.view(np.uint64) >> np.uint64(width)).astype(np.int64)
+            % n_blocks  # group id (if any) packs above the block index
+        )
 
         out_a, out_b, out_h = [], [], []
 

@@ -1815,6 +1815,72 @@ def q_images_ahash_neardup(sf_dir: str):
     ).select_columns(["id_a", "id_b", "hamming"])
 
 
+def q_images_geo_neardup(sf_dir: str):
+    """GEO-BLOCKED visual near-dup (the curation blocking pattern: only
+    images in the SAME tile can pair — dedup-within-partition, like
+    dedup-within-language for text): aHash block-LSH with the tile id
+    packed above the block bits of the bucket key
+    (ops.minhash.hamming_near_dup_pairs ``group_col``), so pigeonhole
+    exactness holds per tile and cross-tile collisions are structurally
+    impossible. Distinct from images_ahash_neardup (global pairs)."""
+    import pyarrow.compute as pc
+
+    from georay import fixtures
+    from georay.ops import images as img_ops
+    from georay.ops import minhash as mh
+
+    ds = fixtures.read_images(
+        sf_dir, columns=["image_id", "fmt", "bytes", "lon", "lat"])
+
+    def hash_and_tile(t: pa.Table) -> pa.Table:
+        from georay import images
+
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+        fmts = t["fmt"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        ah = np.empty(len(fmts), dtype=np.int64)
+        for k in range(len(fmts)):  # decode is inherently per-image
+            px = images.decode_image(blobs[k], fmts[k])
+            ah[k] = np.uint64(images.ahash64(px)).astype(np.int64)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        tile = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        return pa.table({"img_idx": idx, "ahash": pa.array(ah), "tile": tile})
+
+    sigs = ds.map_batches(hash_and_tile, batch_format="pyarrow",
+                          batch_size=512)
+    return mh.hamming_near_dup_pairs(
+        sigs, id_col="img_idx", hash_col="ahash", max_hamming=2, n_blocks=8,
+        group_col="tile", log_prefix="georay.geo_ahash",
+    ).select_columns(["id_a", "id_b", "hamming"])
+
+
+def sql_images_geo_neardup(n: int) -> str:
+    return f"""
+WITH img AS ({_sql_img(n)}),
+co AS ({_sql_img_coords(n)}),
+ah(pmod, ahash) AS (VALUES
+  {_sql_ahash_values()}
+),
+loc AS (SELECT img.i, img.pix, {sql_x('co.lon', 5)} AS tx,
+               {sql_y('co.lat', 5)} AS ty
+        FROM img JOIN co ON co.i = img.i),
+cp AS (
+  SELECT a.pmod AS pa, b.pmod AS pb,
+         CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hm
+  FROM ah a, ah b
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+)
+SELECT CAST(ia.i AS BIGINT) AS id_a, CAST(ib.i AS BIGINT) AS id_b,
+       cp.hm AS hamming
+FROM cp
+JOIN loc ia ON ia.pix % 768 = cp.pa
+JOIN loc ib ON ib.pix % 768 = cp.pb
+           AND ia.tx = ib.tx AND ia.ty = ib.ty
+WHERE ia.i < ib.i
+"""
+
+
 _AHASH_TABLE_CACHE: dict[int, str] = {}
 
 
@@ -6966,6 +7032,10 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "images_ahash_neardup": (
             q_images_ahash_neardup,
             sql_images_ahash_neardup(n_images) if include_sql else None,
+        ),
+        "images_geo_neardup": (
+            q_images_geo_neardup,
+            sql_images_geo_neardup(n_images) if include_sql else None,
         ),
         "audio_features": (q_audio_features, sql_audio_features(n_audio)),
         "video_frames": (q_video_frames, sql_video_frames(n_video)),
