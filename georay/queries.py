@@ -427,6 +427,88 @@ SQL_POLYGON_COVER = _sql_polygon_cover()
 SQL_COVER_AREA = _sql_cover_area()
 SQL_COVER_MORPHOLOGY = _sql_cover_morphology()
 
+# overlay box for cover set algebra: overlaps the L's right arm + beyond
+OVERLAY_LON0, OVERLAY_LAT0 = -10.0003, -5.0003
+OVERLAY_W, OVERLAY_H = 35.0, 25.0
+
+
+def q_cover_setops(sf_dir: str):
+    """GIS OVERLAY as cell-cover set algebra (union / intersection /
+    difference in one pass): polyfill the L polygon and an overlapping
+    box at the same precision, FULL-OUTER-join the two covers on the
+    cell key, and classify every cell as both / only_a / only_b — the
+    distributed form of vector overlay once geometries are on a shared
+    discrete grid. Covers stream from the strip-parallel polyfill; only
+    (cell, flag) rows shuffle."""
+    import pyarrow.compute as pc
+
+    rx, ry = poly_l_ring()
+    bx = np.array([OVERLAY_LON0, OVERLAY_LON0 + OVERLAY_W,
+                   OVERLAY_LON0 + OVERLAY_W, OVERLAY_LON0])
+    by = np.array([OVERLAY_LAT0, OVERLAY_LAT0,
+                   OVERLAY_LAT0 + OVERLAY_H, OVERLAY_LAT0 + OVERLAY_H])
+
+    def flagged(ds, col):
+        def fn(t: pa.Table) -> pa.Table:
+            c = t["cell"].to_numpy(zero_copy_only=False)
+            return pa.table({"cell": c, col: np.ones(c.size, np.int64)})
+        return ds.map_batches(fn, batch_format="pyarrow",
+                              zero_copy_batch=True).repartition(2)
+
+    a = flagged(cells.polygon_cover_dataset(rx, ry, BITS_POLY), "_a")
+    b = flagged(cells.polygon_cover_dataset(bx, by, BITS_POLY), "_b")
+    joined = a.join(b, join_type="full_outer", num_partitions=4,
+                    on=("cell",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        cell = pc.fill_null(t["cell"], 0).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_POLY)
+        ia = pc.fill_null(t["_a"], 0).to_numpy(zero_copy_only=False)
+        ib = pc.fill_null(t["_b"], 0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cx": x.astype(np.int64), "cy": y.astype(np.int64),
+            "in_a": ia.astype(np.int64), "in_b": ib.astype(np.int64),
+            "klass": (ia * 2 + ib).astype(np.int64),  # 3=both 2=a 1=b
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def _sql_cover_setops() -> str:
+    nx, ny = codec.split_bits(BITS_POLY)
+    sx, sy = 360.0 / (1 << nx), 180.0 / (1 << ny)
+    l0, b0 = OVERLAY_LON0, OVERLAY_LAT0
+    w, h = OVERLAY_W, OVERLAY_H
+    import math
+
+    x0 = max(int(math.floor((l0 + 180.0) / sx)), 0)
+    x1 = min(int(math.floor((l0 + w + 180.0) / sx)), (1 << nx) - 1)
+    y0 = max(int(math.floor((b0 + 90.0) / sy)), 0)
+    y1 = min(int(math.floor((b0 + h + 90.0) / sy)), (1 << ny) - 1)
+    box = f"""
+SELECT CAST(xs.range AS BIGINT) AS cx, CAST(ys.range AS BIGINT) AS cy
+FROM range({x0}, {x1 + 1}) xs, range({y0}, {y1 + 1}) ys
+WHERE (xs.range + 0.5) * {sx!r} - 180.0 >= {l0!r}
+  AND (xs.range + 0.5) * {sx!r} - 180.0 < {l0 + w!r}
+  AND (ys.range + 0.5) * {sy!r} - 90.0 >= {b0!r}
+  AND (ys.range + 0.5) * {sy!r} - 90.0 < {b0 + h!r}
+"""
+    return f"""
+WITH a AS ({_sql_polygon_cover()}),
+b AS ({box})
+SELECT COALESCE(a.cx, b.cx) AS cx, COALESCE(a.cy, b.cy) AS cy,
+       CAST(CASE WHEN a.cx IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_a,
+       CAST(CASE WHEN b.cx IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_b,
+       CAST(CASE WHEN a.cx IS NOT NULL THEN 2 ELSE 0 END
+            + CASE WHEN b.cx IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS klass
+FROM a FULL OUTER JOIN b ON a.cx = b.cx AND a.cy = b.cy
+"""
+
+
+SQL_COVER_SETOPS = _sql_cover_setops()
+
 
 # ---------------------------------------------------------------- spatial join
 
@@ -6957,6 +7039,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "polygon_cover_compact": (q_polygon_cover_compact, SQL_POLYGON_COVER),
         "cover_area": (q_cover_area, SQL_COVER_AREA),
         "cover_morphology": (q_cover_morphology, SQL_COVER_MORPHOLOGY),
+        "cover_setops": (q_cover_setops, SQL_COVER_SETOPS),
         "spatial_join": (q_spatial_join, SQL_SPATIAL_JOIN),
         "spatial_join_shuffle": (q_spatial_join_shuffle, SQL_SPATIAL_JOIN),
         "knn_ring1": (q_knn, SQL_KNN),
