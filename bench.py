@@ -155,7 +155,16 @@ def run_shuffle_job() -> dict:
     t0 = time.time()
     out = knn_ops.knn_shuffle(
         q, r, bits=bits, k=3, ring=1, query_id="query_id", ref_id="ref_id",
-        num_partitions=32,  # fixed across CPU levels: same physical plan
+        num_partitions=32,  # fixed across CPU levels: same physical plan,
+        # and >= the top CPU level — fewer partitions cap the exchange's
+        # parallelism and the probe stops expressing 4x (measured:
+        # parts=16 runs FASTER in absolute wall at both levels — 13.9 s
+        # @32 / 22.4 s @8 vs 21.2 / 47.6 at parts=32 in the same window —
+        # because halving the join-actor partition count halves per-
+        # message syscall density, which this host's kernel/IPC-tax
+        # phases punish; but its 8->32 ratio saturates at ~1.6x. Rule:
+        # pick num_partitions ~= cluster CPUs; during a syscall-tax host
+        # phase HALVE it for wall time at the cost of peak parallelism).
         # the probe DELIBERATELY explodes the big side: its job is to stress
         # the all-to-all exchange. Production callers should pass
         # expand_side="refs" when refs are smaller (measured 1.7x less wall
