@@ -35,17 +35,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def brute_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
                id_col: str = "vec_id", emb_col: str = "embedding",
-               concurrency=(1, 8)):
-    """Exact cosine top-k of every query against the full dataset."""
+               concurrency=(1, 8), query_labels: np.ndarray | None = None,
+               label_col: str = "label"):
+    """Exact cosine top-k of every query against the full dataset.
+
+    With ``query_labels`` given, candidates sharing the query's label are
+    masked out per query — hard-NEGATIVE mining for contrastive training
+    (the nearest vectors that are NOT of the query's own class). The mask
+    is a batch-local boolean outer compare; no extra pass or shuffle.
+    """
     import pandas as pd
     import ray
 
-    q_ref = ray.put((np.asarray(query_ids), _normalize(np.asarray(query_mat))))
+    q_labels = None if query_labels is None else np.asarray(query_labels)
+    q_ref = ray.put(
+        (np.asarray(query_ids), _normalize(np.asarray(query_mat)), q_labels))
     state_key = q_ref.hex()
 
     class LocalTopK:
         def __init__(self):
-            self.q_ids, self.q_mat = ray.get(q_ref)
+            self.q_ids, self.q_mat, self.q_labels = ray.get(q_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -57,6 +66,9 @@ def brute_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
             mat = _normalize(emb_matrix(t[emb_col]))[id_order]
             sims = self.q_mat @ mat.T
             sims[self.q_ids[:, None] == ids[None, :]] = -np.inf
+            if self.q_labels is not None:
+                lab = t[label_col].to_numpy(zero_copy_only=False)[id_order]
+                sims[self.q_labels[:, None] == lab[None, :]] = -np.inf
             kk = min(k, ids.size)
             part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             qidx = np.repeat(np.arange(self.q_ids.size), kk)

@@ -1574,6 +1574,40 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_ann_hard_negatives(sf_dir: str):
+    """Hard-NEGATIVE mining for contrastive training: for every query
+    vector, the top-k most similar vectors whose ``label`` differs from
+    the query's own — the per-query class mask rides inside the same
+    broadcast brute-cosine kernel (no second pass, no shuffle; the label
+    column is already batch-local)."""
+    from georay.ops import similarity as sim
+
+    q_table = _read_table(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding", "label"])
+    mask = (q_table["vec_id"].to_numpy() % 10) == 0
+    q_ids = q_table["vec_id"].to_numpy()[mask]
+    q_labels = q_table["label"].to_numpy()[mask]
+    q_mat = sim.emb_matrix(q_table["embedding"])[mask]
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding", "label"])
+    out = sim.brute_topk(emb, q_ids, q_mat, k=ANN_K,
+                         query_labels=q_labels)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+SQL_ANN_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 = 0)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+         ) AS BIGINT) AS rank
+  FROM q JOIN embeddings e ON e.label <> q.label AND e.vec_id <> q.vec_id
+) WHERE rank <= {ANN_K}
+"""
+
+
 def q_ann_sq8(sf_dir: str):
     """SQ8 scalar-quantized ANN top-k: float32 dims compress to one byte
     via distributed per-dim (min, max); scoring is an INTEGER code dot
@@ -7082,6 +7116,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ann_pq": (q_ann_pq, SQL_ANN_PQ),
         "ann_ivf_pq": (q_ann_ivf_pq, SQL_ANN_PQ),
         "ann_filtered": (q_ann_filtered, SQL_ANN_FILTERED),
+        "ann_hard_negatives": (q_ann_hard_negatives, SQL_ANN_HARD_NEGATIVES),
         "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_SQ8),
         "kmeans_clusters": (q_kmeans, sql_kmeans()),
         "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup()),

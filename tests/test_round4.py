@@ -838,3 +838,39 @@ def test_kcore_brute_parity(ray_session):
     assert len(got) == len(want)
     for _, r in got.iterrows():
         assert want[int(r.node)] == int(r.deg)
+
+
+def test_brute_topk_hard_negative_mask(ray_session):
+    # label-masked top-k: neighbors must all carry a DIFFERENT label than
+    # the query, and match a numpy oracle with the same mask
+    import ray
+
+    from georay.ops import similarity as sim
+
+    rng = np.random.RandomState(7)
+    n, d = 400, 16
+    mat = rng.randn(n, d).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    labels = (np.arange(n, dtype=np.int64) % 5).astype(np.int32)
+    t = pa.table({
+        "vec_id": ids,
+        "embedding": pa.array(list(mat), type=pa.list_(pa.float32())),
+        "label": labels,
+    })
+    qsel = np.arange(n) % 40 == 0
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = sim.brute_topk(ds, ids[qsel], mat[qsel], k=4,
+                         query_labels=labels[qsel]).to_pandas()
+
+    mn = mat.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    sims = mn[qsel] @ mn.T
+    sims[np.equal.outer(ids[qsel], ids)] = -np.inf
+    sims[np.equal.outer(labels[qsel], labels)] = -np.inf
+    lab_of = dict(zip(ids.tolist(), labels.tolist()))
+    for r, (q, ql) in enumerate(zip(ids[qsel], labels[qsel])):
+        order = np.lexsort((ids, -sims[r]))[:4]
+        want = ids[order].tolist()
+        have = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert have == want, f"query {q}"
+        assert all(lab_of[h] != ql for h in have)
