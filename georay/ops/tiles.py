@@ -624,3 +624,82 @@ def tile_trend(ds, cell_col: str = "cell", x_col: str = "x", y_col: str = "y",
                          "slope": pa.array(slope)})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
+              value_col: str = "n", combine_partitions: int = 8,
+              num_partitions: int = 8):
+    """Empirical semivariogram of an aggregated raster: every unordered
+    pair of OCCUPIED cells within Chebyshev distance ``max_lag`` is binned
+    by squared Euclidean grid distance d² = dx²+dy² and contributes
+    (vᵢ−vⱼ)² — all integers, so the statistic is exact under any
+    execution order (γ(d²) = sq_sum / (2·n_pairs) is the caller's one
+    float division).
+
+    Plan (never O(cells²)): each cell SCATTERS its value to the half ring
+    of lag offsets (dx > 0, or dx = 0 ∧ dy > 0 — each unordered pair has
+    exactly one reporter, so no dedup shuffle exists), a hash join back to
+    the raster lands contributions on occupied partners only, and the
+    (d2, n, sq_sum) partials combine per batch before one tiny groupby.
+    Exchange is O(occupied × ring/2) scatter rows + O(lags × batches)
+    partial rows. Plain grid geometry — no longitude wrap: a variogram is
+    a distance statistic, not a topology query.
+    """
+    from ray.data.aggregate import Sum
+
+    nx_bits, ny_bits = codec.split_bits(bits)
+    nx, ny = 1 << nx_bits, 1 << ny_bits
+    offsets = [(dx, dy)
+               for dx in range(0, max_lag + 1)
+               for dy in range(-max_lag, max_lag + 1)
+               if (dx > 0 or dy > 0) and dx * dx + dy * dy <= max_lag * max_lag]
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = codec.deinterleave(cell, bits)
+        parts_c, parts_v, parts_d = [], [], []
+        for dx, dy in offsets:
+            tx = x.astype(np.int64) + dx
+            ty = y.astype(np.int64) + dy
+            ok = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+            parts_c.append(codec.interleave(
+                tx[ok].astype(np.uint64), ty[ok].astype(np.uint64), bits))
+            parts_v.append(val[ok])
+            parts_d.append(np.full(int(ok.sum()), dx * dx + dy * dy,
+                                   dtype=np.int64))
+        return pa.table({
+            cell_col: np.concatenate(parts_c).astype(np.int64),
+            "src_v": np.concatenate(parts_v),
+            "d2": np.concatenate(parts_d),
+        })
+
+    scattered = raster_ds.map_batches(
+        scatter, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_partitions)
+
+    landed = scattered.join(
+        raster_ds.select_columns([cell_col, value_col])
+        .repartition(num_partitions),
+        join_type="inner", num_partitions=num_partitions, on=(cell_col,),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d2 = t["d2"].to_numpy(zero_copy_only=False)
+        diff = (t["src_v"].to_numpy(zero_copy_only=False)
+                - t[value_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        u, inv = np.unique(d2, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, diff * diff)
+        return pa.table({"d2": u, "p_n": n, "p_sq": s})
+
+    return (
+        landed.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(min(combine_partitions, 4))
+        .groupby("d2")
+        .aggregate(Sum("p_n", alias_name="n_pairs"),
+                   Sum("p_sq", alias_name="sq_sum"))
+        .repartition(1)  # few-group final: merge schema-less empty blocks
+    )

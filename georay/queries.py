@@ -4006,6 +4006,37 @@ GROUP BY a.x, a.y, a.n
 """
 
 
+def q_semivariogram(sf_dir: str):
+    """Empirical semivariogram of the customer-count raster at BITS_TILE:
+    unordered occupied-cell pairs within Chebyshev lag 3, binned by squared
+    grid distance d², accumulating integer (nᵢ−nⱼ)² (ops.tiles.variogram —
+    half-ring scatter → hash join → per-batch partials; each pair has
+    exactly one reporter so no dedup shuffle exists). The SQL twin is a
+    bounded self-join of the cell aggregate."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    pts = spatial.points_with_cells(cust, "c_custkey", BITS_TILE, xy=False)
+    raster = tiles.count_by(pts.select_columns(["cell"]), "cell")
+    return tiles.variogram(raster, BITS_TILE, max_lag=3)
+
+
+SQL_SEMIVARIOGRAM = f"""
+WITH pts AS (
+  SELECT {sql_x(sql_lon('c_custkey'), 5)} AS x,
+         {sql_y(sql_lat('c_custkey'), 5)} AS y
+  FROM customer),
+g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY x, y)
+SELECT (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM((a.n - b.n) * (a.n - b.n)) AS BIGINT) AS sq_sum
+FROM g a JOIN g b
+  ON b.x BETWEEN a.x - 3 AND a.x + 3
+ AND b.y BETWEEN a.y - 3 AND a.y + 3
+ AND (b.x > a.x OR (b.x = a.x AND b.y > a.y))
+ AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) <= 9
+GROUP BY 1
+"""
+
+
 def q_distinct_kmv(sf_dir: str):
     """KMV distinct-count sketch of orders.o_custkey (k=256): per-batch
     k-smallest distinct splitmix64 hashes, merged once — the exchange is
@@ -6512,6 +6543,80 @@ FROM st CROSS JOIN num CROSS JOIN den
 """
 
 
+def q_geary_c(sf_dir: str):
+    """Global Geary's C spatial autocorrelation of per-tile order counts
+    (queen 8-neighbor weights over OCCUPIED cells, same convention as
+    ``moran_i``). The mean cancels inside the numerator's (xᵢ−xⱼ)² so the
+    whole statistic is exact integers after K-scaling the denominator:
+    C = K²(K−1)·Σw(nᵢ−nⱼ)² / (2W·Σ(K·nᵢ−S)²) — ONE float division; the
+    SQL twin uses HUGEINT for the same products. Distributed part is the
+    two-phase count aggregate; the ≤2^bits-row cell table finalizes
+    driver-side with Python ints (overflow-free at any scale)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: ≤ 2^BITS_TILE occupied cells
+
+    cell = agg["cell"].to_numpy().astype(np.uint64)
+    x, y = codec.deinterleave(cell, BITS_TILE)
+    n = agg["n"].to_numpy()
+    K = len(agg)
+    S = int(n.sum())
+    v = {(int(a), int(b)): int(c) for a, b, c in zip(x, y, n)}
+    W = 0
+    num = 0
+    ss = sum((K * c - S) ** 2 for c in v.values())
+    for (cx, cy), cv in v.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nb = v.get((cx + dx, cy + dy))
+                if nb is not None:
+                    W += 1
+                    num += (cv - nb) ** 2
+    return pd.DataFrame({
+        "k_cells": [np.int64(K)], "w_pairs": [np.int64(W)],
+        "geary_c": [float(K * K * (K - 1) * num) / float(2 * W * ss)],
+    })
+
+
+SQL_GEARY_C = f"""
+WITH c AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, CAST(SUM(n) AS HUGEINT) AS s
+       FROM c),
+num AS (SELECT CAST(COUNT(*) AS HUGEINT) AS w,
+               SUM(CAST(a.n - b.n AS HUGEINT) * CAST(a.n - b.n AS HUGEINT))
+                 AS diff_sum
+        FROM c a JOIN c b
+          ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+             AND NOT (a.x = b.x AND a.y = b.y)),
+den AS (SELECT SUM((k * n - s) * (k * n - s)) AS ss FROM c CROSS JOIN st)
+SELECT CAST(k AS BIGINT) AS k_cells, CAST(w AS BIGINT) AS w_pairs,
+       CAST(k * k * (k - 1) * diff_sum AS DOUBLE)
+         / CAST(2 * w * ss AS DOUBLE) AS geary_c
+FROM st CROSS JOIN num CROSS JOIN den
+"""
+
+
 # ----------------------------------------------------------------- trimmed mean
 
 TRIM_PCT_NUM = 1  # trim floor(n/10) rows at each end
@@ -7134,6 +7239,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "trajectory_stats": (q_trajectory_stats, SQL_TRAJECTORY),
         "line_cover": (q_line_cover, SQL_LINE_COVER),
         "raster_focal": (q_raster_focal, SQL_RASTER_FOCAL),
+        "semivariogram": (q_semivariogram, SQL_SEMIVARIOGRAM),
         "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
         "grouped_quantiles": (q_quantiles, SQL_QUANTILES),
         "grouped_quantiles_binned": (q_quantiles_binned, SQL_QUANTILES_BINNED),
@@ -7200,6 +7306,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "tile_reconcile": (q_tile_reconcile, SQL_TILE_RECONCILE),
         "tile_mad": (q_tile_mad, SQL_TILE_MAD),
         "moran_i": (q_moran_i, SQL_MORAN_I),
+        "geary_c": (q_geary_c, SQL_GEARY_C),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),

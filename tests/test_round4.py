@@ -874,3 +874,30 @@ def test_brute_topk_hard_negative_mask(ray_session):
         have = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
         assert have == want, f"query {q}"
         assert all(lab_of[h] != ql for h in have)
+
+
+def test_variogram_matches_brute(ray_session):
+    # half-ring scatter + join vs an O(n²) numpy pair loop on a small raster
+    import ray
+
+    from georay import codec
+    from georay.ops import tiles
+
+    rng = np.random.RandomState(3)
+    bits = 10
+    cells = np.unique(rng.randint(0, 1 << bits, size=60).astype(np.int64))
+    vals = rng.randint(1, 50, size=cells.size).astype(np.int64)
+    t = pa.table({"cell": cells, "n": vals})
+    out = tiles.variogram(
+        ray.data.from_arrow(t).repartition(3), bits, max_lag=3
+    ).to_pandas().set_index("d2").sort_index()
+
+    x, y = codec.deinterleave(cells.astype(np.uint64), bits)
+    want = {}
+    for i in range(cells.size):
+        for j in range(i + 1, cells.size):
+            d2 = int((int(x[i]) - int(x[j])) ** 2 + (int(y[i]) - int(y[j])) ** 2)
+            if d2 <= 9:
+                n, s = want.get(d2, (0, 0))
+                want[d2] = (n + 1, s + (int(vals[i]) - int(vals[j])) ** 2)
+    assert dict(zip(out.index, zip(out["n_pairs"], out["sq_sum"]))) == want
