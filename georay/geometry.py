@@ -345,3 +345,24 @@ def split_antimeridian_ring(
     if over_x.size >= 3:
         out.append((over_x + shift, over_y))
     return out
+
+
+def ring_shoelace(vx: np.ndarray, vy: np.ndarray):
+    """Signed shoelace metrics of closed rings on INTEGER coordinates —
+    exact (no floats): twice the signed area and the centroid numerators,
+    vectorized over a (n_rings, n_vertices) batch.
+
+    Returns ``(area2, cx_num, cy_num)`` int64 arrays where
+    area = area2 / 2 and centroid = (cx_num, cy_num) / (3 · area2); the
+    caller owns those divisions. Reference analogue: the cell-area surface
+    (SURVEY.md §2 S8) generalized to arbitrary vertex rings.
+    """
+    vx = vx.astype(np.int64)
+    vy = vy.astype(np.int64)
+    nx_ = np.roll(vx, -1, axis=1)
+    ny_ = np.roll(vy, -1, axis=1)
+    cross = vx * ny_ - nx_ * vy
+    area2 = cross.sum(axis=1)
+    cx_num = ((vx + nx_) * cross).sum(axis=1)
+    cy_num = ((vy + ny_) * cross).sum(axis=1)
+    return area2, cx_num, cy_num

@@ -532,3 +532,103 @@ def box_overlap_join(
         return t.rename_columns(names)
 
     return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def segment_crossings(ds, id_col: str, x1: str, y1: str, x2: str, y2: str,
+                      cell_shift: int = 3, num_partitions: int = 8,
+                      combine_partitions: int = 8):
+    """Segment-intersection join on INTEGER endpoint coordinates: all
+    unordered pairs of segments that PROPERLY cross (strict orientation
+    sign tests — touching endpoints and collinear overlaps excluded), the
+    GIS overlay primitive (SURVEY.md §2.5 N4 extended to 1-D objects).
+
+    Exact end to end: candidates come from a bounding-box cell cover
+    (grid cell = coords >> ``cell_shift``; an intersection point lies in
+    both segments' bboxes, so every crossing pair shares ≥1 cover cell —
+    completeness by construction), the refine is four int64 cross-product
+    signs (no floats, no epsilon), and duplicate reports from multi-cell
+    overlaps collapse in a pair-key groupby that shuffles only the
+    surviving (a, b) int pairs — never O(n²) and never the geometry.
+
+    Ids must fit 31 bits (pair key packs a*2³¹+b).
+    """
+    from ray.data.aggregate import Count
+
+    def scatter(t: pa.Table) -> pa.Table:
+        sid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ax1 = t[x1].to_numpy(zero_copy_only=False).astype(np.int64)
+        ay1 = t[y1].to_numpy(zero_copy_only=False).astype(np.int64)
+        ax2 = t[x2].to_numpy(zero_copy_only=False).astype(np.int64)
+        ay2 = t[y2].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx0 = np.minimum(ax1, ax2) >> cell_shift
+        cx1_ = np.maximum(ax1, ax2) >> cell_shift
+        cy0 = np.minimum(ay1, ay2) >> cell_shift
+        cy1_ = np.maximum(ay1, ay2) >> cell_shift
+        w = cx1_ - cx0 + 1
+        h = cy1_ - cy0 + 1
+        counts = w * h
+        total = int(counts.sum())
+        row = np.repeat(np.arange(sid.size), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        o = np.arange(total) - starts[row]
+        ox = o % w[row]
+        oy = o // w[row]
+        cell = (cx0[row] + ox) * (1 << 24) + (cy0[row] + oy)
+        return pa.table({
+            "cell": cell, "sid": sid[row],
+            "sx1": ax1[row], "sy1": ay1[row],
+            "sx2": ax2[row], "sy2": ay2[row],
+        })
+
+    left = ds.map_batches(scatter, batch_format="pyarrow",
+                          zero_copy_batch=True).repartition(num_partitions)
+
+    def as_right(t: pa.Table) -> pa.Table:
+        return pa.table({"cell": t["cell"], "tid": t["sid"],
+                         "tx1": t["sx1"], "ty1": t["sy1"],
+                         "tx2": t["sx2"], "ty2": t["sy2"]})
+
+    right = left.map_batches(as_right, batch_format="pyarrow",
+                             zero_copy_batch=True).repartition(num_partitions)
+    cand = left.join(right, join_type="inner",
+                     num_partitions=num_partitions, on=("cell",))
+
+    def refine(t: pa.Table) -> pa.Table:
+        a = t["sid"].to_numpy(zero_copy_only=False)
+        b = t["tid"].to_numpy(zero_copy_only=False)
+        m = a < b
+        if not m.any():
+            return pa.table({"pk": np.empty(0, dtype=np.int64)})
+        p1x = t["sx1"].to_numpy(zero_copy_only=False)[m]
+        p1y = t["sy1"].to_numpy(zero_copy_only=False)[m]
+        p2x = t["sx2"].to_numpy(zero_copy_only=False)[m]
+        p2y = t["sy2"].to_numpy(zero_copy_only=False)[m]
+        q1x = t["tx1"].to_numpy(zero_copy_only=False)[m]
+        q1y = t["ty1"].to_numpy(zero_copy_only=False)[m]
+        q2x = t["tx2"].to_numpy(zero_copy_only=False)[m]
+        q2y = t["ty2"].to_numpy(zero_copy_only=False)[m]
+
+        def orient(ox, oy, axx, ayy, bxx, byy):
+            return np.sign((axx - ox) * (byy - oy) - (ayy - oy) * (bxx - ox))
+
+        d1 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+        d2 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+        d3 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+        d4 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+        hit = (d1 * d2 < 0) & (d3 * d4 < 0)
+        pk = a[m][hit] * (np.int64(1) << 31) + b[m][hit]
+        return pa.table({"pk": np.unique(pk)})
+
+    pairs = (
+        cand.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby("pk")
+        .aggregate(Count(alias_name="n_cells"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pk >> 31, "b": pk & ((np.int64(1) << 31) - 1)})
+
+    return pairs.map_batches(unpack, batch_format="pyarrow",
+                             zero_copy_batch=True)

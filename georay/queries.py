@@ -6543,6 +6543,91 @@ FROM st CROSS JOIN num CROSS JOIN den
 """
 
 
+def q_segment_crossings(sf_dir: str):
+    """All properly-crossing pairs among synthetic order segments
+    (endpoints a closed-form integer function of s_suppkey in a 64×64
+    grid): bbox cell-cover candidates → strict int64 orientation-sign
+    refine → pair-key dedup groupby (ops.join.segment_crossings). The SQL
+    twin is the O(n²) cross join with the same four sign tests — the Ray
+    plan is the one that scales."""
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        k = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # mod a prime first so the dense key space doesn't alias mod 64
+        return pa.table({
+            "sid": k,
+            "x1": (k * 29 % 193) % 64, "y1": (k * 53 % 193) % 64,
+            "x2": (k * 71 % 193) % 64, "y2": (k * 13 % 193) % 64,
+        })
+
+    segs = sup.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+    return join_ops.segment_crossings(segs, "sid", "x1", "y1", "x2", "y2",
+                                      cell_shift=3)
+
+
+SQL_SEGMENT_CROSSINGS = """
+WITH s AS (
+  SELECT s_suppkey AS sid,
+         (s_suppkey * 29 % 193) % 64 AS x1, (s_suppkey * 53 % 193) % 64 AS y1,
+         (s_suppkey * 71 % 193) % 64 AS x2, (s_suppkey * 13 % 193) % 64 AS y2
+  FROM supplier)
+SELECT a.sid AS a, b.sid AS b
+FROM s a JOIN s b ON a.sid < b.sid
+WHERE sign((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+    * sign((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+  AND sign((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+    * sign((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
+"""
+
+
+POLY_NV = 6  # vertices per synthetic ring
+
+
+def q_polygon_metrics(sf_dir: str):
+    """Per-polygon signed shoelace area and centroid numerators on INTEGER
+    vertex coordinates (geometry.ring_shoelace) — the classic GIS measure
+    pass, exact with no floats. One irregular 6-gon per customer, vertices
+    a closed-form function of the key mirrored verbatim in the SQL twin
+    (which re-derives the shoelace relationally: unnest vertex index, join
+    i→(i+1) mod NV, SUM cross products per ring)."""
+    from georay import geometry
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(POLY_NV, dtype=np.int64)[None, :]
+        k = key[:, None]
+        vx = (k * 37) % 1000 + (k + (i + 1) * (i + 7)) % 17 - 8
+        vy = (k * 91) % 1000 + (k * 3 + (i + 2) * (i + 5)) % 17 - 8
+        area2, cx_num, cy_num = geometry.ring_shoelace(vx, vy)
+        return pa.table({"poly_id": key, "area2": area2,
+                         "cx_num": cx_num, "cy_num": cy_num})
+
+    return cust.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_POLYGON_METRICS = f"""
+WITH v AS (
+  SELECT c_custkey AS poly_id, i,
+         (c_custkey * 37) % 1000 + (c_custkey + (i + 1) * (i + 7)) % 17 - 8 AS vx,
+         (c_custkey * 91) % 1000 + (c_custkey * 3 + (i + 2) * (i + 5)) % 17 - 8 AS vy
+  FROM customer
+  CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) s(i)),
+e AS (SELECT a.poly_id,
+             a.vx * b.vy - b.vx * a.vy AS cross_i,
+             (a.vx + b.vx) * (a.vx * b.vy - b.vx * a.vy) AS cxc,
+             (a.vy + b.vy) * (a.vx * b.vy - b.vx * a.vy) AS cyc
+      FROM v a JOIN v b
+        ON b.poly_id = a.poly_id AND b.i = (a.i + 1) % {POLY_NV})
+SELECT poly_id, CAST(SUM(cross_i) AS BIGINT) AS area2,
+       CAST(SUM(cxc) AS BIGINT) AS cx_num,
+       CAST(SUM(cyc) AS BIGINT) AS cy_num
+FROM e GROUP BY poly_id
+"""
+
+
 def q_geary_c(sf_dir: str):
     """Global Geary's C spatial autocorrelation of per-tile order counts
     (queen 8-neighbor weights over OCCUPIED cells, same convention as
@@ -7307,6 +7392,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "tile_mad": (q_tile_mad, SQL_TILE_MAD),
         "moran_i": (q_moran_i, SQL_MORAN_I),
         "geary_c": (q_geary_c, SQL_GEARY_C),
+        "polygon_metrics": (q_polygon_metrics, SQL_POLYGON_METRICS),
+        "segment_crossings": (q_segment_crossings, SQL_SEGMENT_CROSSINGS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),

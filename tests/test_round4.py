@@ -901,3 +901,42 @@ def test_variogram_matches_brute(ray_session):
                 n, s = want.get(d2, (0, 0))
                 want[d2] = (n + 1, s + (int(vals[i]) - int(vals[j])) ** 2)
     assert dict(zip(out.index, zip(out["n_pairs"], out["sq_sum"]))) == want
+
+
+def test_segment_crossings_matches_brute(ray_session):
+    # cell-cover candidates + orientation refine vs the O(n²) sign test
+    import ray
+
+    from georay.ops import join as join_ops
+
+    rng = np.random.RandomState(11)
+    n = 80
+    t = pa.table({
+        "sid": np.arange(1, n + 1, dtype=np.int64),
+        "x1": rng.randint(0, 100, n).astype(np.int64),
+        "y1": rng.randint(0, 100, n).astype(np.int64),
+        "x2": rng.randint(0, 100, n).astype(np.int64),
+        "y2": rng.randint(0, 100, n).astype(np.int64),
+    })
+    got = join_ops.segment_crossings(
+        ray.data.from_arrow(t).repartition(3),
+        "sid", "x1", "y1", "x2", "y2", cell_shift=4,
+    ).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+
+    x1, y1 = t["x1"].to_numpy(), t["y1"].to_numpy()
+    x2, y2 = t["x2"].to_numpy(), t["y2"].to_numpy()
+
+    def o(ox, oy, ax, ay, bx, by):
+        return np.sign((ax - ox) * (by - oy) - (ay - oy) * (bx - ox))
+
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            d1 = o(x1[i], y1[i], x2[i], y2[i], x1[j], y1[j])
+            d2 = o(x1[i], y1[i], x2[i], y2[i], x2[j], y2[j])
+            d3 = o(x1[j], y1[j], x2[j], y2[j], x1[i], y1[i])
+            d4 = o(x1[j], y1[j], x2[j], y2[j], x2[i], y2[i])
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                want.add((i + 1, j + 1))
+    assert got_pairs == want and len(want) > 50
