@@ -735,3 +735,54 @@ def bm25_topk(ds, terms: list[str], k: int = 10, k1: float = 1.2,
         return table_from_pandas(df)
 
     return top.repartition(1).map_batches(add_rank, batch_format="pandas")
+
+
+def chunk_stats(ds, window: int, stride: int, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """RAG-style overlapping chunking: split every document into
+    ``window``-char chunks every ``stride`` chars (chunk starts at
+    0, stride, 2·stride, … while start < n_chars; the last chunk may be
+    short) and emit per-chunk stats — one row per chunk, never the text.
+
+    Fully vectorized against the Arrow string column's OWN layout: the
+    batch's concatenated UTF-8 data buffer and offsets are read zero-copy,
+    a single cumulative-sum over the byte buffer answers every chunk's
+    space count in O(bytes), and chunk starts come from the segmented
+    arange idiom — no per-document Python, no substring materialization.
+
+    Output: ``id_col, chunk_idx, start, clen, n_spaces`` (all int64).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col]
+        # zero-copy view of the string column's offsets + data buffers
+        off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offs = np.frombuffer(
+            arr.buffers()[1], dtype=off_dt, count=len(arr) + 1,
+            offset=arr.offset * np.dtype(off_dt).itemsize,
+        ).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                             count=int(offs[-1]))
+        nch = offs[1:] - offs[:-1]
+        n_chunks = (np.maximum(nch, 1) - 1) // stride + 1
+        total = int(n_chunks.sum())
+        row = np.repeat(np.arange(ids.size), n_chunks)
+        firsts = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        idx = np.arange(total) - firsts[row]
+        start = idx * stride
+        clen = np.minimum(window, nch[row] - start)
+        # one cumsum over the batch's byte buffer answers all space counts
+        cs = np.concatenate(([0], np.cumsum(data == 32, dtype=np.int64)))
+        b0 = offs[row] + start
+        n_spaces = cs[b0 + clen] - cs[b0]
+        return pa.table({
+            id_col: ids[row],
+            "chunk_idx": idx,
+            "start": start,
+            "clen": clen,
+            "n_spaces": n_spaces,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -406,3 +406,80 @@ def transitions(ds, key_col: str, ts_col: str, order_col: str, type_col: str,
 
     return joined.map_batches(prob, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def resample_gapfill(ds, key_col: str, ts_col: str, value_col: str,
+                     bucket_us: int, ts_scale_us: int = 1,
+                     num_partitions: int = 8, combine_partitions: int = 8):
+    """Fixed-interval time-series resample WITH gap fill: per (key, bucket)
+    count + integer value sum, then every missing bucket between each
+    key's first and last observation emitted as an explicit zero row —
+    the shape regular-grid consumers (forecasting, charting) need.
+
+    ``value_col`` must already be integer-valued (pre-scale floats to
+    cents upstream so sums are exact under any execution order).
+
+    Plan: per-batch (key, bucket) partials → one groupby; per-key
+    (min, max) span partials → a second tiny groupby; the dense grid is a
+    segmented-arange flat-map of the span rows (O(span) rows per key, no
+    driver loop), left-joined back to the aggregate with nulls → 0. The
+    exchanges carry only aggregate and span rows — never raw events.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t[ts_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // ts_scale_us
+        b = us // bucket_us
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pack = key * (np.int64(1) << 24) + b  # buckets fit 24 bits here
+        u, inv = np.unique(pack, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, val)
+        return pa.table({key_col: u >> 24, "bucket": u & ((1 << 24) - 1),
+                         "p_n": n, "p_v": s})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby([key_col, "bucket"])
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_v", alias_name="v"))
+        .repartition(num_partitions)  # merge schema-less empty blocks pre-join
+    )
+
+    spans = (
+        agg.groupby(key_col)
+        .aggregate(Min("bucket", alias_name="b0"),
+                   Max("bucket", alias_name="b1"))
+        .repartition(min(num_partitions, 4))
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        b0 = t["b0"].to_numpy(zero_copy_only=False)
+        b1 = t["b1"].to_numpy(zero_copy_only=False)
+        counts = b1 - b0 + 1
+        total = int(counts.sum())
+        row = np.repeat(np.arange(key.size), counts)
+        firsts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bucket = b0[row] + (np.arange(total) - firsts[row])
+        return pa.table({key_col: key[row], "bucket": bucket})
+
+    grid = spans.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True).repartition(num_partitions)
+
+    joined = grid.join(agg, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=(key_col, "bucket"))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col], "bucket": t["bucket"],
+            "n": pc.fill_null(t["n"], 0).cast(pa.int64()),
+            "v": pc.fill_null(t["v"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -6543,6 +6543,87 @@ FROM st CROSS JOIN num CROSS JOIN den
 """
 
 
+def q_resample_gapfill(sf_dir: str):
+    """Per-user DAILY resample of the events stream with explicit
+    zero-filled gap days between each user's first and last event
+    (ops.window.resample_gapfill: two tiny aggregates + segmented-arange
+    grid explode + left join; raw events never shuffle). Values pre-scaled
+    to integer cents so sums are exact. SQL twin: unnest(range(min, max))
+    grid LEFT JOIN the day aggregate."""
+    from georay.ops import window as window_ops
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.cast(t["value"], pa.float64()), 100.0)), pa.int64()),
+        })
+
+    ev = ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = window_ops.resample_gapfill(ev, "user_id", "ts", "cents",
+                                      bucket_us=86_400_000_000)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "day": t["bucket"],
+                         "n": t["n"], "v_cents": t["v"]})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_RESAMPLE_GAPFILL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+agg AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS v
+        FROM e GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM agg GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+SELECT g.user_id, g.day, COALESCE(a.n, 0) AS n,
+       COALESCE(a.v, 0) AS v_cents
+FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.day = g.day
+"""
+
+
+CHUNK_W = 120
+CHUNK_S = 80
+
+
+def q_doc_chunks(sf_dir: str):
+    """RAG chunking: every document split into 120-char windows every 80
+    chars (40-char overlap), one stats row per chunk — start, length and
+    space count, computed zero-copy against the Arrow string buffers with
+    ONE cumsum per batch (ops.text.chunk_stats; no per-doc Python, the
+    chunk text itself is never materialized). SQL twin: generate_series ×
+    substr × length(replace(...))."""
+    from georay.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_ops.chunk_stats(docs, window=CHUNK_W, stride=CHUNK_S)
+
+
+SQL_DOC_CHUNKS = f"""
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((n_chars - 1) / {CHUNK_S}) AS BIGINT) + 1))
+           AS i
+  FROM documents),
+c AS (
+  SELECT doc_id, i AS chunk_idx, i * {CHUNK_S} AS start,
+         substr(text, CAST(i * {CHUNK_S} + 1 AS BIGINT), {CHUNK_W}) AS chunk
+  FROM idx)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start,
+       CAST(length(chunk) AS BIGINT) AS clen,
+       CAST(length(chunk) - length(replace(chunk, ' ', '')) AS BIGINT)
+         AS n_spaces
+FROM c
+"""
+
+
 def q_segment_crossings(sf_dir: str):
     """All properly-crossing pairs among synthetic order segments
     (endpoints a closed-form integer function of s_suppkey in a 64×64
@@ -7394,6 +7475,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "geary_c": (q_geary_c, SQL_GEARY_C),
         "polygon_metrics": (q_polygon_metrics, SQL_POLYGON_METRICS),
         "segment_crossings": (q_segment_crossings, SQL_SEGMENT_CROSSINGS),
+        "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+        "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE_GAPFILL),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),

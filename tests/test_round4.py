@@ -940,3 +940,68 @@ def test_segment_crossings_matches_brute(ray_session):
             if d1 * d2 < 0 and d3 * d4 < 0:
                 want.add((i + 1, j + 1))
     assert got_pairs == want and len(want) > 50
+
+
+def test_chunk_stats_matches_python(ray_session):
+    # zero-copy buffer arithmetic vs a plain python substring loop
+    import ray
+
+    from georay.ops import text as text_ops
+
+    rng = np.random.RandomState(5)
+    texts = []
+    for i in range(50):
+        n = rng.randint(1, 400)
+        texts.append("".join(rng.choice(list("ab de fg "), n)))
+    t = pa.table({"doc_id": np.arange(50, dtype=np.int64),
+                  "text": pa.array(texts)})
+    got = text_ops.chunk_stats(
+        ray.data.from_arrow(t).repartition(3), window=100, stride=60
+    ).to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    rows = []
+    for d, s in enumerate(texts):
+        start = 0
+        idx = 0
+        while start < len(s) or idx == 0:
+            chunk = s[start:start + 100]
+            if idx > 0 and not chunk:
+                break
+            rows.append((d, idx, start, len(chunk), chunk.count(" ")))
+            idx += 1
+            start += 60
+    import pandas as pd
+    want = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "start",
+                                       "clen", "n_spaces"])
+    assert got.astype("int64").equals(want.astype("int64"))
+
+
+def test_resample_gapfill_matches_pandas(ray_session):
+    import pandas as pd
+    import ray
+
+    from georay.ops import window as window_ops
+
+    rng = np.random.RandomState(9)
+    n = 500
+    t = pa.table({
+        "k": rng.randint(0, 12, n).astype(np.int64),
+        "ts": rng.randint(0, 40, n).astype(np.int64) * 10 + rng.randint(0, 10, n),
+        "v": rng.randint(-5, 20, n).astype(np.int64),
+    })
+    got = window_ops.resample_gapfill(
+        ray.data.from_arrow(t).repartition(4), "k", "ts", "v", bucket_us=10
+    ).to_pandas().sort_values(["k", "bucket"]).reset_index(drop=True)
+
+    df = t.to_pandas()
+    df["bucket"] = df["ts"] // 10
+    agg = df.groupby(["k", "bucket"]).agg(
+        n=("v", "size"), v=("v", "sum")).reset_index()
+    rows = []
+    for k, g in agg.groupby("k"):
+        idx = dict(zip(g["bucket"], zip(g["n"], g["v"])))
+        for b in range(g["bucket"].min(), g["bucket"].max() + 1):
+            nn, vv = idx.get(b, (0, 0))
+            rows.append((k, b, nn, vv))
+    want = pd.DataFrame(rows, columns=["k", "bucket", "n", "v"])
+    assert got.astype("int64").equals(want.astype("int64"))
