@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def trajectory_stats(ds, key_col: str, ts_col: str, order_col: str,
@@ -294,4 +295,76 @@ def leg_cell_cover(ds, key_col: str, ts_col: str, order_col: str,
         .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# movement-direction octants: ordered first-match-wins conditions, mirrored
+# verbatim in the SQL twin's CASE — integer sign/compare logic only (the
+# 45°-boundary octants need no trig on a grid)
+def octant_codes(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    conds = [
+        (dx == 0) & (dy == 0),                 # 8: no move
+        (dx > 0) & (dy >= 0) & (dx > dy),      # 0: E  [0°, 45°)
+        (dy > 0) & (dx > 0),                   # 1: NE [45°, 90°)
+        (dy > 0) & (dx == 0),                  # 2: N  [90°, 135°)
+        (dy > 0) & (-dx < dy),                 # 2: N  (dx < 0 branch)
+        (dy > 0),                              # 3: NW [135°, 180°)
+        (dx < 0) & (dy == 0),                  # 4: W  [180°, 225°)
+        (dx < 0) & (dy < 0) & (dx < dy),       # 4: W  (|dx| > |dy|)
+        (dy < 0) & (dx < 0),                   # 5: SW [225°, 270°)
+        (dy < 0) & (dx == 0),                  # 6: S  [270°, 315°)
+        (dy < 0) & (dx < -dy),                 # 6: S  (dx > 0 branch)
+    ]
+    vals = [8, 0, 1, 2, 2, 3, 4, 4, 5, 6, 6]
+    return np.select(conds, vals, default=7).astype(np.int64)
+
+
+def leg_octants(ds, key_col: str, ts_col: str, order_col: str,
+                x_col: str, y_col: str, num_buckets: int = 32,
+                combine_partitions: int = 4):
+    """Movement-direction histogram over trajectory legs: every
+    consecutive-point leg classified into one of 8 compass octants (plus
+    8 = zero-move), counted globally. Same one-shuffle bucketed-cogroup
+    shape as :func:`od_matrix`; partials are ≤10 rows per bucket, so the
+    final exchange is negligible."""
+    from ray.data.aggregate import Sum
+
+    from georay.ops import buckets as bk
+    from georay.runtime import table_from_pandas
+
+    out_schema = pa.schema([("octant", pa.int64()), ("part_n", pa.int64())])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, key_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame):
+        codes, _ = pd.factorize(g[key_col].to_numpy())
+        ts_raw = g[ts_col].astype("int64").to_numpy()
+        order = np.lexsort((g[order_col].to_numpy(np.int64), ts_raw, codes))
+        c = codes[order]
+        x = g[x_col].to_numpy(dtype=np.int64)[order]
+        y = g[y_col].to_numpy(dtype=np.int64)[order]
+        within = c[1:] == c[:-1]
+        dx = (x[1:] - x[:-1])[within]
+        dy = (y[1:] - y[:-1])[within]
+        if dx.size == 0:
+            return table_from_pandas(
+                pd.DataFrame({"octant": [], "part_n": []}), schema=out_schema)
+        oc = octant_codes(dx, dy)
+        u, n = np.unique(oc, return_counts=True)
+        return table_from_pandas(
+            pd.DataFrame({"octant": u, "part_n": n.astype(np.int64)}),
+            schema=out_schema)
+
+    partials = (
+        ds.select_columns([key_col, ts_col, order_col, x_col, y_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return (
+        partials.repartition(combine_partitions)
+        .groupby("octant")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .repartition(1)  # few-group final: merge schema-less empty blocks
     )

@@ -6543,6 +6543,213 @@ FROM st CROSS JOIN num CROSS JOIN den
 """
 
 
+def q_burst_days(sf_dir: str):
+    """Burst (anomaly) detection on per-user daily activity: flag every
+    day whose event count exceeds TWICE the user's own mean across their
+    active days — the threshold compare is cross-multiplied
+    (n·D > 2·S) so it is pure int64, no float mean. Plan: per-(user, day)
+    two-phase counts → per-user (active_days, total) rollup of those
+    aggregate rows → hash join back + filter; raw events shuffle nowhere."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        pack = uid * (np.int64(1) << 24) + day
+        u, inv = np.unique(pack, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table({"user_id": u >> 24, "day": u & ((1 << 24) - 1),
+                         "p_n": n})
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .repartition(8)  # merge schema-less empty blocks pre-join/agg
+    )
+    per_user = (
+        daily.groupby("user_id")
+        .aggregate(Count(alias_name="d_days"), Sum("n", alias_name="s_total"))
+        .repartition(4)
+    )
+    joined = daily.join(per_user, join_type="inner", num_partitions=8,
+                        on=("user_id",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        d = t["d_days"].to_numpy(zero_copy_only=False)
+        s = t["s_total"].to_numpy(zero_copy_only=False)
+        keep = n * d > 2 * s
+        return pa.table({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)[keep],
+            "day": t["day"].to_numpy(zero_copy_only=False)[keep],
+            "n": n[keep],
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_BURST_DAYS = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+a AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(n) AS BIGINT) AS s
+      FROM a GROUP BY 1)
+SELECT a.user_id, a.day, a.n
+FROM a JOIN u USING (user_id)
+WHERE a.n * u.d > 2 * u.s
+"""
+
+
+def q_bearing_octants(sf_dir: str):
+    """Movement-direction histogram: every per-user trajectory leg (same
+    synthetic milli-degree points as trajectory_stats) classified into a
+    compass octant with pure integer sign/compare logic — no trig on a
+    grid — and counted globally (ops.trajectory.leg_octants, one bucketed
+    cogroup shuffle). The SQL twin is a LAG window + the verbatim-ordered
+    CASE."""
+    from georay.ops import trajectory as traj
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pa.array(us),
+            "event_id": t["event_id"],
+            "xi": pa.array((eid * HASH_LON) % 360000),
+            "yi": pa.array((eid * HASH_LAT) % 180000),
+        })
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return traj.leg_octants(pts, "user_id", "us", "event_id", "xi", "yi")
+
+
+SQL_BEARING_OCTANTS = f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         (event_id * {HASH_LON}) % 360000 AS xi,
+         (event_id * {HASH_LAT}) % 180000 AS yi
+  FROM events),
+legs AS (
+  SELECT xi - LAG(xi) OVER w AS dx, yi - LAG(yi) OVER w AS dy
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+oc AS (
+  SELECT CASE
+    WHEN dx = 0 AND dy = 0 THEN 8
+    WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0
+    WHEN dy > 0 AND dx > 0 THEN 1
+    WHEN dy > 0 AND dx = 0 THEN 2
+    WHEN dy > 0 AND -dx < dy THEN 2
+    WHEN dy > 0 THEN 3
+    WHEN dx < 0 AND dy = 0 THEN 4
+    WHEN dx < 0 AND dy < 0 AND dx < dy THEN 4
+    WHEN dy < 0 AND dx < 0 THEN 5
+    WHEN dy < 0 AND dx = 0 THEN 6
+    WHEN dy < 0 AND dx < -dy THEN 6
+    ELSE 7 END AS octant
+  FROM legs WHERE dx IS NOT NULL)
+SELECT CAST(octant AS BIGINT) AS octant, CAST(COUNT(*) AS BIGINT) AS n
+FROM oc GROUP BY octant
+"""
+
+
+def q_attribution(sf_dir: str):
+    """LAST-TOUCH marketing attribution: every purchase event's cents are
+    credited to the same user's most recent non-purchase event at-or-before
+    it (ops.asof.asof_join — bucketed cogroup, no per-key Python), then
+    revenue rolls up by touch type. The join-backs for payload columns are
+    exact 1:1 because (user_id, ts) is unique in the events table (checked
+    at all scales); purchases with no prior touch drop (inner asof), same
+    as the SQL twin's MAX-ts formulation."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from georay.ops import asof as asof_ops
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type",
+                                          "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": t["ts"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.cast(t["value"], pa.float64()), 100.0)), pa.int64()),
+        })
+
+    ev = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "us", "cents"])
+    touches = ev.filter(expr="event_type != 'purchase'").select_columns(
+        ["user_id", "us", "event_type"])
+
+    matched = asof_ops.asof_join(
+        purchases, touches, by="user_id", left_ts="us", right_ts="us")
+    # payload join-backs (1:1 — see docstring): purchase cents on (user, us),
+    # touch type on (user, us_r)
+    with_cents = matched.repartition(8).join(
+        purchases.repartition(8), join_type="inner", num_partitions=8,
+        on=("user_id", "us"))
+
+    def key_touch(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "us_r": t["us_r"],
+                         "cents": t["cents"]})
+
+    def touch_keyed(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "us_r": t["us"],
+                         "event_type": t["event_type"]})
+
+    credited = with_cents.map_batches(
+        key_touch, batch_format="pyarrow").repartition(8).join(
+        touches.map_batches(touch_keyed, batch_format="pyarrow")
+        .repartition(8),
+        join_type="inner", num_partitions=8, on=("user_id", "us_r"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"touch_type": u, "p_n": n, "p_c": s})
+
+    return (
+        credited.map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("touch_type")
+        .aggregate(Sum("p_n", alias_name="n_purchases"),
+                   Sum("p_c", alias_name="cents"))
+        .repartition(1)
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+p AS (SELECT user_id, us, cents FROM e WHERE event_type = 'purchase'),
+t AS (SELECT user_id, us, event_type FROM e WHERE event_type <> 'purchase'),
+m AS (SELECT p.user_id, p.us, p.cents, MAX(t.us) AS tus
+      FROM p JOIN t ON t.user_id = p.user_id AND t.us <= p.us
+      GROUP BY 1, 2, 3)
+SELECT t.event_type AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(m.cents) AS BIGINT) AS cents
+FROM m JOIN t ON t.user_id = m.user_id AND t.us = m.tus
+GROUP BY 1
+"""
+
+
 def q_resample_gapfill(sf_dir: str):
     """Per-user DAILY resample of the events stream with explicit
     zero-filled gap days between each user's first and last event
@@ -7477,6 +7684,9 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "segment_crossings": (q_segment_crossings, SQL_SEGMENT_CROSSINGS),
         "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
         "resample_gapfill": (q_resample_gapfill, SQL_RESAMPLE_GAPFILL),
+        "attribution": (q_attribution, SQL_ATTRIBUTION),
+        "bearing_octants": (q_bearing_octants, SQL_BEARING_OCTANTS),
+        "burst_days": (q_burst_days, SQL_BURST_DAYS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),

@@ -1005,3 +1005,24 @@ def test_resample_gapfill_matches_pandas(ray_session):
             rows.append((k, b, nn, vv))
     want = pd.DataFrame(rows, columns=["k", "bucket", "n", "v"])
     assert got.astype("int64").equals(want.astype("int64"))
+
+
+def test_octant_codes_partition_plane():
+    # every integer (dx, dy) maps to exactly one sector; spot geometry pins
+    from georay.ops.trajectory import octant_codes
+
+    g = np.arange(-6, 7)
+    dx, dy = np.meshgrid(g, g)
+    oc = octant_codes(dx.ravel(), dy.ravel())
+    assert set(oc) == set(range(9))
+    def one(a, b):
+        return int(octant_codes(np.array([a]), np.array([b]))[0])
+    assert one(0, 0) == 8
+    assert one(5, 0) == 0 and one(5, 4) == 0      # E
+    assert one(5, 5) == 1 and one(1, 5) == 1      # NE includes 45° and up
+    assert one(0, 5) == 2 and one(-4, 5) == 2     # N
+    assert one(-5, 5) == 3 and one(-5, 1) == 3    # NW includes 135°
+    assert one(-5, 0) == 4 and one(-5, -4) == 4   # W
+    assert one(-5, -5) == 5 and one(-1, -5) == 5  # SW
+    assert one(0, -5) == 6 and one(4, -5) == 6    # S
+    assert one(5, -5) == 7 and one(5, -1) == 7    # SE
