@@ -703,3 +703,74 @@ def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
                    Sum("p_sq", alias_name="sq_sum"))
         .repartition(1)  # few-group final: merge schema-less empty blocks
     )
+
+
+def grid_bfs(raster_ds, bits: int, max_hops: int,
+             cell_col: str = "cell", src_col: str = "n_src",
+             num_partitions: int = 8):
+    """Multi-source BFS hop distance over OCCUPIED raster cells: sources
+    are cells with ``src_col`` > 0 (hop 0); each round scatters the
+    frontier to its queen 8-neighborhood (codec.neighbors — lon wrap, lat
+    clamp) and keeps occupied targets only; after ``max_hops`` rounds one
+    small groupby takes MIN(hop) per reached cell — bit-equal to
+    first-reach semantics. The grid cost-distance primitive (raster
+    proximity / catchment analysis).
+
+    The occupied-cell set is bounded by the GRID (≤ 2^bits cells however
+    large the input), so membership is a broadcast sorted array +
+    searchsorted inside ``map_batches`` — no join, no all-to-all; the
+    only data-sized work is the upstream raster aggregate. Frontiers are
+    deduped and materialized per round (bounded), keeping the lazy plan
+    one round deep.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    # bounded driver collect: ≤ 2^bits cells by construction (to_pandas,
+    # not to_arrow_refs — the latter intermittently trips the Ray core
+    # reference_count CHECK on short-lived datasets, see BASELINE.md r3)
+    occ_cells = np.sort(
+        raster_ds.select_columns([cell_col]).to_pandas()[cell_col]
+        .to_numpy())
+    occ_ref = ray.put(occ_cells)
+
+    def src(t: pa.Table) -> pa.Table:
+        n = t[src_col].to_numpy(zero_copy_only=False)
+        keep = n > 0
+        cell = t[cell_col].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({cell_col: cell,
+                         "hop": np.zeros(cell.size, dtype=np.int64)})
+
+    frontier = raster_ds.map_batches(
+        src, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(1).materialize()
+    reaches = [frontier]
+    for hop in range(1, max_hops + 1):
+        def scatter(t: pa.Table, _h=hop) -> pa.Table:
+            occ = ray.get(occ_ref)
+            cell = t[cell_col].to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            nbr, valid = codec.neighbors(cell, bits)
+            tgt = np.unique(nbr[valid]).astype(np.int64)
+            if occ.size:
+                pos = np.minimum(np.searchsorted(occ, tgt), occ.size - 1)
+                tgt = tgt[occ[pos] == tgt]
+            else:
+                tgt = tgt[:0]
+            return pa.table({cell_col: tgt,
+                             "hop": np.full(tgt.size, _h, dtype=np.int64)})
+
+        frontier = frontier.map_batches(
+            scatter, batch_format="pyarrow", zero_copy_batch=True
+        ).repartition(1).materialize()
+        reaches.append(frontier)
+
+    all_reaches = reaches[0]
+    for r in reaches[1:]:
+        all_reaches = all_reaches.union(r)
+    return (
+        all_reaches.repartition(num_partitions)
+        .groupby(cell_col)
+        .aggregate(Min("hop", alias_name="hops"))
+        .repartition(1)
+    )

@@ -6543,6 +6543,72 @@ FROM st CROSS JOIN num CROSS JOIN den
 """
 
 
+BFS_HOPS = 4
+
+
+def q_grid_bfs(sf_dir: str):
+    """Grid cost-distance: BFS hop distance from SOURCE tiles (those
+    holding a c_custkey % 97 == 0 customer) across occupied tiles under
+    queen adjacency with lon wrap / lat clamp (ops.tiles.grid_bfs —
+    iterative frontier scatter → join, MIN(hop) collapse; no anti-join
+    per round). The SQL twin is a bounded recursive CTE over the same
+    wraparound adjacency."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        is_src = (key % 97 == 0).astype(np.int64)
+        u, inv = np.unique(cell, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, is_src)
+        return pa.table({"cell": u, "p_n": n, "p_s": s})
+
+    raster = (
+        cust.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"),
+                   Sum("p_s", alias_name="n_src"))
+        .repartition(8)  # merge empty blocks pre-join
+    )
+    out = tiles.grid_bfs(raster, BITS_TILE, max_hops=BFS_HOPS)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        return pa.table({"tile_x": pa.array(x.astype(np.int64)),
+                         "tile_y": pa.array(y.astype(np.int64)),
+                         "hops": t["hops"]})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_GRID_BFS = f"""
+WITH RECURSIVE g AS (
+  SELECT {sql_x(sql_lon('c_custkey'), 5)} AS x,
+         {sql_y(sql_lat('c_custkey'), 5)} AS y,
+         SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS ns
+  FROM customer GROUP BY 1, 2),
+r AS (
+  SELECT x, y, 0 AS hop FROM g WHERE ns > 0
+  UNION
+  SELECT b.x, b.y, r.hop + 1
+  FROM r JOIN g b
+    ON ((b.x - r.x + 32) % 32) IN (0, 1, 31)
+   AND b.y BETWEEN r.y - 1 AND r.y + 1
+   AND NOT (b.x = r.x AND b.y = r.y)
+  WHERE r.hop < {BFS_HOPS})
+SELECT x AS tile_x, y AS tile_y, CAST(MIN(hop) AS BIGINT) AS hops
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_burst_days(sf_dir: str):
     """Burst (anomaly) detection on per-user daily activity: flag every
     day whose event count exceeds TWICE the user's own mean across their
@@ -7687,6 +7753,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "attribution": (q_attribution, SQL_ATTRIBUTION),
         "bearing_octants": (q_bearing_octants, SQL_BEARING_OCTANTS),
         "burst_days": (q_burst_days, SQL_BURST_DAYS),
+        "grid_bfs": (q_grid_bfs, SQL_GRID_BFS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),

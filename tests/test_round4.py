@@ -1026,3 +1026,39 @@ def test_octant_codes_partition_plane():
     assert one(-5, -5) == 5 and one(-1, -5) == 5  # SW
     assert one(0, -5) == 6 and one(4, -5) == 6    # S
     assert one(5, -5) == 7 and one(5, -1) == 7    # SE
+
+
+def test_grid_bfs_matches_brute(ray_session):
+    # broadcast-membership frontier BFS vs a python queue BFS
+    from collections import deque
+
+    import ray
+
+    from georay import codec
+    from georay.ops import tiles
+
+    rng = np.random.RandomState(21)
+    bits = 10
+    cells = np.unique(rng.randint(0, 1 << bits, size=300).astype(np.int64))
+    n_src = (rng.rand(cells.size) < 0.05).astype(np.int64)
+    if n_src.sum() == 0:
+        n_src[0] = 1
+    t = pa.table({"cell": cells, "n": np.ones(cells.size, np.int64),
+                  "n_src": n_src})
+    got = tiles.grid_bfs(ray.data.from_arrow(t).repartition(3), bits,
+                         max_hops=3).to_pandas()
+    got_map = dict(zip(got["cell"], got["hops"]))
+
+    occ = set(cells.tolist())
+    dist = {int(c): 0 for c, s in zip(cells, n_src) if s}
+    dq = deque(dist)
+    while dq:
+        c = dq.popleft()
+        if dist[c] >= 3:
+            continue
+        nbr, valid = codec.neighbors(np.array([c], np.uint64), bits)
+        for nb in nbr[valid].tolist():
+            if nb in occ and nb not in dist:
+                dist[nb] = dist[c] + 1
+                dq.append(nb)
+    assert got_map == dist and len(dist) > 20
