@@ -967,3 +967,81 @@ def geodesic_dwithin_ring(
         return inst(t)
 
     return queries_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def nearest_segment(points_ds, seg_table: pa.Table, point_id: str,
+                    px_col: str, py_col: str, seg_id: str = "sid",
+                    x1: str = "x1", y1: str = "y1",
+                    x2: str = "x2", y2: str = "y2"):
+    """MAP MATCHING: assign every point to its nearest segment by EXACT
+    squared euclidean point-to-segment distance on integer coordinates —
+    each candidate distance is the rational num/den with den = |v|² (the
+    clamped-projection formula multiplied through), and the argmin runs
+    as a cross-multiplied integer compare, so there is no float anywhere
+    and ties break by ascending segment id deterministically.
+
+    The segment table is the SMALL side (a road network, bounded):
+    ``ray.put`` once, a running-best sweep over segments inside each
+    ``map_batches`` task — vectorized over the batch's points per
+    segment, O(points × segments) integer ops, no shuffle. Coordinates
+    must satisfy |coord| < 2^15 so every cross-multiplied compare fits
+    int64 (num ≤ 2·G²·den with den ≤ 2·G², compare products ≤ 8·G⁶).
+
+    Output: ``point_id, seg_id, d2_num, d2_den``.
+    """
+    import ray
+
+    from georay.runtime import per_process
+
+    sid_arr = seg_table[seg_id].to_numpy().astype(np.int64)
+    order = np.argsort(sid_arr, kind="stable")  # ascending-sid sweep makes
+    # the strict-< running best tie-break to the SMALLEST sid
+    segs = (
+        sid_arr[order],
+        seg_table[x1].to_numpy().astype(np.int64)[order],
+        seg_table[y1].to_numpy().astype(np.int64)[order],
+        seg_table[x2].to_numpy().astype(np.int64)[order],
+        seg_table[y2].to_numpy().astype(np.int64)[order],
+    )
+    seg_ref = ray.put(segs)
+    state_key = seg_ref.hex()
+
+    class Loader:
+        def __init__(self):
+            self.segs = ray.get(seg_ref)
+
+    def fn(t: pa.Table) -> pa.Table:
+        sid, sx1, sy1, sx2, sy2 = per_process(state_key, Loader).segs
+        pid = t[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = t[px_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = t[py_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pid.size
+        best_num = np.zeros(n, np.int64)
+        best_den = np.ones(n, np.int64)
+        best_sid = np.zeros(n, np.int64)
+        have = np.zeros(n, bool)
+        for j in range(sid.size):  # loop over SEGMENTS, vectorized in points
+            vx, vy = sx2[j] - sx1[j], sy2[j] - sy1[j]
+            td = vx * vx + vy * vy
+            wx, wy = px - sx1[j], py - sy1[j]
+            w2 = wx * wx + wy * wy
+            if td == 0:
+                num, den = w2, np.int64(1)
+            else:
+                tn = wx * vx + wy * vy
+                ux, uy = px - sx2[j], py - sy2[j]
+                u2 = ux * ux + uy * uy
+                num = np.select(
+                    [tn <= 0, tn >= td], [w2 * td, u2 * td],
+                    default=w2 * td - tn * tn)
+                den = np.int64(td)
+            better = ~have | (num * best_den < best_num * den)
+            best_num = np.where(better, num, best_num)
+            best_den = np.where(better, den, best_den)
+            best_sid = np.where(better, sid[j], best_sid)
+            have |= better
+        return pa.table({point_id: pid, seg_id: best_sid,
+                         "d2_num": best_num, "d2_den": best_den})
+
+    return points_ds.map_batches(fn, batch_format="pyarrow",
+                                 zero_copy_batch=True)

@@ -6543,6 +6543,70 @@ FROM st CROSS JOIN num CROSS JOIN den
 """
 
 
+def q_map_match(sf_dir: str):
+    """Map matching: every customer point snapped to its nearest supplier
+    road segment (same synthetic 64×64 segments as segment_crossings) by
+    EXACT rational squared distance — clamped-projection formula
+    multiplied through to integers, cross-multiplied argmin, ties to the
+    smallest segment id (ops.knn.nearest_segment; segments broadcast once,
+    no shuffle). The SQL twin is the NOT EXISTS anti-join over the same
+    integer CASE arithmetic."""
+    from georay.ops import knn as knn_ops2
+
+    sup = _read_table(sf_dir, "supplier", columns=["s_suppkey"])
+    k = sup["s_suppkey"].to_numpy().astype(np.int64)
+    segs = pa.table({
+        "sid": k,
+        "x1": (k * 29 % 193) % 64, "y1": (k * 53 % 193) % 64,
+        "x2": (k * 71 % 193) % 64, "y2": (k * 13 % 193) % 64,
+    })
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        c = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pid": c, "px": (c * 37 % 191) % 64,
+                         "py": (c * 53 % 191) % 64})
+
+    points = cust.map_batches(pts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return knn_ops2.nearest_segment(points, segs, "pid", "px", "py")
+
+
+SQL_MAP_MATCH = """
+WITH pts AS (
+  SELECT c_custkey AS pid, (c_custkey * 37 % 191) % 64 AS px,
+         (c_custkey * 53 % 191) % 64 AS py
+  FROM customer),
+s AS (
+  SELECT s_suppkey AS sid,
+         (s_suppkey * 29 % 193) % 64 AS x1, (s_suppkey * 53 % 193) % 64 AS y1,
+         (s_suppkey * 71 % 193) % 64 AS x2, (s_suppkey * 13 % 193) % 64 AS y2
+  FROM supplier),
+d AS (
+  SELECT pid, sid,
+         (px - x1) * (x2 - x1) + (py - y1) * (y2 - y1) AS tn,
+         (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS td,
+         (px - x1) * (px - x1) + (py - y1) * (py - y1) AS w2,
+         (px - x2) * (px - x2) + (py - y2) * (py - y2) AS u2
+  FROM pts CROSS JOIN s),
+e AS (
+  SELECT pid, sid,
+         CASE WHEN td = 0 THEN w2
+              WHEN tn <= 0 THEN w2 * td
+              WHEN tn >= td THEN u2 * td
+              ELSE w2 * td - tn * tn END AS num,
+         CASE WHEN td = 0 THEN 1 ELSE td END AS den
+  FROM d)
+SELECT a.pid, a.sid, a.num AS d2_num, a.den AS d2_den
+FROM e a
+WHERE NOT EXISTS (
+  SELECT 1 FROM e b
+  WHERE b.pid = a.pid
+    AND (b.num * a.den < a.num * b.den
+         OR (b.num * a.den = a.num * b.den AND b.sid < a.sid)))
+"""
+
+
 BFS_HOPS = 4
 
 
@@ -7754,6 +7818,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "bearing_octants": (q_bearing_octants, SQL_BEARING_OCTANTS),
         "burst_days": (q_burst_days, SQL_BURST_DAYS),
         "grid_bfs": (q_grid_bfs, SQL_GRID_BFS),
+        "map_match": (q_map_match, SQL_MAP_MATCH),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),

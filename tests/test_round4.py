@@ -1062,3 +1062,56 @@ def test_grid_bfs_matches_brute(ray_session):
                 dist[nb] = dist[c] + 1
                 dq.append(nb)
     assert got_map == dist and len(dist) > 20
+
+
+def test_nearest_segment_matches_brute(ray_session):
+    # exact rational argmin vs a float brute force with exact tie recheck
+    from fractions import Fraction
+
+    import ray
+
+    from georay.ops import knn as knn_ops
+
+    rng = np.random.RandomState(13)
+    ns, npts = 25, 200
+    segs = pa.table({
+        "sid": np.arange(1, ns + 1, dtype=np.int64),
+        "x1": rng.randint(0, 50, ns).astype(np.int64),
+        "y1": rng.randint(0, 50, ns).astype(np.int64),
+        "x2": rng.randint(0, 50, ns).astype(np.int64),
+        "y2": rng.randint(0, 50, ns).astype(np.int64),
+    })
+    pts = pa.table({
+        "pid": np.arange(npts, dtype=np.int64),
+        "px": rng.randint(0, 50, npts).astype(np.int64),
+        "py": rng.randint(0, 50, npts).astype(np.int64),
+    })
+    got = knn_ops.nearest_segment(
+        ray.data.from_arrow(pts).repartition(3), segs, "pid", "px", "py"
+    ).to_pandas().set_index("pid").sort_index()
+
+    s = segs.to_pandas()
+    for _, p in pts.to_pandas().iterrows():
+        best = None
+        for _, r in s.iterrows():
+            vx, vy = r.x2 - r.x1, r.y2 - r.y1
+            td = vx * vx + vy * vy
+            wx, wy = p.px - r.x1, p.py - r.y1
+            if td == 0:
+                d2 = Fraction(int(wx * wx + wy * wy))
+            else:
+                tn = wx * vx + wy * vy
+                if tn <= 0:
+                    d2 = Fraction(int(wx * wx + wy * wy))
+                elif tn >= td:
+                    ux, uy = p.px - r.x2, p.py - r.y2
+                    d2 = Fraction(int(ux * ux + uy * uy))
+                else:
+                    d2 = Fraction(int((wx * wx + wy * wy) * td - tn * tn),
+                                  int(td))
+            if best is None or d2 < best[0] or (d2 == best[0]
+                                                and r.sid < best[1]):
+                best = (d2, int(r.sid))
+        row = got.loc[p.pid]
+        assert int(row["sid"]) == best[1], p.pid
+        assert Fraction(int(row["d2_num"]), int(row["d2_den"])) == best[0]
