@@ -786,3 +786,77 @@ def chunk_stats(ds, window: int, stride: int, id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rarity_scores(ds, n_docs: int, id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 8,
+                  combine_partitions: int = 8):
+    """Per-document RARITY score — the integer surprisal proxy
+    Σ_occurrences (N − df(term)): rare terms (low document frequency)
+    contribute more, exactly, with no log/float crossing the oracle
+    boundary (ln(N/df) is strictly decreasing in df, so corpus-level
+    rarity ORDER is preserved). The quality-filter signal next to
+    ops.text.quality's shape features.
+
+    Same plan skeleton as tfidf_topk: tokenize once (materialized tf
+    rows), two-phase df, hash join on the term, then a per-doc two-phase
+    Sum — only (doc, term, tf) rows shuffle, never text.
+
+    Output: ``id_col, n_tokens, rarity``.
+    """
+    import re
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from georay.ops.tiles import count_by
+    from georay.runtime import table_from_pandas
+
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    tf_schema = pa.schema(
+        [(id_col, pa.int64()), ("w", pa.string()), ("tf", pa.int64())]
+    )
+
+    def tf_rows(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].str.findall(word_re).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        out = pd.DataFrame(
+            {id_col: df[id_col].to_numpy()[row], "w": toks.to_numpy()}
+        ).groupby([id_col, "w"], as_index=False).size()
+        return table_from_pandas(
+            out.rename(columns={"size": "tf"}), schema=tf_schema
+        )
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        tf_rows, batch_format="pandas"
+    ).materialize()
+
+    df_counts = count_by(
+        tf.select_columns(["w"]), "w", out_col="df",
+        combine_partitions=combine_partitions,
+    ).repartition(num_partitions)
+
+    joined = tf.join(df_counts, join_type="inner",
+                     num_partitions=num_partitions, on=("w",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tf_v = t["tf"].to_numpy(zero_copy_only=False)
+        df_v = t["df"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ids, return_inverse=True)
+        nt = np.zeros(u.size, dtype=np.int64)
+        np.add.at(nt, inv, tf_v)
+        ra = np.zeros(u.size, dtype=np.int64)
+        np.add.at(ra, inv, tf_v * (n_docs - df_v))
+        return pa.table({id_col: u, "p_nt": nt, "p_ra": ra})
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(id_col)
+        .aggregate(Sum("p_nt", alias_name="n_tokens"),
+                   Sum("p_ra", alias_name="rarity"))
+    )

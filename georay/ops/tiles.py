@@ -774,3 +774,56 @@ def grid_bfs(raster_ds, bits: int, max_hops: int,
         .aggregate(Min("hop", alias_name="hops"))
         .repartition(1)
     )
+
+
+def kernel_convolve(raster_ds, bits: int, kernel, cell_col: str = "cell",
+                    value_col: str = "n", combine_partitions: int = 8,
+                    num_partitions: int = 8):
+    """Arbitrary integer-kernel raster convolution (focal_sum generalized):
+    every occupied cell scatters ``value × weight`` to cell+(dx, dy) for
+    each kernel tap, contributions partial-combine per batch, one small
+    groupby gathers, and an inner join back to the occupied set restricts
+    output (plain-grid clamp — out-of-range taps drop; no lon wrap, unlike
+    focal_sum's neighbor semantics). ``kernel``: iterable of (dx, dy, w)
+    integer taps. Exchange is O(occupied × taps) pre-combined rows.
+
+    Output: ``cell_col, value_col, conv``.
+    """
+    from ray.data.aggregate import Sum
+
+    taps = [(int(dx), int(dy), int(w)) for dx, dy, w in kernel]
+    nx_bits, ny_bits = codec.split_bits(bits)
+    nx, ny = 1 << nx_bits, 1 << ny_bits
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = codec.deinterleave(cell, bits)
+        xi = x.astype(np.int64)
+        yi = y.astype(np.int64)
+        parts_c, parts_v = [], []
+        for dx, dy, w in taps:
+            tx, ty = xi + dx, yi + dy
+            ok = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+            parts_c.append(codec.interleave(
+                tx[ok].astype(np.uint64), ty[ok].astype(np.uint64), bits))
+            parts_v.append(val[ok] * w)
+        tgt = np.concatenate(parts_c).astype(np.int64)
+        contrib = np.concatenate(parts_v)
+        u, inv = np.unique(tgt, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, contrib)
+        return pa.table({cell_col: u, "p_conv": s})
+
+    gathered = (
+        raster_ds.map_batches(scatter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(cell_col)
+        .aggregate(Sum("p_conv", alias_name="conv"))
+        .repartition(num_partitions)  # merge empty blocks pre-join
+    )
+    return raster_ds.select_columns([cell_col, value_col]).repartition(
+        num_partitions).join(
+        gathered, join_type="inner", num_partitions=num_partitions,
+        on=(cell_col,))

@@ -6543,6 +6543,73 @@ FROM st CROSS JOIN num CROSS JOIN den
 """
 
 
+def q_raster_convolve(sf_dir: str):
+    """5×5 integer binomial-kernel convolution over the customer raster at
+    BITS_TILE (ops.tiles.kernel_convolve — weighted scatter with per-batch
+    partial combine; plain-grid clamp, no lon wrap). SQL twin: bounded
+    self-join with the separable CASE weight product."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    pts = spatial.points_with_cells(cust, "c_custkey", BITS_TILE, xy=False)
+    raster = tiles.count_by(pts.select_columns(["cell"]), "cell").repartition(8)
+    w1 = {0: 6, 1: 4, 2: 1}
+    kernel = [(dx, dy, w1[abs(dx)] * w1[abs(dy)])
+              for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)]
+    out = tiles.kernel_convolve(raster, BITS_TILE, kernel)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        return pa.table({"tile_x": pa.array(x.astype(np.int64)),
+                         "tile_y": pa.array(y.astype(np.int64)),
+                         "n": t["n"], "conv": t["conv"]})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_RASTER_CONVOLVE = f"""
+WITH pts AS (
+  SELECT {sql_x(sql_lon('c_custkey'), 5)} AS x,
+         {sql_y(sql_lat('c_custkey'), 5)} AS y
+  FROM customer),
+g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY x, y)
+SELECT a.x AS tile_x, a.y AS tile_y, a.n,
+       CAST(SUM(b.n
+         * (CASE abs(a.x - b.x) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
+         * (CASE abs(a.y - b.y) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END))
+         AS BIGINT) AS conv
+FROM g a JOIN g b
+  ON b.x BETWEEN a.x - 2 AND a.x + 2
+ AND b.y BETWEEN a.y - 2 AND a.y + 2
+GROUP BY a.x, a.y, a.n
+"""
+
+
+def q_doc_rarity(sf_dir: str):
+    """Per-document rarity (integer surprisal proxy): Σ over token
+    occurrences of (N − df) — the corpus-level quality/novelty signal,
+    exact with no floats (ops.text.rarity_scores: materialized tf rows,
+    two-phase df, term hash join, per-doc two-phase Sum)."""
+    from georay.ops import text as text_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    return text_ops.rarity_scores(docs, n_docs=n_docs)
+
+
+SQL_DOC_RARITY = r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+              FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf * (nd - df)) AS BIGINT) AS rarity
+FROM tf JOIN df USING (w) CROSS JOIN n
+GROUP BY tf.doc_id
+"""
+
+
 def q_map_match(sf_dir: str):
     """Map matching: every customer point snapped to its nearest supplier
     road segment (same synthetic 64×64 segments as segment_crossings) by
@@ -7819,6 +7886,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "burst_days": (q_burst_days, SQL_BURST_DAYS),
         "grid_bfs": (q_grid_bfs, SQL_GRID_BFS),
         "map_match": (q_map_match, SQL_MAP_MATCH),
+        "raster_convolve": (q_raster_convolve, SQL_RASTER_CONVOLVE),
+        "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),
