@@ -6543,6 +6543,148 @@ FROM st CROSS JOIN num CROSS JOIN den
 """
 
 
+UNION_W_US = 3_600_000_000  # 1-hour activity window per event
+
+
+def q_interval_union(sf_dir: str):
+    """Total ACTIVE time per (user, event_type): each event opens a 1-hour
+    window; overlaps merge (interval-union sweep). Constant width makes
+    the union a closed form over sorted starts — W + Σ min(gap, W) — so
+    one bucketed cogroup + segmented diffs computes every key in one
+    vectorized pass (the ops.buckets idiom); the SQL twin is the LAG
+    window of the same formula. All int64 microseconds."""
+    from ray.data.aggregate import Sum
+
+    from georay.ops import buckets as bk
+    from georay.runtime import table_from_pandas
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        # pack (user, type) into one int key for bucketing: type index via
+        # lexicographic rank among the 5 known types
+        types = np.array(["click", "error", "purchase", "signup", "view"])
+        ti = np.searchsorted(types, et)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = uid * 8 + ti
+        out = pa.table({
+            "key": key,
+            "us": t["ts"].cast(pa.int64()),
+        })
+        return bk.append_bucket(out, "key", 32)
+
+    import pandas as pd
+
+    out_schema = pa.schema([("key", pa.int64()), ("n_events", pa.int64()),
+                            ("union_us", pa.int64())])
+
+    def per_bucket(g: pd.DataFrame):
+        key = g["key"].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        order = np.lexsort((us, key))
+        k = key[order]
+        s = us[order]
+        starts = bk.segment_starts(k)
+        counts = bk.segment_counts(starts, k.size)
+        gap = np.minimum(np.diff(s, prepend=s[:1] if s.size else s),
+                         UNION_W_US)
+        gap[starts] = UNION_W_US  # each key's first window contributes W
+        sums = np.add.reduceat(gap, starts) if k.size else \
+            np.empty(0, np.int64)
+        return table_from_pandas(pd.DataFrame({
+            "key": k[starts], "n_events": counts.astype(np.int64),
+            "union_us": sums.astype(np.int64)}), schema=out_schema)
+
+    agg = (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        types = np.array(["click", "error", "purchase", "signup", "view"])
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": key // 8, "event_type": types[key % 8],
+            "n_events": t["n_events"], "union_us": t["union_us"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_INTERVAL_UNION = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+g AS (SELECT user_id, event_type, us,
+             us - LAG(us) OVER (PARTITION BY user_id, event_type
+                                ORDER BY us) AS gap
+      FROM e)
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN gap IS NULL THEN {UNION_W_US}
+                     WHEN gap < {UNION_W_US} THEN gap
+                     ELSE {UNION_W_US} END) AS BIGINT) AS union_us
+FROM g GROUP BY 1, 2
+"""
+
+
+EMB_SCALE = 1_000_000
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-class embedding centroids (nearest-class-mean / prototype
+    classifier): per-(label, dim) integer sums of µ-scaled components —
+    float32 components are pre-scaled to exact int64 so the sums are
+    order-independent, and the caller's centroid = sum / (n·scale) is the
+    one float division. Per-batch partials are a (labels × dims) dense
+    matmul-free np.add.at; the exchange carries O(labels × 64 × batches)
+    rows."""
+    from ray.data.aggregate import Sum
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                               "label"])
+
+    from georay.ops.similarity import emb_matrix  # bound pre-closure:
+    # worker code must not import georay lazily (foreign-cwd, CLAUDE.md)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = emb_matrix(t["embedding"]).astype(np.float64)
+        scaled = np.round(m * EMB_SCALE).astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((u.size, d), dtype=np.int64)
+        np.add.at(sums, inv, scaled)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        lab_rep = np.repeat(u, d)
+        dim = np.tile(np.arange(d, dtype=np.int64), u.size)
+        return pa.table({
+            "label": lab_rep, "dim": dim,
+            "p_s": sums.reshape(-1), "p_n": np.repeat(n, d),
+        })
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("p_s", alias_name="sum_scaled"),
+                   Sum("p_n", alias_name="n"))
+    )
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH ex AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, dim,
+       CAST(SUM(CAST(round(CAST(v AS DOUBLE) * {EMB_SCALE}) AS BIGINT))
+         AS BIGINT) AS sum_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ex GROUP BY 1, 2
+"""
+
+
 def q_raster_convolve(sf_dir: str):
     """5×5 integer binomial-kernel convolution over the customer raster at
     BITS_TILE (ops.tiles.kernel_convolve — weighted scatter with per-batch
@@ -7888,6 +8030,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "map_match": (q_map_match, SQL_MAP_MATCH),
         "raster_convolve": (q_raster_convolve, SQL_RASTER_CONVOLVE),
         "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY),
+        "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
+        "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
         "hilbert_order": (q_hilbert_order, SQL_HILBERT_ORDER),
