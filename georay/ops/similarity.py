@@ -1094,3 +1094,74 @@ def ivf_pq_topk(ds, m_subspaces: int = 8, n_codewords: int = 16,
     return local.repartition(8).groupby("query_id").map_groups(
         merge, batch_format="pandas"
     )
+
+
+def knn_classify(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                 k: int = 5, id_col: str = "vec_id",
+                 emb_col: str = "embedding", label_col: str = "label",
+                 num_partitions: int = 8, num_buckets: int = 16):
+    """k-NN CLASSIFIER: each query's label predicted by majority vote of
+    its k nearest neighbors (exact brute cosine, self excluded); vote
+    ties break to the SMALLEST label, deterministically. The evaluation
+    staple over an embedding column.
+
+    Plan: :func:`brute_topk` (broadcast queries, local top-k, tiny merge)
+    → hash join neighbor ids to their labels → per-(query, label) vote
+    counts collapse per batch (≤ k rows a query) → bucketed argmax: one
+    groupby(hash-bucket) with a vectorized sort + first-per-run inside —
+    no per-query Python call.
+
+    Output: ``query_id, pred_label, votes``.
+    """
+    import pandas as pd
+
+    from georay.ops import buckets as bk
+    from georay.runtime import table_from_pandas
+
+    topk = brute_topk(ds, query_ids, query_mat, k=k,
+                      id_col=id_col, emb_col=emb_col)
+
+    labels = ds.select_columns([id_col, label_col]).repartition(
+        num_partitions)
+
+    def neighbor_key(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["neighbor_id"],
+                         "query_id": t["query_id"]})
+
+    joined = topk.map_batches(
+        neighbor_key, batch_format="pyarrow"
+    ).repartition(num_partitions).join(
+        labels, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,))
+
+    def votes(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pack = q * (np.int64(1) << 20) + lab  # labels fit 20 bits
+        u, n = np.unique(pack, return_counts=True)
+        out = pa.table({"query_id": u >> 20, "lab": u & ((1 << 20) - 1),
+                        "n": n.astype(np.int64)})
+        return bk.append_bucket(out, "query_id", num_buckets)
+
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("pred_label", pa.int64()),
+                            ("votes", pa.int64())])
+
+    def argmax_bucket(g: pd.DataFrame):
+        # counts for one query may span batches: merge first, then argmax
+        m = g.groupby(["query_id", "lab"], as_index=False)["n"].sum()
+        q = m["query_id"].to_numpy()
+        order = np.lexsort((m["lab"].to_numpy(), -m["n"].to_numpy(), q))
+        qs = q[order]
+        first = bk.segment_starts(qs)
+        return table_from_pandas(pd.DataFrame({
+            "query_id": qs[first],
+            "pred_label": m["lab"].to_numpy()[order][first],
+            "votes": m["n"].to_numpy()[order][first],
+        }), schema=out_schema)
+
+    return (
+        joined.map_batches(votes, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(argmax_bucket, batch_format="pandas")
+    )

@@ -6543,6 +6543,108 @@ FROM st CROSS JOIN num CROSS JOIN den
 """
 
 
+def q_bigram_topk(sf_dir: str):
+    """Global top-20 ADJACENT token bigrams (order-sensitive, unlike the
+    windowed co-occurrence op): batch-local shift pairing inside one
+    tokenize pass, two-phase (w1, w2) counts, deterministic final rank
+    (n DESC, w1, w2) in one merged partition — the count table is bounded
+    by the bigram vocabulary, never the corpus."""
+    import pandas as pd
+    import re
+
+    from ray.data.aggregate import Sum
+
+    from georay.runtime import table_from_pandas
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    pair_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                             ("p_n", pa.int64())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.findall(word_re).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        w = toks.to_numpy()
+        same = row[1:] == row[:-1]
+        out = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]}).groupby(
+            ["w1", "w2"], as_index=False).size()
+        return table_from_pandas(out.rename(columns={"size": "p_n"}),
+                                 schema=pair_schema)
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .repartition(8)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .repartition(1)  # bounded by bigram vocab: final rank is local
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "w1", "w2"],
+                            ascending=[False, True, True]).head(20)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1)
+        return df[["rank", "w1", "w2", "n"]]
+
+    return counts.map_batches(topk, batch_format="pandas")
+
+
+SQL_BIGRAM_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w,
+         unnest(range(len(regexp_extract_all(lower(text), '[\w'']+')))) AS i
+  FROM documents),
+bg AS (SELECT a.w AS w1, b.w AS w2
+       FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2)
+SELECT CAST(r AS BIGINT) AS rank, w1, w2, n FROM (
+  SELECT c.*, ROW_NUMBER() OVER (ORDER BY n DESC, w1, w2) AS r FROM c)
+WHERE r <= 20
+"""
+
+
+def q_knn_classify(sf_dir: str):
+    """k-NN classification of every 10th embedding by majority label vote
+    of its 5 exact nearest neighbors (self excluded), vote ties to the
+    smallest label (ops.similarity.knn_classify — brute_topk → label hash
+    join → bucketed vectorized argmax)."""
+    from georay.ops import similarity as sim
+
+    q_table = _read_table(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding"])
+    mask = (q_table["vec_id"].to_numpy() % 10) == 0
+    q_ids = q_table["vec_id"].to_numpy()[mask]
+    q_mat = sim.emb_matrix(q_table["embedding"])[mask]
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding", "label"])
+    return sim.knn_classify(emb, q_ids, q_mat, k=ANN_K)
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+               DESC, e.vec_id) AS rank
+    FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+  ) WHERE rank <= {ANN_K}),
+v AS (SELECT t.query_id, CAST(e.label AS BIGINT) AS lab,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY 1, 2)
+SELECT query_id, lab AS pred_label, n AS votes FROM (
+  SELECT v.*, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY n DESC, lab) AS r
+  FROM v
+) WHERE r = 1
+"""
+
+
 UNION_W_US = 3_600_000_000  # 1-hour activity window per event
 
 
@@ -8031,6 +8133,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "raster_convolve": (q_raster_convolve, SQL_RASTER_CONVOLVE),
         "doc_rarity": (q_doc_rarity, SQL_DOC_RARITY),
         "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
+        "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
+        "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
