@@ -1045,3 +1045,92 @@ def nearest_segment(points_ds, seg_table: pa.Table, point_id: str,
 
     return points_ds.map_batches(fn, batch_format="pyarrow",
                                  zero_copy_batch=True)
+
+
+def accessibility_2sfca(demand_ds, supply_table: pa.Table, bits: int,
+                        radius: float, demand_id: str, pop_col: str,
+                        supply_id: str, cap_col: str,
+                        scale: int = 1_000_000, combine_partitions: int = 8):
+    """Two-step floating catchment area (2SFCA) — the standard GIS
+    accessibility score (Luo & Wang 2003 shape): each supply site j serves
+    the demand population inside its catchment, each demand point i sums
+    the supply-to-demand ratios of every site within reach.
+
+    Step 1: (demand, supply) pairs within ``radius`` via the zero-shuffle
+    broadcast ring join (:func:`dwithin_ring`), two-phase per-supply demand
+    totals ``den_j = SUM(pop_i)`` collected to the driver — O(|supply|)
+    rows, bounded because the supply side is the designated SMALL side
+    (same bound as the hot-key collection in runtime).
+
+    Step 2: per-supply ratio ``term_j = (scale * cap_j) // den_j`` is a
+    plain int64, so the demand-side score ``A_i = SUM(term_j)`` is exact
+    under any execution/combine order — no float ratios ever shuffle. The
+    pair join is RECOMPUTED (not materialized): at scale the pair set
+    dwarfs both inputs, and re-running a broadcast join streams at full
+    rate while a checkpoint of it would not fit.
+
+    Output: ``demand_id, access_scaled, n_fac`` (both int64; divide
+    ``access_scaled`` by ``scale`` for the float score).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = dwithin_ring(
+        demand_ds, supply_table, bits, radius,
+        query_cols=[demand_id, pop_col], ref_id=supply_id,
+    )
+
+    def den_partial(t: pa.Table) -> pa.Table:
+        sid = t[supply_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        pop = t[pop_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(sid, return_inverse=True)
+        acc = np.zeros(keys.size, np.int64)
+        np.add.at(acc, inv, pop)
+        return pa.table({supply_id: keys, "p_den": acc})
+
+    den_df = (
+        pairs.map_batches(den_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(supply_id)
+        .aggregate(Sum("p_den", alias_name="den"))
+        .to_pandas()  # O(|supply|) rows — the small side by construction
+    )
+
+    cap_keys = supply_table[supply_id].to_numpy(zero_copy_only=False).astype(np.int64)
+    caps = supply_table[cap_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(cap_keys, kind="stable")
+    cap_keys, caps = cap_keys[order], caps[order]
+    dk = den_df[supply_id].to_numpy().astype(np.int64)
+    dv = den_df["den"].to_numpy().astype(np.int64)
+    # suppliers with zero in-range demand never appear in pairs: term unused
+    den_full = np.ones_like(caps)
+    pos = np.searchsorted(cap_keys, dk)
+    den_full[pos] = dv
+    terms = (np.int64(scale) * caps) // den_full
+    bundle = ray.put({"keys": cap_keys, "terms": terms})
+    key = bundle.hex() + "-2sfca"
+    from georay.runtime import per_process  # driver-side: closure captures it
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        b = per_process(key, lambda: ray.get(bundle))
+        did = t[demand_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = t[supply_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        term = b["terms"][np.searchsorted(b["keys"], sid)]
+        keys, inv = np.unique(did, return_inverse=True)
+        acc = np.zeros(keys.size, np.int64)
+        np.add.at(acc, inv, term)
+        return pa.table({
+            demand_id: keys,
+            "p_acc": acc,
+            "p_n": np.bincount(inv).astype(np.int64),
+        })
+
+    return (
+        pairs.map_batches(score_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(demand_id)
+        .aggregate(Sum("p_acc", alias_name="access_scaled"),
+                   Sum("p_n", alias_name="n_fac"))
+    )

@@ -6645,6 +6645,66 @@ SELECT query_id, lab AS pred_label, n AS votes FROM (
 """
 
 
+ACCESS_RADIUS = 8.0  # degrees
+ACCESS_SCALE = 1_000_000
+
+
+def q_accessibility(sf_dir: str):
+    """2SFCA (two-step floating catchment area) accessibility: customers
+    are demand (pop = key%50+1), suppliers supply (cap = key%20+1); each
+    supplier's capacity is split over the demand population within 8°,
+    each customer sums the integer-scaled ratios of its in-range
+    suppliers (ops.knn.accessibility_2sfca — two broadcast ring joins,
+    O(|supply|) driver rows, int64-exact terms so combine order never
+    matters)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+
+    def add_pop(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("pop", pa.array(k % 50 + 1))
+
+    cust = cust.map_batches(add_pop, batch_format="pyarrow")
+    supp = _small_points(
+        _read_table(sf_dir, "supplier", columns=["s_suppkey"]),
+        "s_suppkey", BITS_JOIN,
+    )
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    supp = supp.append_column("cap", pa.array(sk % 20 + 1))
+    return knn_ops.accessibility_2sfca(
+        cust, supp, bits=BITS_JOIN, radius=ACCESS_RADIUS,
+        demand_id="c_custkey", pop_col="pop",
+        supply_id="s_suppkey", cap_col="cap", scale=ACCESS_SCALE,
+    )
+
+
+SQL_ACCESSIBILITY = f"""
+WITH c AS ({{c_cte}}),
+     s AS ({{s_cte}}),
+pairs AS (
+  SELECT c.c_custkey, c.pop, s.s_suppkey, s.cap
+  FROM c JOIN s
+    ON (c.lon - s.lon) * (c.lon - s.lon)
+     + (c.lat - s.lat) * (c.lat - s.lat)
+       <= {ACCESS_RADIUS} * {ACCESS_RADIUS}),
+den AS (SELECT s_suppkey, CAST(SUM(pop) AS BIGINT) AS den
+        FROM pairs GROUP BY 1),
+term AS (
+  SELECT p.c_custkey,
+         (CAST({ACCESS_SCALE} AS BIGINT) * p.cap) // d.den AS t
+  FROM pairs p JOIN den d USING (s_suppkey))
+SELECT c_custkey,
+       CAST(SUM(t) AS BIGINT) AS access_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_fac
+FROM term GROUP BY c_custkey
+""".format(
+    c_cte=_sql_point_cte("customer", "c_custkey", BITS_JOIN,
+                         extra_cols=", c_custkey % 50 + 1 AS pop"),
+    s_cte=_sql_point_cte("supplier", "s_suppkey", BITS_JOIN,
+                         extra_cols=", s_suppkey % 20 + 1 AS cap"),
+)
+
+
 UNION_W_US = 3_600_000_000  # 1-hour activity window per event
 
 
@@ -8135,6 +8195,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
         "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
         "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
+        "accessibility": (q_accessibility, SQL_ACCESSIBILITY),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

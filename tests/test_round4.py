@@ -1115,3 +1115,42 @@ def test_nearest_segment_matches_brute(ray_session):
         row = got.loc[p.pid]
         assert int(row["sid"]) == best[1], p.pid
         assert Fraction(int(row["d2_num"]), int(row["d2_den"])) == best[0]
+
+
+def test_accessibility_2sfca_matches_brute(ray_session):
+    """2SFCA vs an O(n*m) numpy replica: same integer terms, same pair
+    set, on synthetic points with multi-cell radius and suppliers whose
+    catchments overlap."""
+    import ray
+
+    from georay.ops import knn as knn_ops
+    from georay.ops import spatial as sp
+
+    bits, radius, scale = 8, 9.0, 1_000_000
+    dk = np.arange(400, dtype=np.int64)
+    sk = np.arange(30, dtype=np.int64) + 7_000
+    dem = sp.add_cell(sp.add_synth_points(pa.table({"did": dk}), "did"), bits)
+    dem = dem.append_column("pop", pa.array(dk % 11 + 1))
+    sup = sp.add_cell(sp.add_synth_points(pa.table({"sid": sk}), "sid"), bits)
+    sup = sup.append_column("cap", pa.array(sk % 7 + 1))
+
+    out = knn_ops.accessibility_2sfca(
+        ray.data.from_arrow(dem).repartition(5), sup, bits=bits,
+        radius=radius, demand_id="did", pop_col="pop",
+        supply_id="sid", cap_col="cap", scale=scale,
+    ).to_pandas().sort_values("did").reset_index(drop=True)
+
+    dlon, dlat = dem["lon"].to_numpy(), dem["lat"].to_numpy()
+    slon, slat = sup["lon"].to_numpy(), sup["lat"].to_numpy()
+    pop = dem["pop"].to_numpy()
+    cap = sup["cap"].to_numpy()
+    d2 = (dlon[:, None] - slon[None, :]) ** 2 + (dlat[:, None] - slat[None, :]) ** 2
+    within = d2 <= radius * radius
+    den = (pop[:, None] * within).sum(0)
+    term = np.where(den > 0, (np.int64(scale) * cap) // np.maximum(den, 1), 0)
+    acc = (term[None, :] * within).sum(1)
+    nfac = within.sum(1)
+    keep = nfac > 0
+    assert np.array_equal(out["did"].to_numpy(), dk[keep])
+    assert np.array_equal(out["access_scaled"].to_numpy(), acc[keep])
+    assert np.array_equal(out["n_fac"].to_numpy(), nfac[keep])
