@@ -6645,6 +6645,240 @@ SELECT query_id, lab AS pred_label, n AS votes FROM (
 """
 
 
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_segment_entropy(sf_dir: str):
+    """Per-nation Shannon entropy of the customer market-segment mix —
+    the diversity/balance score a data-curation pipeline reports per
+    shard. Distributed part: two-phase (nation, segment) INTEGER counts
+    (one row per pair per batch shuffles); the ≤ nations×5-row result
+    finalizes with ONE fixed-order float expression
+    H = ln(n) − (t₁+t₂+t₃+t₄+t₅)/n with tᵢ = cᵢ·ln(cᵢ) (0 when cᵢ=0),
+    written with the same literal association order in Python and SQL so
+    libm makes both sides bit-equal (moran_i discipline)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+    seg_sorted = np.array(SEGMENTS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nat = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = np.asarray(t["c_mktsegment"].to_pylist())
+        sidx = np.searchsorted(seg_sorted, seg)
+        pack = nat * 8 + sidx
+        u, n = np.unique(pack, return_counts=True)
+        return pa.table({"nat": u // 8, "seg": u % 8,
+                         "p_n": n.astype(np.int64)})
+
+    agg = (
+        cust.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["nat", "seg"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: nations × 5 rows
+
+    nats = np.sort(agg["nat"].unique())
+    counts = {int(a): [0] * len(SEGMENTS) for a in nats}
+    for a, s, n in zip(agg["nat"], agg["seg"], agg["n"]):
+        counts[int(a)][int(s)] = int(n)
+    rows = []
+    for a in nats:
+        c1, c2, c3, c4, c5 = counts[int(a)]
+        n = c1 + c2 + c3 + c4 + c5
+        t1, t2, t3, t4, t5 = (
+            0.0 if c == 0 else float(c) * math.log(float(c))
+            for c in (c1, c2, c3, c4, c5)
+        )
+        h = math.log(float(n)) - (t1 + t2 + t3 + t4 + t5) / float(n)
+        rows.append((int(a), n, h))
+    return pd.DataFrame(rows, columns=["c_nationkey", "n_cust", "entropy"])
+
+
+def _sql_segment_entropy() -> str:
+    cs = [
+        f"CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{i + 1}"
+        for i, s in enumerate(SEGMENTS)
+    ]
+    ts = [
+        f"(CASE WHEN c{i} = 0 THEN 0.0"
+        f" ELSE CAST(c{i} AS DOUBLE) * ln(CAST(c{i} AS DOUBLE)) END)"
+        for i in range(1, 6)
+    ]
+    return f"""
+WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                  {', '.join(cs)},
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1)
+SELECT c_nationkey, n AS n_cust,
+       ln(CAST(n AS DOUBLE))
+         - ({' + '.join(ts)}) / CAST(n AS DOUBLE) AS entropy
+FROM c
+"""
+
+
+SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
+
+
+VOLUME_NATIONS = (3, 8)  # both nations have suppliers even at sf0.001
+VOLUME_Y0_US = 820_454_400_000_000  # 1996-01-01
+VOLUME_Y1_US = 852_076_800_000_000  # 1997-01-01
+VOLUME_Y2_US = 883_612_800_000_000  # 1998-01-01
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — shipping volume between two nations by year: a
+    5-table join where BOTH fact sides are pre-filtered and pre-aggregated
+    before the single big hash join. Customer (nation-filtered) broadcasts
+    via ray.put; orders stream through it to (o_orderkey, cust_nat);
+    lineitem filters the 2-year window, maps l_suppkey through the tiny
+    supplier dim, and combines to one integer-revenue partial per
+    (orderkey, supp_nat, year) per batch; ONE hash join + asymmetric-pair
+    filter + tiny 3-key Sum groupby finish. Revenue in exact integer
+    units, so combine order never matters."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from georay.runtime import per_process
+
+    n0, n1 = VOLUME_NATIONS
+    nat = _read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_numpy().astype(np.int64),
+                       nat["n_name"].to_pylist()))
+
+    cust = _read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy().astype(np.int64)
+    sel = (cn == n0) | (cn == n1)
+    ck, cn = ck[sel], cn[sel]
+    o = np.argsort(ck, kind="quicksort")
+    cust_ref = ray.put({"k": ck[o], "n": cn[o]})
+    cust_key = cust_ref.hex() + "-vol-cust"
+
+    supp = _read_table(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy().astype(np.int64)
+    ssel = (sn == n0) | (sn == n1)
+    sk, sn = sk[ssel], sn[ssel]
+    so = np.argsort(sk, kind="quicksort")
+    sk, sn = sk[so], sn[so]
+
+    def _lookup(sorted_keys, values, probe):
+        if sorted_keys.size == 0:
+            return np.zeros(probe.size, bool), np.zeros(probe.size, np.int64)
+        pos = np.searchsorted(sorted_keys, probe)
+        posc = np.minimum(pos, sorted_keys.size - 1)
+        hit = (pos < sorted_keys.size) & (sorted_keys[posc] == probe)
+        return hit, values[posc]
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def ord_map(t: pa.Table) -> pa.Table:
+        b = per_process(cust_key, lambda: ray.get(cust_ref))
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, v = _lookup(b["k"], b["n"], oc)
+        return pa.table({"o_orderkey": ok[hit], "cust_nat": v[hit]})
+
+    orders_b = orders.map_batches(ord_map, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (us >= VOLUME_Y0_US) & (us < VOLUME_Y2_US)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        hit, snat = _lookup(sk, sn, lsk)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[keep][hit]
+        year = np.where(us[keep][hit] < VOLUME_Y1_US, np.int64(1996),
+                        np.int64(1997))
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep][hit] * 100).astype(np.int64)
+        pct = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False)[keep][hit] * 100).astype(np.int64)
+        rev = cents * (100 - pct)
+        nbit = (snat[hit] == n1).astype(np.int64)
+        pack = okey * 4 + nbit * 2 + (year - 1996)
+        u, inv = np.unique(pack, return_inverse=True)
+        part = np.zeros(u.size, dtype=np.int64)
+        np.add.at(part, inv, rev)
+        return pa.table({
+            "o_orderkey": u >> 2,
+            "supp_nat": np.where((u >> 1) % 2 == 1, np.int64(n1),
+                                 np.int64(n0)),
+            "l_year": u % 2 + 1996,
+            "p_rev": part,
+        })
+
+    # merge blocks before the join: empty read splits skip the map UDF and
+    # emit schema-less blocks Acero rejects (CLAUDE.md invariant)
+    partials = li.map_batches(li_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).repartition(4)
+    joined = partials.join(orders_b.repartition(4), join_type="inner",
+                           num_partitions=8, on=("o_orderkey",))
+
+    names = np.array([name_of[n0], name_of[n1]])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        snat = t["supp_nat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnat = t["cust_nat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yr = t["l_year"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t["p_rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = snat != cnat
+        pack = (snat[m] == n1).astype(np.int64) * 2 + (yr[m] - 1996)
+        u, inv = np.unique(pack, return_inverse=True)
+        part = np.zeros(u.size, dtype=np.int64)
+        np.add.at(part, inv, rev[m])
+        return pa.table({
+            "supp_nation": names[(u >> 1) % 2],
+            "cust_nation": names[1 - (u >> 1) % 2],
+            "l_year": u % 2 + 1996,
+            "p_rev": part,
+        })
+
+    return (
+        joined.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(4)
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("p_rev", alias_name="revenue_u"))
+        .sort(["supp_nation", "cust_nation", "l_year"])
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol) AS BIGINT) AS revenue_u
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS vol
+  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_suppkey = s_suppkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_nationkey = {VOLUME_NATIONS[0]}
+          AND n2.n_nationkey = {VOLUME_NATIONS[1]})
+      OR (n1.n_nationkey = {VOLUME_NATIONS[1]}
+          AND n2.n_nationkey = {VOLUME_NATIONS[0]}))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 ACCESS_RADIUS = 8.0  # degrees
 ACCESS_SCALE = 1_000_000
 
@@ -8196,6 +8430,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
         "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
         "accessibility": (q_accessibility, SQL_ACCESSIBILITY),
+        "segment_entropy": (q_segment_entropy, SQL_SEGMENT_ENTROPY),
+        "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
