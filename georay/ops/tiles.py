@@ -827,3 +827,78 @@ def kernel_convolve(raster_ds, bits: int, kernel, cell_col: str = "cell",
         num_partitions).join(
         gathered, join_type="inner", num_partitions=num_partitions,
         on=(cell_col,))
+
+
+def flow_direction(raster_ds, bits: int, cell_col: str = "cell",
+                   value_col: str = "n", combine_partitions: int = 8,
+                   num_partitions: int = 8):
+    """D8 flow direction over an aggregated integer raster: every occupied
+    cell drains to its LOWEST-value occupied 8-neighbor, provided that
+    neighbor is strictly lower; ties break to the smallest compass index
+    (codec.NEIGHBOR_ORDER, N=0 … NW=7); cells with no strictly-lower
+    occupied neighbor (or no occupied neighbor at all) are pits (dir −1).
+    Neighbor semantics are the engine's frozen contract: longitude wraps,
+    latitude clamps.
+
+    Plan (scatter-argmin): each occupied cell scatters ``elev·8 +
+    opp(dir)`` to its valid neighbors — the receiver sees the sender's
+    direction — one ``Min`` groupby computes the packed argmin (value
+    first, compass index as tiebreak, ties impossible since the index is
+    unique per pair), and a LEFT join back to the occupied set keeps
+    isolated cells as pits. Exchange is O(occupied × 9) pre-combined rows,
+    never O(points): run on an aggregated raster.
+
+    Output: ``cell_col, value_col, dir, nb_min`` (nb_min = lowest occupied
+    neighbor value, −1 when there is none).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    sentinel = np.int64(1) << 62
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbr, valid = codec.neighbors(cell, bits)
+        parts_c, parts_p = [], []
+        for j in range(8):
+            ok = valid[:, j]
+            parts_c.append(nbr[ok, j])
+            parts_p.append(val[ok] * 8 + ((j + 4) % 8))
+        tgt = np.concatenate(parts_c)
+        pack = np.concatenate(parts_p)
+        u, inv = np.unique(tgt, return_inverse=True)
+        m = np.full(u.size, sentinel, dtype=np.int64)
+        np.minimum.at(m, inv, pack)
+        return pa.table({cell_col: u.astype(np.int64), "p_min": m})
+
+    gathered = (
+        raster_ds.map_batches(scatter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(cell_col)
+        .aggregate(Min("p_min", alias_name="minpack"))
+        .repartition(num_partitions)  # schema-less empty-block guard
+    )
+
+    joined = raster_ds.join(
+        gathered, join_type="left_outer", num_partitions=num_partitions,
+        on=(cell_col,), right_suffix="_r",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        mp = pc.fill_null(t["minpack"], int(sentinel)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        has = mp != sentinel
+        nb_min = np.where(has, mp >> 3, np.int64(-1))
+        lower = has & (nb_min < val)
+        dirs = np.where(lower, mp % 8, np.int64(-1))
+        return pa.table({
+            cell_col: t[cell_col],
+            value_col: pa.array(val),
+            "dir": dirs,
+            "nb_min": nb_min,
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

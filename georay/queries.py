@@ -6724,6 +6724,61 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_flow_direction(sf_dir: str):
+    """D8 flow direction over the customer-count raster at BITS_TILE
+    (counts as a synthetic DEM): each occupied cell drains to its lowest
+    strictly-lower occupied 8-neighbor, compass-index tiebreak, pits = −1
+    (ops.tiles.flow_direction — scatter the packed value·8+opp(dir) to
+    valid neighbors, ONE Min groupby, LEFT join back to occupied cells so
+    isolated cells stay pits). The SQL twin replays the packed argmin over
+    the wraparound self-join."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    pts = spatial.points_with_cells(cust, "c_custkey", BITS_TILE, xy=False)
+    raster = tiles.count_by(pts.select_columns(["cell"]), "cell")
+    out = tiles.flow_direction(raster, BITS_TILE, cell_col="cell",
+                               value_col="n")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        return pa.table({
+            "tile_x": pa.array(x), "tile_y": pa.array(y),
+            "n": t["n"], "dir": t["dir"], "nb_min": t["nb_min"],
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_FLOW_DIRECTION = f"""
+WITH pts AS (
+  SELECT {sql_x(sql_lon('c_custkey'), 5)} AS x,
+         {sql_y(sql_lat('c_custkey'), 5)} AS y
+  FROM customer),
+g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+nb AS (
+  SELECT a.x, a.y,
+         MIN(b.n * 8 + CASE
+           WHEN (b.x - a.x + 32) % 32 = 0  AND b.y - a.y = 1  THEN 0
+           WHEN (b.x - a.x + 32) % 32 = 1  AND b.y - a.y = 1  THEN 1
+           WHEN (b.x - a.x + 32) % 32 = 1  AND b.y - a.y = 0  THEN 2
+           WHEN (b.x - a.x + 32) % 32 = 1  AND b.y - a.y = -1 THEN 3
+           WHEN (b.x - a.x + 32) % 32 = 0  AND b.y - a.y = -1 THEN 4
+           WHEN (b.x - a.x + 32) % 32 = 31 AND b.y - a.y = -1 THEN 5
+           WHEN (b.x - a.x + 32) % 32 = 31 AND b.y - a.y = 0  THEN 6
+           ELSE 7 END) AS minpack
+  FROM g a JOIN g b
+    ON ((b.x - a.x + 32) % 32) IN (0, 1, 31)
+   AND b.y BETWEEN a.y - 1 AND a.y + 1
+   AND NOT (b.x = a.x AND b.y = a.y)
+  GROUP BY 1, 2)
+SELECT a.x AS tile_x, a.y AS tile_y, a.n,
+       CAST(CASE WHEN nb.minpack IS NULL OR nb.minpack // 8 >= a.n THEN -1
+                 ELSE nb.minpack % 8 END AS BIGINT) AS dir,
+       CAST(COALESCE(nb.minpack // 8, -1) AS BIGINT) AS nb_min
+FROM g a LEFT JOIN nb ON nb.x = a.x AND nb.y = a.y
+"""
+
+
 VOLUME_NATIONS = (3, 8)  # both nations have suppliers even at sf0.001
 VOLUME_Y0_US = 820_454_400_000_000  # 1996-01-01
 VOLUME_Y1_US = 852_076_800_000_000  # 1997-01-01
@@ -8432,6 +8487,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "accessibility": (q_accessibility, SQL_ACCESSIBILITY),
         "segment_entropy": (q_segment_entropy, SQL_SEGMENT_ENTROPY),
         "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
+        "flow_direction": (q_flow_direction, SQL_FLOW_DIRECTION),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

@@ -1154,3 +1154,47 @@ def test_accessibility_2sfca_matches_brute(ray_session):
     assert np.array_equal(out["did"].to_numpy(), dk[keep])
     assert np.array_equal(out["access_scaled"].to_numpy(), acc[keep])
     assert np.array_equal(out["n_fac"].to_numpy(), nfac[keep])
+
+
+def test_flow_direction_matches_brute(ray_session):
+    """D8 flow dir vs a dense numpy replica on a small wrapped grid,
+    including pits, isolated cells, and antimeridian-wrap neighbors."""
+    import ray
+
+    from georay import codec
+    from georay.ops import tiles as tiles_ops
+
+    bits = 6  # 8 x 8 grid
+    rng = np.random.RandomState(7)
+    nx = ny = 8
+    occ = rng.rand(nx, ny) < 0.45
+    elev = rng.randint(1, 50, size=(nx, ny)).astype(np.int64)
+    xs, ys = np.nonzero(occ)
+    cell = codec.interleave(xs.astype(np.uint64), ys.astype(np.uint64), bits)
+    raster = pa.table({"cell": cell.astype(np.int64),
+                       "n": elev[xs, ys]})
+    out = tiles_ops.flow_direction(
+        ray.data.from_arrow(raster).repartition(3), bits
+    ).to_pandas()
+    out["cell"] = out["cell"].astype(np.uint64)
+    got = {int(c): (int(d), int(m))
+           for c, d, m in zip(out["cell"], out["dir"], out["nb_min"])}
+
+    offs = [(0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+    assert len(got) == xs.size
+    for x, y in zip(xs, ys):
+        best = None
+        for j, (dx, dy) in enumerate(offs):
+            xn, yn = (x + dx) % nx, y + dy
+            if not (0 <= yn < ny) or not occ[xn, yn]:
+                continue
+            cand = (int(elev[xn, yn]), j)
+            if best is None or cand < best:
+                best = cand
+        c = int(codec.interleave(np.uint64(x), np.uint64(y), bits))
+        if best is None:
+            assert got[c] == (-1, -1)
+        elif best[0] >= elev[x, y]:
+            assert got[c] == (-1, best[0])
+        else:
+            assert got[c] == (best[1], best[0])
