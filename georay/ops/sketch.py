@@ -710,3 +710,64 @@ def weighted_sample(ds, key_col: str, weight_col: str, k: int):
         return table_from_pandas(df)
 
     return top.repartition(1).map_batches(add_rank, batch_format="pandas")
+
+
+def grouped_median2(ds, group_col: str, value_col: str,
+                    combine_partitions: int = 2):
+    """EXACT per-group INTERPOLATED median (the percentile_cont rule) of
+    an integer column, emitted as ``median2 = lo + hi`` — the sum of the
+    two middle order statistics (twice the middle one when n is odd) — so
+    the result stays int64-exact and no float division ever executes;
+    callers divide by 2 for the conventional value.
+
+    Same distributed-histogram plan as :func:`grouped_quantiles` (batch
+    collapses to (group, value, count), one groupby-sum, per-group
+    finalize over histogram rows); same bounded-distinct contract — for
+    high-cardinality/continuous domains use the
+    :func:`grouped_quantiles_binned` refinement shape instead.
+
+    Output: ``group_col (int64), n_rows, median2``.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from georay.runtime import table_from_pandas
+
+    out_schema = pa.schema([(group_col, pa.int64()),
+                            ("n_rows", pa.int64()),
+                            ("median2", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({group_col: g, "v": v})
+        out = df.groupby([group_col, "v"], as_index=False).size()
+        return pa.table({
+            group_col: out[group_col].to_numpy().astype(np.int64),
+            "v": out["v"].to_numpy().astype(np.int64),
+            "partial_n": out["size"].to_numpy().astype(np.int64),
+        })
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby([group_col, "v"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .repartition(1)  # merge blocks before the per-group finalize
+    )
+
+    def finalize(gdf: pd.DataFrame) -> pa.Table:
+        gdf = gdf.sort_values("v")
+        counts = gdf["n"].to_numpy()
+        vals = gdf["v"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, (n - 1) // 2, side="right")])
+        hi = int(vals[np.searchsorted(cum, n // 2, side="right")])
+        return table_from_pandas(
+            pd.DataFrame({group_col: [gdf[group_col].iloc[0]],
+                          "n_rows": [n], "median2": [lo + hi]}),
+            schema=out_schema)
+
+    return hist.groupby(group_col).map_groups(finalize, batch_format="pandas")

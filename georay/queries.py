@@ -6724,6 +6724,47 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_median_acctbal(sf_dir: str):
+    """Per-nation EXACT interpolated median of customer account balance
+    (cents), emitted as the integer 2×median = lo+hi middle order stats
+    (ops.sketch.grouped_median2 — distributed histograms, no sort, no
+    full-column collection; no float division on either side). The SQL
+    twin replays the percentile_cont rule with window functions."""
+    from georay.ops import sketch as sketch_ops
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "cents": np.round(
+                t["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64),
+        })
+
+    return sketch_ops.grouped_median2(
+        cust.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "c_nationkey", "cents",
+    )
+
+
+SQL_MEDIAN_ACCTBAL = """
+WITH v AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+           FROM customer),
+r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM v),
+s AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                           THEN v ELSE 0 END) AS BIGINT) AS s
+      FROM r GROUP BY g)
+SELECT g AS c_nationkey, n_rows,
+       CASE WHEN n_rows % 2 = 1 THEN 2 * s ELSE s END AS median2
+FROM s
+"""
+
+
 def q_flow_direction(sf_dir: str):
     """D8 flow direction over the customer-count raster at BITS_TILE
     (counts as a synthetic DEM): each occupied cell drains to its lowest
@@ -8488,6 +8529,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "segment_entropy": (q_segment_entropy, SQL_SEGMENT_ENTROPY),
         "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
         "flow_direction": (q_flow_direction, SQL_FLOW_DIRECTION),
+        "median_acctbal": (q_median_acctbal, SQL_MEDIAN_ACCTBAL),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

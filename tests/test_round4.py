@@ -1198,3 +1198,27 @@ def test_flow_direction_matches_brute(ray_session):
             assert got[c] == (-1, best[0])
         else:
             assert got[c] == (best[1], best[0])
+
+
+def test_grouped_median2_matches_numpy(ray_session):
+    """2×interpolated-median vs numpy over odd/even/singleton/duplicate
+    group shapes."""
+    import ray
+
+    from georay.ops import sketch as sketch_ops
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 12, size=500).astype(np.int64)
+    v = rng.randint(-40, 40, size=500).astype(np.int64)
+    g = np.concatenate([g, [99]])          # singleton group
+    v = np.concatenate([v, [7]])
+    out = sketch_ops.grouped_median2(
+        ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(4),
+        "g", "v",
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    for _, row in out.iterrows():
+        vals = np.sort(v[g == row["g"]])
+        n = vals.size
+        assert row["n_rows"] == n
+        assert row["median2"] == int(vals[(n - 1) // 2]) + int(vals[n // 2])
+        assert row["median2"] / 2.0 == float(np.median(vals))
