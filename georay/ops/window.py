@@ -483,3 +483,64 @@ def resample_gapfill(ds, key_col: str, ts_col: str, value_col: str,
         })
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def cusum_changepoint(series_ds, key_col: str, t_col: str, x_col: str,
+                      num_buckets: int = 64):
+    """Per-key CUSUM change-point over an ordered integer series: with
+    n points, running sum cum_t and total T, the deviation is
+    ``D_t = n·cum_t − t·T`` (the mean cross-multiplied away, so D is
+    int64-exact); the change point is the t at max |D_t|, earliest on
+    ties. Input: one row per (key, t) with integer value ``x_col`` (an
+    aggregated series — run a two-phase count first, never raw events).
+
+    Bucketized (VERDICT-r3 idiom): ONE groupby(hash-bucket), and inside a
+    bucket one sort + segmented numpy across all keys (run-boundary
+    cumsum, reduceat max, reduceat first-tie pick) — no per-key Python
+    call. Overflow contract: n·T must fit int64 (callers with >2³¹-scale
+    per-key totals pre-scale down).
+
+    Output: ``key_col, n_pts, total, cp_t, max_absdev``.
+    """
+    import pandas as pd
+
+    from georay.ops import buckets as bk
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, key_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key_col, t_col], kind="quicksort")
+        k = g[key_col].to_numpy()
+        tv = g[t_col].to_numpy().astype(np.int64)
+        x = g[x_col].to_numpy().astype(np.int64)
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new).astype(np.int64)
+        counts = bk.segment_counts(starts, n)
+        cum = bk.local_cumsum(x, starts, counts)
+        tot_seg = cum[starts + counts - 1]
+        tot = np.repeat(tot_seg, counts)
+        nd = np.repeat(counts, counts)
+        tpos = bk.position_in_segment(starts, counts, n) + 1
+        adev = np.abs(nd * cum - tpos * tot)
+        m = np.maximum.reduceat(adev, starts)
+        pos = bk.position_in_segment(starts, counts, n)
+        cand = np.where(adev == np.repeat(m, counts), pos, np.int64(1) << 62)
+        sel = starts + np.minimum.reduceat(cand, starts)
+        return pa.table({
+            key_col: pa.array(k[sel]),
+            "n_pts": pa.array(counts),
+            "total": pa.array(tot_seg),
+            "cp_t": pa.array(tv[sel]),
+            "max_absdev": pa.array(m.astype(np.int64)),
+        })
+
+    return (
+        series_ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -6724,6 +6724,61 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM change-point per user over their daily event-count series:
+    the day at max |n·cum_t − t·T| (mean cross-multiplied away — all
+    int64, earliest-day tiebreak). Plan: two-phase (user, day) counts →
+    ops.window.cusum_changepoint (ONE hash-bucket groupby, segmented
+    numpy across keys — no per-key Python call). SQL twin: window
+    cumulative sums + ROW_NUMBER argmax."""
+    from ray.data.aggregate import Sum
+
+    from georay.ops import window as window_ops
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        pack = uid * (np.int64(1) << 24) + day
+        u, inv = np.unique(pack, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table({"user_id": u >> 24, "day": u & ((1 << 24) - 1),
+                         "p_n": n})
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("p_n", alias_name="x"))
+        .repartition(8)
+    )
+    return window_ops.cusum_changepoint(daily, "user_id", "day", "x")
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+a AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM e GROUP BY 1, 2),
+w AS (SELECT user_id, day,
+             SUM(x) OVER (PARTITION BY user_id ORDER BY day) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS t,
+             COUNT(*) OVER (PARTITION BY user_id) AS nd,
+             SUM(x) OVER (PARTITION BY user_id) AS tot
+      FROM a),
+d AS (SELECT user_id, day, nd, tot,
+             abs(nd * cum - t * tot) AS adev
+      FROM w),
+r AS (SELECT d.*, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY adev DESC, day) AS rk
+      FROM d)
+SELECT user_id, CAST(nd AS BIGINT) AS n_pts, CAST(tot AS BIGINT) AS total,
+       day AS cp_t, CAST(adev AS BIGINT) AS max_absdev
+FROM r WHERE rk = 1
+"""
+
+
 def q_median_acctbal(sf_dir: str):
     """Per-nation EXACT interpolated median of customer account balance
     (cents), emitted as the integer 2×median = lo+hi middle order stats
@@ -8530,6 +8585,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "volume_shipping": (q_volume_shipping, SQL_VOLUME_SHIPPING),
         "flow_direction": (q_flow_direction, SQL_FLOW_DIRECTION),
         "median_acctbal": (q_median_acctbal, SQL_MEDIAN_ACCTBAL),
+        "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

@@ -1222,3 +1222,39 @@ def test_grouped_median2_matches_numpy(ray_session):
         assert row["n_rows"] == n
         assert row["median2"] == int(vals[(n - 1) // 2]) + int(vals[n // 2])
         assert row["median2"] / 2.0 == float(np.median(vals))
+
+
+def test_cusum_changepoint_matches_brute(ray_session):
+    """Bucketed CUSUM vs a per-key python replica, incl. singleton keys,
+    ties (constant series -> all D_t have |D|=0 -> earliest t wins)."""
+    import ray
+
+    from georay.ops import window as window_ops
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for k in range(40):
+        nd = rng.randint(1, 9)
+        days = np.sort(rng.choice(60, size=nd, replace=False))
+        for d in days:
+            rows.append((k, int(d), int(rng.randint(1, 6))))
+    rows.append((999, 5, 3))  # singleton
+    k_a = np.array([r[0] for r in rows], dtype=np.int64)
+    t_a = np.array([r[1] for r in rows], dtype=np.int64)
+    x_a = np.array([r[2] for r in rows], dtype=np.int64)
+    out = window_ops.cusum_changepoint(
+        ray.data.from_arrow(pa.table({"k": k_a, "t": t_a, "x": x_a}))
+        .repartition(4), "k", "t", "x", num_buckets=8,
+    ).to_pandas().set_index("k")
+    for k in np.unique(k_a):
+        sel = k_a == k
+        ts, xs = t_a[sel], x_a[sel]
+        o = np.argsort(ts)
+        ts, xs = ts[o], xs[o]
+        n, tot = ts.size, xs.sum()
+        cum = np.cumsum(xs)
+        dev = np.abs(n * cum - np.arange(1, n + 1) * tot)
+        i = int(np.argmax(dev))  # first max = earliest tie
+        r = out.loc[k]
+        assert (r["n_pts"], r["total"], r["cp_t"], r["max_absdev"]) == \
+            (n, tot, ts[i], dev[i])
