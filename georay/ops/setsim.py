@@ -317,3 +317,226 @@ def setsim_join(ds, num: int, den: int, id_col: str = "doc_id",
         )
 
     return verif.map_batches(jac, batch_format="pyarrow")
+
+
+def containment_join(ds, num: int, den: int, min_tokens: int = 30,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     num_partitions: int = 8, combine_partitions: int = 8,
+                     max_pairs_per_token: int | None = 1 << 22,
+                     broadcast_vocab_max: int = 2_000_000):
+    """ASYMMETRIC set-containment join: every ORDERED pair (A, B), A ≠ B,
+    with ``|A ∩ B| ≥ (num/den)·|A|`` and ``|A| ≥ min_tokens`` — "document
+    A is (almost) contained in document B", the directional near-dup /
+    quotation / superset-document detector the symmetric Jaccard join
+    (:func:`setsim_join`) cannot express (B may be arbitrarily large).
+
+    Prefix logic (Xiao et al.'s containment variant): under ANY global
+    token order, if none of A's first ``p_A = |A| − ceil(τ·|A|) + 1``
+    tokens hit B then overlap ≤ ceil(τ·|A|) − 1 — so candidates =
+    A-prefix tokens ⋈ B-FULL tokens, no recall loss. The order is still
+    ascending document frequency (rarest first) because that is what
+    keeps A-prefixes off the stopword buckets; the B side is unfiltered
+    by construction, so per-token candidate volume is
+    |A-prefixes| × df(token) — Zipf-small for rare prefix tokens, capped
+    at ``max_pairs_per_token`` with a logged count when a pathological
+    token exceeds it (never silently).
+
+    Verify is exact: hash-join the deduped pairs back to the packed
+    blobs, C-merge intersection, keep ``inter·den ≥ num·n_a``. Only ids
+    and 64-bit hashes shuffle.
+
+    Output: ``id_a, id_b, n_inter, n_a, containment`` (the one float
+    division, identical on the SQL side).
+    """
+    if not (0 < num <= den):
+        raise ValueError("threshold must satisfy 0 < num/den <= 1")
+    import logging
+
+    import ray
+    from ray.data.aggregate import Count
+
+    log = logging.getLogger("georay.setsim")
+    sets = token_sets(ds, id_col, text_col).materialize()
+
+    def unpack(t: pa.Table) -> pa.Table:
+        vals, counts = _packed_view(t["sh"])
+        sid = t["sid"].to_numpy(zero_copy_only=False)
+        n = t["n_tok"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "th": pa.array(vals.view(np.int64)),
+            "sid": pa.array(np.repeat(sid, counts)),
+            "n_tok": pa.array(np.repeat(n, counts)),
+        })
+
+    toks = sets.map_batches(unpack, batch_format="pyarrow")
+
+    dfc = count_by(
+        toks.select_columns(["th"]), "th", out_col="df",
+        combine_partitions=combine_partitions,
+    ).materialize()
+
+    if dfc.count() <= broadcast_vocab_max:
+        dft = pa.concat_tables(list(dfc.iter_batches(batch_format="pyarrow")))
+        th_v = dft["th"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_v = dft["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(th_v, kind="quicksort")
+        ref = ray.put((th_v[order], df_v[order]))
+
+        def attach_df(t: pa.Table) -> pa.Table:
+            th_keys, df_vals = ray.get(ref)
+            th = t["th"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(th_keys, th)
+            return t.append_column("df", pa.array(df_vals[pos]))
+
+        joined = toks.map_batches(attach_df, batch_format="pyarrow")
+    else:
+        joined = toks.join(
+            dfc.repartition(num_partitions), join_type="inner",
+            num_partitions=num_partitions, on=("th",),
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t["sid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            (ids * np.uint64(0x9E3779B1)) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    role_schema = pa.schema([("th", pa.int64()), ("sid", pa.int64()),
+                             ("is_a", pa.int8())])
+
+    def emit_roles(g: pd.DataFrame) -> pa.Table:
+        # B-full rows for every token; A-prefix rows only for eligible
+        # docs' first p tokens under the (df, th) rarest-first order
+        g = g.sort_values(["sid", "df", "th"], kind="quicksort").reset_index(
+            drop=True)
+        pos = g.groupby("sid").cumcount().to_numpy()
+        n = g["n_tok"].to_numpy(np.int64)
+        p = _prefix_len(n, num, den)
+        a_keep = (pos < p) & (n >= min_tokens)
+        th = g["th"].to_numpy(np.int64)
+        sid = g["sid"].to_numpy(np.int64)
+        return table_from_pandas(
+            pd.DataFrame({
+                "th": np.concatenate([th, th[a_keep]]),
+                "sid": np.concatenate([sid, sid[a_keep]]),
+                "is_a": np.concatenate([
+                    np.zeros(th.size, np.int8),
+                    np.ones(int(a_keep.sum()), np.int8),
+                ]),
+            }),
+            schema=role_schema,
+        )
+
+    roles = (
+        joined.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(emit_roles, batch_format="pandas")
+    )
+
+    empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        th = t["th"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (splitmix64(th) % np.uint64(64)).astype(np.int64)
+        return t.append_column("_pb", pa.array(pb))
+
+    def bipartite_pairs(g: pd.DataFrame) -> pa.Table:
+        # layout: sort by (th, is_a, sid) → per token one B run then one
+        # A run; expand A × B per token with pure offset arithmetic
+        th = g["th"].to_numpy(np.int64)
+        sid = g["sid"].to_numpy(np.int64)
+        is_a = g["is_a"].to_numpy(np.int64)
+        order = np.lexsort((sid, is_a, th))
+        th_s, sid_s, a_s = th[order], sid[order], is_a[order]
+        new = np.empty(th_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = th_s[1:] != th_s[:-1]
+        starts = np.flatnonzero(new).astype(np.int64)
+        sizes = np.diff(np.append(starts, th_s.size)).astype(np.int64)
+        a_cum = np.concatenate(([0], np.cumsum(a_s)))
+        a_cnt = a_cum[starts + sizes] - a_cum[starts]
+        b_cnt = sizes - a_cnt
+        m = a_cnt * b_cnt
+        if max_pairs_per_token is not None:
+            over = m > max_pairs_per_token
+            if over.any():
+                log.warning(
+                    "containment_join: %d token groups capped at %d pairs",
+                    int(over.sum()), max_pairs_per_token,
+                )
+                # deterministic cap: keep the first floor(cap/b) A rows
+                a_cnt = np.where(
+                    over, np.maximum(max_pairs_per_token // np.maximum(
+                        b_cnt, 1), 1), a_cnt)
+                m = a_cnt * b_cnt
+        tot = int(m.sum())
+        if tot == 0:
+            return empty_pairs
+        gidx = np.repeat(np.arange(m.size), m)
+        j = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+        b_rep = np.repeat(b_cnt, m)
+        a_row = np.repeat(starts + b_cnt, m) + j // np.maximum(b_rep, 1)
+        b_row = np.repeat(starts, m) + j % np.maximum(b_rep, 1)
+        ia, ib = sid_s[a_row], sid_s[b_row]
+        keep = ia != ib
+        return pa.table({"id_a": pa.array(ia[keep]),
+                         "id_b": pa.array(ib[keep])})
+
+    cand = (
+        roles.map_batches(add_pair_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("_pb")
+        .map_groups(bipartite_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id_a", "id_b"])
+        .repartition(num_partitions)  # schema-less empty-block guard
+    )
+
+    def as_side(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"id_{side}": t["sid"], f"sh_{side}": t["sh"],
+                 f"n_{side}": t["n_tok"]}
+            )
+
+        return fn
+
+    verif = cand.join(
+        sets.map_batches(as_side("a"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("id_a",),
+    ).join(
+        sets.map_batches(as_side("b"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("id_b",),
+    )
+
+    def contain(t: pa.Table) -> pa.Table:
+        n = len(t)
+        va, na = _packed_view(t["sh_a"])
+        vb, nb = _packed_view(t["sh_b"])
+        offa = np.zeros(n + 1, np.int64)
+        np.cumsum(na, out=offa[1:])
+        offb = np.zeros(n + 1, np.int64)
+        np.cumsum(nb, out=offb[1:])
+        inter = np.empty(n, dtype=np.int64)
+        isect = np.intersect1d
+        for k in range(n):
+            sa = va[offa[k]: offa[k + 1]]
+            sb = vb[offb[k]: offb[k + 1]]
+            inter[k] = isect(sa, sb, assume_unique=True).size
+        n_a = np.asarray(na, dtype=np.int64)
+        keep = inter * den >= num * n_a
+        w = pa.array(keep)
+        return pa.table({
+            "id_a": t["id_a"].filter(w),
+            "id_b": t["id_b"].filter(w),
+            "n_inter": pa.array(inter[keep]),
+            "n_a": pa.array(n_a[keep]),
+            "containment": pa.array(inter[keep] / n_a[keep]),
+        })
+
+    return verif.map_batches(contain, batch_format="pyarrow")

@@ -6724,6 +6724,40 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+CONTAIN_NUM, CONTAIN_DEN, CONTAIN_MIN = 19, 20, 30
+
+
+def q_containment_join(sf_dir: str):
+    """Directional near-dup: every ORDERED doc pair (A, B) with
+    |A∩B| ≥ 0.95·|A| and |A| ≥ 30 tokens — "A is contained in B"
+    (ops.setsim.containment_join — asymmetric prefix filter: A-prefix
+    tokens ⋈ B-FULL tokens under the rarest-first order, exact packed-set
+    verify; the case the symmetric Jaccard join cannot express). Oracle:
+    plain token self-join with the integer threshold."""
+    from georay.ops import setsim as setsim_ops
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return setsim_ops.containment_join(
+        docs, CONTAIN_NUM, CONTAIN_DEN, min_tokens=CONTAIN_MIN,
+    )
+
+
+SQL_CONTAINMENT_JOIN = rf"""
+WITH tk AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+    FROM documents)),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS it
+      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b, it AS n_inter, s.n AS n_a,
+       CAST(it AS DOUBLE) / CAST(s.n AS DOUBLE) AS containment
+FROM i JOIN sz s ON s.doc_id = i.ia
+WHERE it * {CONTAIN_DEN} >= {CONTAIN_NUM} * s.n AND s.n >= {CONTAIN_MIN}
+"""
+
+
 def q_cusum_changepoint(sf_dir: str):
     """CUSUM change-point per user over their daily event-count series:
     the day at max |n·cum_t − t·T| (mean cross-multiplied away — all
@@ -8586,6 +8620,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "flow_direction": (q_flow_direction, SQL_FLOW_DIRECTION),
         "median_acctbal": (q_median_acctbal, SQL_MEDIAN_ACCTBAL),
         "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+        "containment_join": (q_containment_join, SQL_CONTAINMENT_JOIN),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

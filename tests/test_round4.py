@@ -1258,3 +1258,45 @@ def test_cusum_changepoint_matches_brute(ray_session):
         r = out.loc[k]
         assert (r["n_pts"], r["total"], r["cp_t"], r["max_absdev"]) == \
             (n, tot, ts[i], dev[i])
+
+
+def test_containment_join_matches_brute(ray_session):
+    """Asymmetric containment join vs an all-pairs python replica on a
+    corpus with planted subset docs, exact dups, and boundary-threshold
+    pairs; ordered-pair semantics (A in B, not B in A)."""
+    import ray
+
+    from georay.ops import setsim as setsim_ops
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(30):
+        nw = rng.randint(8, 20)
+        docs.append(list(rng.choice(vocab, size=nw, replace=False)))
+    docs.append(docs[0][:])                 # exact dup of doc 0
+    docs.append(docs[1] + ["extra1", "extra2", "extra3"])  # superset of 1
+    texts = [" ".join(d) for d in docs]
+    ids = np.arange(len(docs), dtype=np.int64)
+    num, den, min_tok = 9, 10, 8
+    out = setsim_ops.containment_join(
+        ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+        .repartition(4),
+        num, den, min_tokens=min_tok, num_partitions=4,
+    ).to_pandas()
+    got = {(int(a), int(b)): (int(i), int(n))
+           for a, b, i, n in zip(out["id_a"], out["id_b"],
+                                 out["n_inter"], out["n_a"])}
+    want = {}
+    sets = [set(w.lower() for w in d) for d in docs]
+    for a in range(len(docs)):
+        if len(sets[a]) < min_tok:
+            continue
+        for b in range(len(docs)):
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter * den >= num * len(sets[a]):
+                want[(a, b)] = (inter, len(sets[a]))
+    assert want, "test corpus must contain qualifying pairs"
+    assert got == want
