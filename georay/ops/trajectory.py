@@ -368,3 +368,67 @@ def leg_octants(ds, key_col: str, ts_col: str, order_col: str,
         .aggregate(Sum("part_n", alias_name="n"))
         .repartition(1)  # few-group final: merge schema-less empty blocks
     )
+
+
+def stay_points(ds, key_col: str, ts_col: str, order_col: str,
+                x_col: str, y_col: str, eps2: int, min_dur_us: int = 0,
+                num_buckets: int = 32):
+    """Stay-point (dwell) detection: per key, every MAXIMAL run of
+    consecutive slow legs — legs whose exact integer squared length is
+    ≤ ``eps2`` — in (ts, order) order; one output row per stay with its
+    bounding timestamps. The gaps-and-islands segmentation GPS pipelines
+    use to turn pings into visits.
+
+    Bucketized (one groupby(hash-bucket), segmented numpy across keys):
+    legs and the slow mask compute across the whole bucket, cross-key diff
+    positions are forced fast so runs never straddle keys, and run
+    boundaries are two shifted-mask flatnonzeros — no per-key Python call.
+
+    Output: ``key_col, start_us, end_us, n_pts, dur_us`` (stays with
+    ``dur_us ≥ min_dur_us``; a single slow leg is a 2-point stay).
+    """
+    import pyarrow as pa
+
+    from georay.ops import buckets as bk
+
+    cols = [key_col, ts_col, order_col, x_col, y_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, key_col, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key_col].to_numpy()
+        codes, uniq = pd.factorize(keys)
+        ts_raw = g[ts_col].astype("int64").to_numpy()
+        order = np.lexsort((g[order_col].to_numpy(np.int64), ts_raw, codes))
+        c = codes[order]
+        x = g[x_col].to_numpy(dtype=np.int64)[order]
+        y = g[y_col].to_numpy(dtype=np.int64)[order]
+        us = ts_raw[order]
+        dx, dy = np.diff(x), np.diff(y)
+        d2 = dx * dx + dy * dy
+        slow = d2 <= np.int64(eps2)
+        starts = bk.segment_starts(c)
+        slow[starts[1:] - 1] = False  # cross-key diffs are never legs
+        prev = np.concatenate(([False], slow[:-1]))
+        nxt = np.concatenate((slow[1:], [False]))
+        rs = np.flatnonzero(slow & ~prev)  # first leg of each run
+        re_ = np.flatnonzero(slow & ~nxt)  # last leg of each run
+        start_us = us[rs]
+        end_us = us[re_ + 1]
+        dur = end_us - start_us
+        keep = dur >= min_dur_us
+        return pd.DataFrame({
+            key_col: np.asarray(uniq)[c[rs[keep]]],
+            "start_us": start_us[keep],
+            "end_us": end_us[keep],
+            "n_pts": (re_ - rs)[keep] + 2,
+            "dur_us": dur[keep],
+        })
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

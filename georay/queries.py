@@ -6724,6 +6724,62 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+STAY_EPS = 80_000  # milli-degree grid units (~22% of legs are slow)
+
+
+def q_stay_points(sf_dir: str):
+    """Stay-point (dwell) detection per user: maximal runs of consecutive
+    slow legs (squared step ≤ STAY_EPS², exact int) over the synthetic
+    milli-degree trajectory, one row per stay with bounding timestamps
+    (ops.trajectory.stay_points — bucketized gaps-and-islands, no per-key
+    Python call). SQL twin: LAG legs → running fast-leg count as island
+    id → per-island MIN/MAX."""
+    from georay.ops import trajectory as traj
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pa.array(us),
+            "event_id": t["event_id"],
+            "xi": pa.array((eid * HASH_LON) % 360000),
+            "yi": pa.array((eid * HASH_LAT) % 180000),
+        })
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return traj.stay_points(pts, "user_id", "us", "event_id", "xi", "yi",
+                            eps2=STAY_EPS * STAY_EPS)
+
+
+SQL_STAY_POINTS = f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         (event_id * {HASH_LON}) % 360000 AS xi,
+         (event_id * {HASH_LAT}) % 180000 AS yi
+  FROM events),
+l AS (SELECT user_id, us, event_id, xi, yi,
+        LAG(xi) OVER w AS px, LAG(yi) OVER w AS py, LAG(us) OVER w AS pus
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+f AS (SELECT user_id, us, pus,
+        CASE WHEN (xi - px) * (xi - px) + (yi - py) * (yi - py)
+                  <= {STAY_EPS * STAY_EPS} THEN 1 ELSE 0 END AS slow,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY us, event_id) AS rn
+      FROM l WHERE px IS NOT NULL),
+g AS (SELECT user_id, us, pus, slow,
+        SUM(1 - slow) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM f)
+SELECT user_id, CAST(MIN(pus) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_pts,
+       CAST(MAX(us) - MIN(pus) AS BIGINT) AS dur_us
+FROM g WHERE slow = 1 GROUP BY user_id, grp
+"""
+
+
 CONTAIN_NUM, CONTAIN_DEN, CONTAIN_MIN = 19, 20, 30
 
 
@@ -8621,6 +8677,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "median_acctbal": (q_median_acctbal, SQL_MEDIAN_ACCTBAL),
         "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
         "containment_join": (q_containment_join, SQL_CONTAINMENT_JOIN),
+        "stay_points": (q_stay_points, SQL_STAY_POINTS),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

@@ -1300,3 +1300,51 @@ def test_containment_join_matches_brute(ray_session):
                 want[(a, b)] = (inter, len(sets[a]))
     assert want, "test corpus must contain qualifying pairs"
     assert got == want
+
+
+def test_stay_points_matches_brute(ray_session):
+    """Gaps-and-islands stays vs a per-key python replica: runs at the
+    series edges, adjacent runs separated by one fast leg, min_dur filter."""
+    import ray
+
+    from georay.ops import trajectory as traj
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for k in range(25):
+        n = rng.randint(1, 15)
+        ts = np.sort(rng.choice(10_000, size=n, replace=False)) * 1_000_000
+        xs = np.cumsum(rng.choice([0, 1, 40], size=n, p=[0.4, 0.3, 0.3]))
+        for i in range(n):
+            rows.append((k, int(ts[i]), i, int(xs[i]), 0))
+    k_a = np.array([r[0] for r in rows], np.int64)
+    t_a = np.array([r[1] for r in rows], np.int64)
+    o_a = np.array([r[2] for r in rows], np.int64)
+    x_a = np.array([r[3] for r in rows], np.int64)
+    y_a = np.array([r[4] for r in rows], np.int64)
+    eps2, min_dur = 4, 0
+    out = traj.stay_points(
+        ray.data.from_arrow(pa.table({
+            "k": k_a, "us": t_a, "o": o_a, "x": x_a, "y": y_a,
+        })).repartition(4),
+        "k", "us", "o", "x", "y", eps2=eps2, min_dur_us=min_dur,
+        num_buckets=8,
+    ).to_pandas()
+    got = set(map(tuple, out[["k", "start_us", "end_us", "n_pts"]]
+                  .itertuples(index=False)))
+    want = set()
+    for k in np.unique(k_a):
+        sel = k_a == k
+        o = np.lexsort((o_a[sel], t_a[sel]))
+        ts, xs = t_a[sel][o], x_a[sel][o]
+        slow = np.diff(xs) ** 2 <= eps2
+        i = 0
+        while i < slow.size:
+            if slow[i]:
+                j = i
+                while j + 1 < slow.size and slow[j + 1]:
+                    j += 1
+                want.add((k, ts[i], ts[j + 1], j - i + 2))
+                i = j + 1
+            i += 1
+    assert want and got == want
