@@ -432,3 +432,103 @@ def stay_points(ds, key_col: str, ts_col: str, order_col: str,
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def spatiotemporal_pairs(ds, id_col: str, user_col: str, ts_col: str,
+                         x_col: str, y_col: str, eps: int, window_us: int,
+                         num_partitions: int = 8):
+    """Spatiotemporal contact join: every pair of events from DIFFERENT
+    users within integer grid distance ``eps`` (d² ≤ eps²) AND within
+    ``window_us`` in time — the proximity/contact-tracing join, a true 3-D
+    (x, y, t) problem no single-key ring join expresses.
+
+    Plan: bucket each event at (x//eps, y//eps, t//window_us); the HOME
+    side keeps its one bucket, the PROBE side flat-maps to the 27-cell
+    (3×3×3) neighborhood, ONE hash join on the packed bucket key, exact
+    integer predicate filter. Report-once: a pair (a < b by id) is emitted
+    only from a's unique home bucket, so NO dedup shuffle exists in the
+    plan (box_join discipline). Exchange = 27× one side — at scale expand
+    whichever side is smaller, symmetric by construction.
+
+    Overflow contract: x//eps and y//eps < 2¹⁴, t//window_us < 2³⁵
+    (pack = tb·2²⁸ + cx·2¹⁴ + cy).
+
+    Output: ``event_a, event_b, d2, dt_us`` (a < b).
+    """
+    import pyarrow as pa
+
+    eps2 = np.int64(eps) * np.int64(eps)
+
+    def pack_key(cx, cy, tb):
+        return (tb << np.int64(28)) + (cx << np.int64(14)) + cy
+
+    def home(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = pack_key(x // eps, y // eps, us // window_us)
+        return pa.table({
+            "bk": bk,
+            "event_a": t[id_col].cast(pa.int64()),
+            "user_a": t[user_col].cast(pa.int64()),
+            "us_a": pa.array(us), "x_a": pa.array(x), "y_a": pa.array(y),
+        })
+
+    def probe(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy, tb = x // eps, y // eps, us // window_us
+        keys, eids, uids, uss, xs, ys = [], [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dt in (-1, 0, 1):
+                    keys.append(pack_key(cx + dx, cy + dy, tb + dt))
+                    eids.append(eid)
+                    uids.append(uid)
+                    uss.append(us)
+                    xs.append(x)
+                    ys.append(y)
+        return pa.table({
+            "bk": np.concatenate(keys),
+            "event_b": np.concatenate(eids),
+            "user_b": np.concatenate(uids),
+            "us_b": np.concatenate(uss),
+            "x_b": np.concatenate(xs),
+            "y_b": np.concatenate(ys),
+        })
+
+    cols = [id_col, user_col, ts_col, x_col, y_col]
+    base = ds.select_columns(cols)
+    h = base.map_batches(home, batch_format="pyarrow",
+                         zero_copy_batch=True).repartition(num_partitions)
+    p = base.map_batches(probe, batch_format="pyarrow",
+                         zero_copy_batch=True).repartition(num_partitions)
+    joined = h.join(p, join_type="inner", num_partitions=num_partitions,
+                    on=("bk",))
+
+    def filt(t: pa.Table) -> pa.Table:
+        ea = t["event_a"].to_numpy(zero_copy_only=False)
+        eb = t["event_b"].to_numpy(zero_copy_only=False)
+        dt = np.abs(t["us_a"].to_numpy(zero_copy_only=False)
+                    - t["us_b"].to_numpy(zero_copy_only=False))
+        dx = t["x_a"].to_numpy(zero_copy_only=False) - t["x_b"].to_numpy(
+            zero_copy_only=False)
+        dy = t["y_a"].to_numpy(zero_copy_only=False) - t["y_b"].to_numpy(
+            zero_copy_only=False)
+        d2 = dx * dx + dy * dy
+        keep = (
+            (ea < eb)
+            & (t["user_a"].to_numpy(zero_copy_only=False)
+               != t["user_b"].to_numpy(zero_copy_only=False))
+            & (dt <= window_us) & (d2 <= eps2)
+        )
+        return pa.table({
+            "event_a": ea[keep], "event_b": eb[keep],
+            "d2": d2[keep], "dt_us": dt[keep],
+        })
+
+    return joined.map_batches(filt, batch_format="pyarrow",
+                              zero_copy_batch=True)

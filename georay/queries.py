@@ -6724,6 +6724,57 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+ST_EPS = 45_000            # milli-degree grid units
+ST_WINDOW_US = 21_600_000_000  # 6 hours
+
+
+def q_spatiotemporal_pairs(sf_dir: str):
+    """Spatiotemporal contact join: event pairs from DIFFERENT users
+    within 45k grid units AND 6 hours (ops.trajectory.spatiotemporal_pairs
+    — 3-D (x, y, t) bucketing, probe side expanded to the 27-cell
+    neighborhood, ONE hash join, report-once from the smaller id's unique
+    home bucket so no dedup shuffle exists). SQL twin: DuckDB IEJoin on
+    the raw inequality predicate."""
+    from georay.ops import trajectory as traj
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "us": pa.array(us),
+            "xi": pa.array((eid * HASH_LON) % 360000),
+            "yi": pa.array((eid * HASH_LAT) % 180000),
+        })
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return traj.spatiotemporal_pairs(
+        pts, "event_id", "user_id", "us", "xi", "yi",
+        eps=ST_EPS, window_us=ST_WINDOW_US,
+    )
+
+
+SQL_SPATIOTEMPORAL_PAIRS = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         (event_id * {HASH_LON}) % 360000 AS xi,
+         (event_id * {HASH_LAT}) % 180000 AS yi
+  FROM events)
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       (a.xi - b.xi) * (a.xi - b.xi)
+     + (a.yi - b.yi) * (a.yi - b.yi) AS d2,
+       abs(a.us - b.us) AS dt_us
+FROM p a JOIN p b
+  ON a.event_id < b.event_id AND a.user_id <> b.user_id
+ AND abs(a.us - b.us) <= {ST_WINDOW_US}
+ AND (a.xi - b.xi) * (a.xi - b.xi)
+   + (a.yi - b.yi) * (a.yi - b.yi) <= {ST_EPS * ST_EPS}
+"""
+
+
 STAY_EPS = 80_000  # milli-degree grid units (~22% of legs are slow)
 
 
@@ -8678,6 +8729,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
         "containment_join": (q_containment_join, SQL_CONTAINMENT_JOIN),
         "stay_points": (q_stay_points, SQL_STAY_POINTS),
+        "spatiotemporal_pairs": (q_spatiotemporal_pairs,
+                                 SQL_SPATIOTEMPORAL_PAIRS),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

@@ -1348,3 +1348,39 @@ def test_stay_points_matches_brute(ray_session):
                 i = j + 1
             i += 1
     assert want and got == want
+
+
+def test_spatiotemporal_pairs_matches_brute(ray_session):
+    """3-D bucketed contact join vs the O(n^2) replica: pairs exactly at
+    the eps / window boundary, same-user exclusion, report-once (no dup
+    rows)."""
+    import ray
+
+    from georay.ops import trajectory as traj
+
+    rng = np.random.RandomState(13)
+    n = 300
+    eid = np.arange(n, dtype=np.int64)
+    uid = rng.randint(0, 6, size=n).astype(np.int64)
+    us = rng.randint(0, 5_000, size=n).astype(np.int64) * 1_000_000
+    x = rng.randint(0, 2_000, size=n).astype(np.int64)
+    y = rng.randint(0, 2_000, size=n).astype(np.int64)
+    eps, w = 300, 600_000_000
+    out = traj.spatiotemporal_pairs(
+        ray.data.from_arrow(pa.table({
+            "eid": eid, "uid": uid, "us": us, "x": x, "y": y,
+        })).repartition(4),
+        "eid", "uid", "us", "x", "y", eps=eps, window_us=w,
+        num_partitions=4,
+    ).to_pandas()
+    assert not out.duplicated(["event_a", "event_b"]).any()
+    got = set(map(tuple, out[["event_a", "event_b"]]
+                  .itertuples(index=False)))
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    dt = np.abs(us[:, None] - us[None, :])
+    a_i, b_i = np.nonzero(
+        (d2 <= eps * eps) & (dt <= w) & (uid[:, None] != uid[None, :])
+        & (eid[:, None] < eid[None, :])
+    )
+    want = set(zip(a_i.tolist(), b_i.tolist()))
+    assert want and got == want
