@@ -1165,3 +1165,44 @@ def knn_classify(ds, query_ids: np.ndarray, query_mat: np.ndarray,
         .groupby("_bucket")
         .map_groups(argmax_bucket, batch_format="pandas")
     )
+
+
+def rrf_fuse(rankings, k: int = 10, c: int = 60,
+             scale: int = 1_000_000_000, num_partitions: int = 8):
+    """Reciprocal-rank fusion (Cormack et al.) of N per-query rankings:
+    fused score = Σ_rankers ⌊scale / (c + rank)⌋ — the floor makes every
+    term int64, so the fused sum is exact under any combine order and the
+    final ranking bit-matches SQL. Inputs: Datasets with ``query_id,
+    neighbor_id, rank`` (rank 1-based). Plan: per-ranker term map → union
+    → one (query, neighbor) Sum groupby → bucketized per-query top-k
+    (ops.rank.grouped_topk — no per-query Python call).
+
+    Output: ``query_id, neighbor_id, rrf_score, fused_rank`` (1..k,
+    ties broken by neighbor_id ascending).
+    """
+    from ray.data.aggregate import Sum
+
+    from georay.ops.rank import grouped_topk
+
+    def to_term(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "query_id": t["query_id"].cast(pa.int64()),
+            "neighbor_id": t["neighbor_id"].cast(pa.int64()),
+            "t": np.int64(scale) // (np.int64(c) + r),
+        })
+
+    terms = [r.map_batches(to_term, batch_format="pyarrow")
+             for r in rankings]
+    u = terms[0]
+    for t in terms[1:]:
+        u = u.union(t)
+    fused = (
+        u.repartition(num_partitions)
+        .groupby(["query_id", "neighbor_id"])
+        .aggregate(Sum("t", alias_name="rrf_score"))
+        .repartition(num_partitions)  # merge schema-less empty blocks
+    )
+    return grouped_topk(fused, ["query_id"],
+                        ["rrf_score", "neighbor_id"], [False, True],
+                        k=k, rank_col="fused_rank")

@@ -6724,6 +6724,156 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_corr_qty_discount(sf_dir: str):
+    """Pearson correlation of quantity vs discount-pct per return flag —
+    the five moment sums (n, Σx, Σy, Σxx, Σyy, Σxy) are int64-exact
+    two-phase partials, so only ONE float expression runs at the end:
+    num/(sqrt(dx)·sqrt(dy)) with identical association order in numpy and
+    SQL (moran_i discipline)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = np.asarray(t["l_returnflag"].to_pylist())
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.round(t["l_discount"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        u, inv = np.unique(flag, return_inverse=True)
+        cols = {}
+        for nm, v in (("p_n", np.ones_like(x)), ("p_sx", x), ("p_sy", y),
+                      ("p_sxx", x * x), ("p_syy", y * y), ("p_sxy", x * y)):
+            acc = np.zeros(u.size, np.int64)
+            np.add.at(acc, inv, v)
+            cols[nm] = acc
+        return pa.table({"l_returnflag": pa.array(u, pa.string()), **cols})
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(f"p_{c}", alias_name=c)
+                     for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    ).to_pandas()  # bounded: one row per return flag
+
+    n = agg["n"].astype("int64")
+    num = n * agg["sxy"] - agg["sx"] * agg["sy"]
+    dx = n * agg["sxx"] - agg["sx"] ** 2
+    dy = n * agg["syy"] - agg["sy"] ** 2
+    corr = [float(a) / (math.sqrt(float(b)) * math.sqrt(float(c)))
+            for a, b, c in zip(num, dx, dy)]
+    return pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"], "n": n,
+        "num": num.astype("int64"), "dx": dx.astype("int64"),
+        "dy": dy.astype("int64"), "corr": corr,
+    }).sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_CORR_QTY_DISCOUNT = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                  * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS syy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS sxy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+       CAST(n * syy - sy * sy AS BIGINT) AS dy,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+FROM m
+"""
+
+
+RRF_K = 10
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two retrieval rankings per query — exact
+    cosine top-10 fused with SQ8 integer-quantized top-10
+    (ops.similarity.rrf_fuse — integer ⌊1e9/(60+rank)⌋ terms, one Sum
+    groupby, bucketized per-query top-k). The hybrid-retrieval staple,
+    bit-exact end to end."""
+    from georay.ops import similarity as sim
+
+    q_table = _read_table(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding"])
+    mask = (q_table["vec_id"].to_numpy() % 10) == 0
+    q_ids = q_table["vec_id"].to_numpy()[mask]
+    q_mat = sim.emb_matrix(q_table["embedding"])[mask]
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cos = sim.brute_topk(emb, q_ids, q_mat, k=RRF_K).select_columns(
+        ["query_id", "neighbor_id", "rank"])
+    sq8 = sim.sq8_topk(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        query_mask_mod=10, k=RRF_K,
+    ).select_columns(["query_id", "neighbor_id", "rank"])
+    return sim.rrf_fuse([cos, sq8], k=RRF_K)
+
+
+SQL_RRF_FUSION = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+cosr AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+               DESC, e.vec_id) AS BIGINT) AS rank
+    FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+  ) WHERE rank <= {RRF_K}),
+ex AS (SELECT vec_id, unnest(embedding) AS v,
+              unnest(range(len(embedding))) AS dim
+       FROM embeddings),
+r AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+qt AS (SELECT vec_id, dim,
+         CASE WHEN mx > mn THEN
+           LEAST(GREATEST(CAST(FLOOR((CAST(v AS DOUBLE) - mn) * 255.0
+                                     / (CAST(mx AS DOUBLE) - mn)) AS BIGINT),
+                          0), 255)
+         ELSE 0 END AS qv
+       FROM ex JOIN r USING (dim)),
+s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(SUM(a.qv * b.qv) AS BIGINT) AS score
+      FROM qt a JOIN qt b ON a.dim = b.dim AND b.vec_id <> a.vec_id
+      WHERE a.vec_id % 10 = 0
+      GROUP BY 1, 2),
+sqr AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id)
+             AS BIGINT) AS rank
+    FROM s) WHERE rank <= {RRF_K}),
+u AS (SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS t
+      FROM cosr
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000000 // (60 + rank) FROM sqr),
+f AS (SELECT query_id, neighbor_id, CAST(SUM(t) AS BIGINT) AS rrf_score
+      FROM u GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rrf_score, fused_rank FROM (
+  SELECT f.*, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id)
+    AS BIGINT) AS fused_rank
+  FROM f)
+WHERE fused_rank <= {RRF_K}
+"""
+
+
 ST_EPS = 45_000            # milli-degree grid units
 ST_WINDOW_US = 21_600_000_000  # 6 hours
 
@@ -8731,6 +8881,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "stay_points": (q_stay_points, SQL_STAY_POINTS),
         "spatiotemporal_pairs": (q_spatiotemporal_pairs,
                                  SQL_SPATIOTEMPORAL_PAIRS),
+        "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
+        "corr_qty_discount": (q_corr_qty_discount, SQL_CORR_QTY_DISCOUNT),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
