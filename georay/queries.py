@@ -6724,6 +6724,223 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_hits_suppliers(sf_dir: str):
+    """HITS hubs-and-authorities, two UNROLLED iterations over the
+    bipartite customer→supplier purchase graph (distinct edges from
+    orders ⋈ lineitem): auth₁ = in-degree, hub₁ = Σ auth₁ over a
+    customer's suppliers, auth₂ = Σ hub₁ — all integer, no normalization,
+    so every value is exact and the SQL twin unrolls the same two rounds
+    (kmeans/pagerank discipline). Plan: ONE fact-fact hash join builds
+    edges (batch-local dedup first), auth₁ broadcasts (supplier-sized),
+    hub₁ stays distributed and hash-joins back (customer-sized — the big
+    side never collects)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from georay.runtime import per_process
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def li_dedup(t: pa.Table) -> pa.Table:
+        out = t.group_by(["l_orderkey", "l_suppkey"]).aggregate([])
+        return out.rename_columns(["o_orderkey", "s"])
+
+    pairs = li.map_batches(li_dedup, batch_format="pyarrow",
+                           zero_copy_batch=True).repartition(8)
+    joined = pairs.join(orders.repartition(8), join_type="inner",
+                        num_partitions=8, on=("o_orderkey",))
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": t["o_custkey"], "s": t["s"],
+        }).group_by(["c", "s"]).aggregate([])
+
+    edges = (
+        joined.map_batches(edge_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["c", "s"])
+        .aggregate(Count(alias_name="_d"))  # global distinct
+        .select_columns(["c", "s"])
+        .repartition(8)
+    )
+
+    a1 = (
+        edges.map_batches(
+            lambda t: t.group_by("s").aggregate([("s", "count")]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .groupby("s")
+        .aggregate(Sum("s_count", alias_name="auth1"))
+    ).to_pandas()  # supplier-sized: the designated small side
+    sk = a1["s"].to_numpy().astype(np.int64)
+    so = np.argsort(sk, kind="quicksort")
+    a1_ref = ray.put((sk[so], a1["auth1"].to_numpy().astype(np.int64)[so]))
+    a1_key = a1_ref.hex() + "-hits-a1"
+
+    def hub_partial(t: pa.Table) -> pa.Table:
+        keys, vals = per_process(a1_key, lambda: ray.get(a1_ref))
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = vals[np.searchsorted(keys, s)]
+        u, inv = np.unique(c, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, a)
+        return pa.table({"c": u, "p_h": acc})
+
+    h1 = (
+        edges.map_batches(hub_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .repartition(8)
+        .groupby("c")
+        .aggregate(Sum("p_h", alias_name="hub1"))
+        .repartition(8)
+    )
+
+    ej = edges.join(h1, join_type="inner", num_partitions=8, on=("c",))
+
+    def a2_partial(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["hub1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(s, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, h)
+        return pa.table({"s": u, "p_a": acc})
+
+    a2 = (
+        ej.map_batches(a2_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(4)
+        .groupby("s")
+        .aggregate(Sum("p_a", alias_name="auth2"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        keys, vals = per_process(a1_key, lambda: ray.get(a1_ref))
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "s_suppkey": s,
+            "auth1": vals[np.searchsorted(keys, s)],
+            "auth2": t["auth2"],
+        })
+
+    return a2.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_HITS_SUPPLIERS = """
+WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+a1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS auth1 FROM e GROUP BY 1),
+h1 AS (SELECT c, CAST(SUM(auth1) AS BIGINT) AS hub1
+       FROM e JOIN a1 USING (s) GROUP BY 1),
+a2 AS (SELECT s, CAST(SUM(hub1) AS BIGINT) AS auth2
+       FROM e JOIN h1 USING (c) GROUP BY 1)
+SELECT a1.s AS s_suppkey, auth1, auth2
+FROM a1 JOIN a2 ON a2.s = a1.s
+"""
+
+
+def q_iqr_outliers(sf_dir: str):
+    """Tukey-fence outliers per order priority: orders whose exact
+    integer REVENUE (Σ cents·(100−pct) over lineitems — sums of uniforms,
+    so the distribution has real tails, unlike the uniform totalprice)
+    falls 1.5·IQR outside [q25, q75]. Quartiles come from the
+    distributed-histogram quantile op (bit-matches quantile_disc),
+    broadcast to a vectorized integer filter (2·dev > 3·IQR cross-
+    multiplies the 1.5 away, so no float ever decides membership).
+    Output: the flagged orders with side −1 (low) / +1 (high)."""
+    from ray.data.aggregate import Sum
+
+    from georay.ops import sketch as sketch_ops
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents_v = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        pct = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents_v * (100 - pct)
+        u, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({"o_orderkey": u, "p_rev": acc})
+
+    rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(8)
+        .groupby("o_orderkey")
+        .aggregate(Sum("p_rev", alias_name="cents"))
+        .repartition(8)  # merge blocks pre-join (CLAUDE.md invariant)
+    )
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]).repartition(8)
+    oc = rev.join(orders, join_type="inner", num_partitions=8,
+                  on=("o_orderkey",))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "pri": t["o_orderpriority"],
+            "cents": t["cents"],
+        })
+
+    oc = oc.map_batches(rename, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    qdf = sketch_ops.grouped_quantiles(
+        oc.select_columns(["pri", "cents"]), "pri", "cents",
+        qs=(0.25, 0.75),
+    ).to_pandas()  # bounded: one row per priority
+    pri_keys = qdf["pri"].to_numpy()
+    order = np.argsort(pri_keys, kind="quicksort")
+    pri_keys = pri_keys[order]
+    q25 = qdf["p25"].to_numpy()[order].astype(np.int64)
+    q75 = qdf["p75"].to_numpy()[order].astype(np.int64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        pri = np.asarray(t["pri"].to_pylist())
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pri_keys, pri)
+        lo, hi = q25[pos], q75[pos]
+        iqr = hi - lo
+        low = 2 * (lo - c) > 3 * iqr
+        high = 2 * (c - hi) > 3 * iqr
+        keep = low | high
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+            "pri": t["pri"].filter(pa.array(keep)),
+            "cents": c[keep],
+            "side": np.where(low[keep], np.int64(-1), np.int64(1)),
+        })
+
+    return oc.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_IQR_OUTLIERS = """
+WITH rev AS (SELECT l_orderkey,
+                    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l_discount * 100)
+                                           AS BIGINT))) AS BIGINT) AS cents
+             FROM lineitem GROUP BY 1),
+oc AS (SELECT o_orderkey, o_orderpriority AS pri, cents
+       FROM orders JOIN rev ON l_orderkey = o_orderkey),
+q AS (SELECT pri,
+             CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q25,
+             CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q75
+      FROM oc GROUP BY 1)
+SELECT o_orderkey, oc.pri, cents,
+       CAST(CASE WHEN 2 * (q25 - cents) > 3 * (q75 - q25) THEN -1
+                 ELSE 1 END AS BIGINT) AS side
+FROM oc JOIN q ON q.pri = oc.pri
+WHERE 2 * (q25 - cents) > 3 * (q75 - q25)
+   OR 2 * (cents - q75) > 3 * (q75 - q25)
+"""
+
+
 def q_corr_qty_discount(sf_dir: str):
     """Pearson correlation of quantity vs discount-pct per return flag —
     the five moment sums (n, Σx, Σy, Σxx, Σyy, Σxy) are int64-exact
@@ -8883,6 +9100,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
                                  SQL_SPATIOTEMPORAL_PAIRS),
         "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
         "corr_qty_discount": (q_corr_qty_discount, SQL_CORR_QTY_DISCOUNT),
+        "iqr_outliers": (q_iqr_outliers, SQL_IQR_OUTLIERS),
+        "hits_suppliers": (q_hits_suppliers, SQL_HITS_SUPPLIERS),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
