@@ -1134,3 +1134,86 @@ def accessibility_2sfca(demand_ds, supply_table: pa.Table, bits: int,
         .aggregate(Sum("p_acc", alias_name="access_scaled"),
                    Sum("p_n", alias_name="n_fac"))
     )
+
+
+def huff_shares(demand_ds, supply_table: pa.Table, bits: int, radius: float,
+                demand_id: str, supply_id: str, cap_col: str,
+                scale: int = 1_000_000, share_scale: int = 1_000_000,
+                combine_partitions: int = 8, num_partitions: int = 8):
+    """Huff gravity-model market shares: each demand point splits its
+    patronage over the supply sites within ``radius`` proportionally to
+    ``w_j = ⌊scale·cap_j / (1 + d²)⌋`` (capacity over squared distance;
+    the +1 kills the d→0 singularity and the floor makes w int64, so
+    every downstream sum is order-independent). Choose
+    ``scale > 1 + radius²`` so w ≥ 1 and the per-demand denominator can
+    never be zero.
+
+    The structural complement of :func:`accessibility_2sfca`: there the
+    denominator is per-SUPPLY (small side — driver-collected and
+    broadcast); here it is per-DEMAND (big side), so it stays a Dataset
+    and hash-joins back to the pair stream. The zero-shuffle broadcast
+    ring join is recomputed for the second pass rather than materialized
+    (same trade as 2SFCA: at scale the pair set dwarfs both inputs).
+
+    Output: ``demand_id, supply_id, w, share_scaled`` with
+    ``share_scaled = ⌊share_scale·w / Σ_k w_k⌋``.
+    """
+    from ray.data.aggregate import Sum
+
+    pairs = dwithin_ring(
+        demand_ds, supply_table, bits, radius,
+        query_cols=[demand_id], ref_id=supply_id,
+    )
+    cap_keys = supply_table[supply_id].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    caps = supply_table[cap_col].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.argsort(cap_keys, kind="quicksort")
+    cap_keys, caps = cap_keys[order], caps[order]
+
+    def weigh(t: pa.Table) -> pa.Table:
+        sid = t[supply_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = t["dist2"].to_numpy(zero_copy_only=False)
+        cap = caps[np.searchsorted(cap_keys, sid)]
+        w = np.floor((np.int64(scale) * cap).astype(np.float64)
+                     / (1.0 + d2)).astype(np.int64)
+        return pa.table({demand_id: t[demand_id], supply_id: pa.array(sid),
+                         "w": w})
+
+    weighted = pairs.map_batches(weigh, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def den_partial(t: pa.Table) -> pa.Table:
+        did = t[demand_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(did, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, w)
+        return pa.table({demand_id: u, "p_den": acc})
+
+    den = (
+        weighted.map_batches(den_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(demand_id)
+        .aggregate(Sum("p_den", alias_name="den"))
+        .repartition(num_partitions)  # schema-less empty-block guard
+    )
+
+    # second pass over the recomputed pair stream, big-side hash join
+    joined = weighted.repartition(num_partitions).join(
+        den, join_type="inner", num_partitions=num_partitions,
+        on=(demand_id,),
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["den"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            demand_id: t[demand_id], supply_id: t[supply_id],
+            "w": pa.array(w),
+            "share_scaled": (np.int64(share_scale) * w) // d,
+        })
+
+    return joined.map_batches(share, batch_format="pyarrow",
+                              zero_copy_batch=True)

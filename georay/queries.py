@@ -6724,6 +6724,58 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+HUFF_SCALE = 1_000_000
+HUFF_SHARE_SCALE = 1_000_000
+HUFF_RADIUS = 8.0  # degrees (== ACCESS_RADIUS, defined later in-file)
+
+
+def q_huff_shares(sf_dir: str):
+    """Huff gravity-model market shares: each customer splits patronage
+    over suppliers within 8° proportionally to ⌊scale·cap/(1+d²)⌋
+    (ops.knn.huff_shares — the per-DEMAND denominator is big-side, so it
+    stays a Dataset and hash-joins back to the recomputed pair stream:
+    the structural complement of 2SFCA's broadcast small-side
+    denominator). All-integer shares."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    supp = _small_points(
+        _read_table(sf_dir, "supplier", columns=["s_suppkey"]),
+        "s_suppkey", BITS_JOIN,
+    )
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    supp = supp.append_column("cap", pa.array(sk % 20 + 1))
+    return knn_ops.huff_shares(
+        cust, supp, bits=BITS_JOIN, radius=ACCESS_RADIUS,
+        demand_id="c_custkey", supply_id="s_suppkey", cap_col="cap",
+        scale=HUFF_SCALE, share_scale=HUFF_SHARE_SCALE,
+    )
+
+
+SQL_HUFF_SHARES = f"""
+WITH c AS ({{c_cte}}),
+     s AS ({{s_cte}}),
+pairs AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         CAST(FLOOR(CAST({HUFF_SCALE} * s.cap AS DOUBLE)
+                    / (1.0 + (c.lon - s.lon) * (c.lon - s.lon)
+                           + (c.lat - s.lat) * (c.lat - s.lat)))
+           AS BIGINT) AS w
+  FROM c JOIN s
+    ON (c.lon - s.lon) * (c.lon - s.lon)
+     + (c.lat - s.lat) * (c.lat - s.lat)
+       <= {HUFF_RADIUS} * {HUFF_RADIUS}),
+den AS (SELECT c_custkey, CAST(SUM(w) AS BIGINT) AS den
+        FROM pairs GROUP BY 1)
+SELECT p.c_custkey, p.s_suppkey, w,
+       (CAST({HUFF_SHARE_SCALE} AS BIGINT) * w) // d.den AS share_scaled
+FROM pairs p JOIN den d USING (c_custkey)
+""".format(
+    c_cte=_sql_point_cte("customer", "c_custkey", BITS_JOIN),
+    s_cte=_sql_point_cte("supplier", "s_suppkey", BITS_JOIN,
+                         extra_cols=", s_suppkey % 20 + 1 AS cap"),
+)
+
+
 def q_hits_suppliers(sf_dir: str):
     """HITS hubs-and-authorities, two UNROLLED iterations over the
     bipartite customer→supplier purchase graph (distinct edges from
@@ -9102,6 +9154,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "corr_qty_discount": (q_corr_qty_discount, SQL_CORR_QTY_DISCOUNT),
         "iqr_outliers": (q_iqr_outliers, SQL_IQR_OUTLIERS),
         "hits_suppliers": (q_hits_suppliers, SQL_HITS_SUPPLIERS),
+        "huff_shares": (q_huff_shares, SQL_HUFF_SHARES),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
