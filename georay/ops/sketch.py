@@ -771,3 +771,61 @@ def grouped_median2(ds, group_col: str, value_col: str,
             schema=out_schema)
 
     return hist.groupby(group_col).map_groups(finalize, batch_format="pandas")
+
+
+def ks2_statistic(ds, value_col: str, flag_col: str,
+                  combine_partitions: int = 2):
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of flag 1 vs flag 2 rows — INTEGER-EXACT: the statistic
+    D = max_v |F₁(v) − F₂(v)| is cross-multiplied to
+    ``ks_num = max |n₂·cum₁(v) − n₁·cum₂(v)|`` (tie → smallest v), so no
+    float CDF ever compares; callers divide by ``ks_den = n₁·n₂``. The
+    drift / shard-skew detector for curation pipelines.
+
+    Plan: one two-phase (value, flag) histogram — bounded-distinct
+    contract as :func:`grouped_quantiles` (pre-bin continuous values) —
+    then a driver-side cumulative pass over the ≤|distinct| histogram
+    rows. Input: ``value_col`` int64, ``flag_col`` ∈ {1, 2}.
+
+    Output (one row): ``n1, n2, ks_num, ks_den, arg_value, ks``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t[flag_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pack = v * 2 + (f - 1)
+        u, n = np.unique(pack, return_counts=True)
+        return pa.table({"val": u >> 1, "flag": u % 2,
+                         "p_n": n.astype(np.int64)})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(["val", "flag"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded by distinct binned values
+
+    val = hist["val"].to_numpy()
+    flg = hist["flag"].to_numpy()
+    n = hist["n"].to_numpy()
+    order = np.argsort(val * 2 + flg, kind="quicksort")
+    val, flg, n = val[order], flg[order], n[order]
+    uvals = np.unique(val)
+    c1 = np.zeros(uvals.size, np.int64)
+    c2 = np.zeros(uvals.size, np.int64)
+    pos = np.searchsorted(uvals, val)
+    np.add.at(c1, pos[flg == 0], n[flg == 0])
+    np.add.at(c2, pos[flg == 1], n[flg == 1])
+    cum1, cum2 = np.cumsum(c1), np.cumsum(c2)
+    n1, n2 = int(cum1[-1]), int(cum2[-1])
+    dev = np.abs(n2 * cum1 - n1 * cum2)
+    i = int(np.argmax(dev))  # first max = smallest value on ties
+    return pd.DataFrame({
+        "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+        "ks_num": [np.int64(dev[i])],
+        "ks_den": [np.int64(n1) * np.int64(n2)],
+        "arg_value": [np.int64(uvals[i])],
+        "ks": [float(dev[i]) / float(n1 * n2)],
+    })

@@ -6724,6 +6724,59 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_ks_drift(sf_dir: str):
+    """Two-sample KS drift statistic between the order-value (whole
+    dollars) distributions of URGENT vs LOW priority orders —
+    ops.sketch.ks2_statistic: cross-multiplied integer CDF deviation
+    max|n₂·cum₁ − n₁·cum₂| with smallest-value tiebreak, ONE float
+    division at the end. SQL twin: window cumsums + ROW_NUMBER argmax."""
+    from georay.ops import sketch as sketch_ops
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        pri = np.asarray(t["o_orderpriority"].to_pylist())
+        keep = (pri == "1-URGENT") | (pri == "5-LOW")
+        dollars = (np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64) // 10_000)
+        return pa.table({
+            "val": dollars[keep],  # $100 bins: bounded distinct values
+            "flag": np.where(pri[keep] == "1-URGENT", np.int64(1),
+                             np.int64(2)),
+        })
+
+    binned = orders.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return sketch_ops.ks2_statistic(binned, "val", "flag")
+
+
+SQL_KS_DRIFT = """
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000 AS val,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+h AS (SELECT val,
+             CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (g = 2) AS BIGINT) AS c2
+      FROM v GROUP BY 1),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM h),
+w AS (SELECT val,
+             CAST(SUM(c1) OVER (ORDER BY val) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY val) AS BIGINT) AS cum2
+      FROM h),
+d AS (SELECT val, abs(n2 * cum1 - n1 * cum2) AS dev
+      FROM w CROSS JOIN t)
+SELECT n1, n2, CAST(dev AS BIGINT) AS ks_num,
+       CAST(n1 * n2 AS BIGINT) AS ks_den,
+       val AS arg_value,
+       CAST(dev AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
+FROM d CROSS JOIN t
+QUALIFY ROW_NUMBER() OVER (ORDER BY dev DESC, val) = 1
+"""
+
+
 HUFF_SCALE = 1_000_000
 HUFF_SHARE_SCALE = 1_000_000
 HUFF_RADIUS = 8.0  # degrees (== ACCESS_RADIUS, defined later in-file)
@@ -9155,6 +9208,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "iqr_outliers": (q_iqr_outliers, SQL_IQR_OUTLIERS),
         "hits_suppliers": (q_hits_suppliers, SQL_HITS_SUPPLIERS),
         "huff_shares": (q_huff_shares, SQL_HUFF_SHARES),
+        "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

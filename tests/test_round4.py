@@ -1384,3 +1384,30 @@ def test_spatiotemporal_pairs_matches_brute(ray_session):
     )
     want = set(zip(a_i.tolist(), b_i.tolist()))
     assert want and got == want
+
+
+def test_ks2_statistic_matches_scipy_free_brute(ray_session):
+    """Integer KS vs a direct two-CDF replica on skewed synthetic
+    samples, including values present in only one sample."""
+    import ray
+
+    from georay.ops import sketch as sketch_ops
+
+    rng = np.random.RandomState(21)
+    v1 = rng.randint(0, 40, size=400)
+    v2 = np.minimum(rng.randint(0, 40, size=300) + rng.randint(0, 6, 300), 45)
+    val = np.concatenate([v1, v2]).astype(np.int64)
+    flag = np.concatenate([np.ones(v1.size), np.full(v2.size, 2)]).astype(np.int64)
+    out = sketch_ops.ks2_statistic(
+        ray.data.from_arrow(pa.table({"v": val, "f": flag})).repartition(4),
+        "v", "f",
+    ).iloc[0]
+    uv = np.unique(val)
+    c1 = np.array([(v1 <= u).sum() for u in uv], np.int64)
+    c2 = np.array([(v2 <= u).sum() for u in uv], np.int64)
+    dev = np.abs(v2.size * c1 - v1.size * c2)
+    i = int(np.argmax(dev))
+    assert (out["n1"], out["n2"]) == (v1.size, v2.size)
+    assert out["ks_num"] == dev[i]
+    assert out["arg_value"] == uv[i]
+    assert out["ks"] == dev[i] / (v1.size * v2.size)
