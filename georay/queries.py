@@ -2434,6 +2434,54 @@ FROM r GROUP BY a
 """
 
 
+def q_leakage_split(sf_dir: str):
+    """Leakage-free train/val/test split (80/10/10): docs are split by
+    hashing their near-dup CLUSTER id, not their own id, so every member
+    of a duplicate cluster lands in the same split — the curation
+    correctness rule that stops eval contamination. Composition: MinHash
+    pairs → distributed connected components (same plan as
+    neardup_clusters) → splitmix64(cluster_id) % 10 → split ∈ {0,1,2}.
+    The SQL twin replays the recursive-CTE closure + the shared bit-exact
+    splitmix64."""
+    from georay.ops import cluster as cluster_ops
+    from georay.ops import minhash as mh
+    from georay.ops.sketch import splitmix64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs_table = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = mh.near_dup_pairs(
+        docs, docs_table, n_hashes=64, n_bands=16, shingle_k=5, threshold=0.7
+    )
+    out = cluster_ops.dedup_clusters(docs, pairs, id_col="doc_id",
+                                     num_partitions=4)
+
+    def split(t: pa.Table) -> pa.Table:
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(cid.view(np.uint64)) % np.uint64(10)
+        sp = np.where(h < 8, np.int64(0),
+                      np.where(h == 8, np.int64(1), np.int64(2)))
+        return pa.table({"doc_id": t["doc_id"],
+                         "cluster_id": t["cluster_id"], "split": sp})
+
+    return out.map_batches(split, batch_format="pyarrow")
+
+
+SQL_LEAKAGE_SPLIT = SQL_NEARDUP_CLUSTERS.replace(
+    """)
+SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN MIN(b) = a THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+FROM r GROUP BY a
+""",
+    """),
+cl AS (SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+       FROM r GROUP BY a)
+SELECT doc_id, cluster_id,
+       CAST(CASE WHEN hu % 10 < 8 THEN 0
+                 WHEN hu % 10 = 8 THEN 1 ELSE 2 END AS BIGINT) AS split
+FROM {sub}
+""".format(sub=sketch_sql_subquery("cl", "cluster_id", out="hu")))
+
+
 def q_embed_neardup(sf_dir: str):
     """Exact embedding near-dup pairs at cosine ≥ 0.45 (brute broadcast
     path; the LSH-bucketed variant is the rows-only scale path below)."""
@@ -9209,6 +9257,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "hits_suppliers": (q_hits_suppliers, SQL_HITS_SUPPLIERS),
         "huff_shares": (q_huff_shares, SQL_HUFF_SHARES),
         "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+        "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
