@@ -829,3 +829,48 @@ def ks2_statistic(ds, value_col: str, flag_col: str,
         "arg_value": [np.int64(uvals[i])],
         "ks": [float(dev[i]) / float(n1 * n2)],
     })
+
+
+def hll_registers_by(ds, group_col: str, col: str, p: int = 8,
+                     combine_partitions: int = 4):
+    """Per-GROUP HyperLogLog sketches — :func:`hll_registers` partitioned
+    by a key column (tile, shard, tenant): one (group, register, max rank)
+    row per observed pair; max-merge is idempotent so duplicate keys cost
+    nothing and the exchange is O(groups × 2^p × batches) regardless of
+    row count. Group ids must fit 2^(63-p) (packed with the register for
+    the batch-local combine). Register CONTENTS are the output — the same
+    oracle-comparable contract as the global sketch.
+
+    Output: ``group_col, register, max_rank``.
+    """
+    from ray.data.aggregate import Max
+
+    from georay.ops.pairs import popcount64
+
+    wbits = np.uint64(64 - p)
+    wmask = np.uint64((1 << (64 - p)) - 1)
+    m = np.int64(1 << p)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(t[col].to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64))
+        reg = (h >> wbits).astype(np.int64)
+        w = h & wmask
+        with np.errstate(over="ignore"):
+            rank = np.where(
+                w == 0, np.int64(64 - p + 1), popcount64(w ^ (w - _U(1)))
+            ).astype(np.int64)
+        pack = g * m + reg
+        u, inv = np.unique(pack, return_inverse=True)
+        mx = np.zeros(u.size, dtype=np.int64)
+        np.maximum.at(mx, inv, rank)
+        return pa.table({group_col: u // m, "register": u % m,
+                         "p_rank": mx})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby([group_col, "register"])
+        .aggregate(Max("p_rank", alias_name="max_rank"))
+    )

@@ -6772,6 +6772,51 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_hll_tile_users(sf_dir: str):
+    """Per-TILE HyperLogLog distinct-user sketches — the sketch family
+    partitioned by a spatial key (ops.sketch.hll_registers_by): events
+    map to 32×32 tiles via their synthetic capture points, and each
+    tile's register contents merge with an idempotent max, so the
+    exchange is O(tiles × 256 × batches) no matter how many events flow.
+    Oracle compares REGISTER CONTENTS per tile via the shared bit-exact
+    splitmix64."""
+    from georay.ops import sketch as sketch_ops
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        xi = (eid * HASH_LON) % 360000
+        yi = (eid * HASH_LAT) % 180000
+        return pa.table({
+            "tile": (xi // 11250) * 32 + yi // 5625,
+            "user_id": t["user_id"],
+        })
+
+    tiles_ds = ev.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return sketch_ops.hll_registers_by(tiles_ds, "tile", "user_id", p=8)
+
+
+SQL_HLL_TILE_USERS = f"""
+WITH b AS (
+  SELECT (((event_id * {HASH_LON}) % 360000) // 11250) * 32
+         + ((event_id * {HASH_LAT}) % 180000) // 5625 AS tile,
+         user_id
+  FROM events),
+h AS (SELECT tile, hu FROM {sketch_sql_subquery('b', 'user_id')}),
+r AS (SELECT tile, CAST(hu >> 56 AS BIGINT) AS register,
+             hu % CAST({1 << 56} AS UBIGINT) AS w FROM h)
+SELECT tile, register,
+       MAX(CASE WHEN w = 0 THEN 57
+           ELSE CAST(bit_count(xor(w,
+                CAST((CAST(w AS HUGEINT) + {(1 << 56) - 1}) % {1 << 56}
+                     AS UBIGINT)
+           )) AS BIGINT) END) AS max_rank
+FROM r GROUP BY tile, register
+"""
+
+
 def q_ks_drift(sf_dir: str):
     """Two-sample KS drift statistic between the order-value (whole
     dollars) distributions of URGENT vs LOW priority orders —
@@ -9258,6 +9303,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "huff_shares": (q_huff_shares, SQL_HUFF_SHARES),
         "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
         "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
+        "hll_tile_users": (q_hll_tile_users, SQL_HLL_TILE_USERS),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
