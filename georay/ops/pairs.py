@@ -154,3 +154,121 @@ def bucket_pairs(
     ids = np.sort(ids)
     ia, ib = bucket_pair_indices(ids.size, max_bucket, label, log_prefix)
     return ids[ia], ids[ib]
+
+
+def frequent_pairs(ds, basket_col: str, item_col: str, min_support: int,
+                   num_buckets: int = 32, combine_partitions: int = 8,
+                   max_basket: int | None = 4096):
+    """A-priori frequent item PAIRS (market-basket mining): every
+    unordered item pair co-occurring in at least ``min_support`` baskets.
+
+    The A-priori pruning step is real: item supports are a two-phase
+    count, items below ``min_support`` are dropped BEFORE any pair
+    expands (a pair's support never exceeds its items'), and the
+    frequent-item set broadcasts via ray.put (item vocabularies are
+    bounded; the candidate-pair exchange carries pair COUNTS, never
+    baskets). Pair emission is bucketized by basket hash — one pandas
+    group per bucket, per-basket runs expand through
+    :func:`grouped_pair_indices` with the standard logged cap on
+    pathological giant baskets.
+
+    Item ids must fit 2³¹ (pair packs into one int64 count key).
+    Output: ``item_a, item_b, support``.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from georay.ops.sketch import splitmix64
+    from georay.runtime import per_process, table_from_pandas
+
+    distinct = (
+        ds.select_columns([basket_col, item_col])
+        .map_batches(
+            lambda t: t.group_by([basket_col, item_col]).aggregate([]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([basket_col, item_col])
+        .aggregate(Count(alias_name="_d"))
+        .select_columns([basket_col, item_col])
+        .repartition(combine_partitions)
+    )
+
+    def item_partial(t: pa.Table) -> pa.Table:
+        it = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, n = np.unique(it, return_counts=True)
+        return pa.table({"it": u, "p_n": n.astype(np.int64)})
+
+    freq = (
+        distinct.map_batches(item_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby("it")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: item vocabulary
+    keep_items = np.sort(
+        freq["it"].to_numpy()[freq["n"].to_numpy() >= min_support]
+    ).astype(np.int64)
+    items_ref = ray.put(keep_items)
+    items_key = items_ref.hex() + "-apriori"
+
+    def prune_bucket(t: pa.Table) -> pa.Table:
+        fi = per_process(items_key, lambda: ray.get(items_ref))
+        it = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(fi, it)
+        posc = np.minimum(pos, max(fi.size - 1, 0))
+        hit = (pos < fi.size) & (fi[posc] == it) if fi.size else \
+            np.zeros(it.size, bool)
+        b = t[basket_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[hit]
+        bucket = (splitmix64(b.view(np.uint64))
+                  % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({"b": b, "it": it[hit], "_bucket": bucket})
+
+    empty = pa.table({"pk": pa.array([], pa.int64()),
+                      "p_n": pa.array([], pa.int64())})
+
+    def pair_partial(g: pd.DataFrame) -> pa.Table:
+        b = g["b"].to_numpy(np.int64)
+        it = g["it"].to_numpy(np.int64)
+        order = np.lexsort((it, b))
+        b_s, it_s = b[order], it[order]
+        new = np.empty(b_s.size, dtype=bool)
+        if b_s.size == 0:
+            return empty
+        new[0] = True
+        new[1:] = b_s[1:] != b_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, b_s.size))
+        ia, ib = grouped_pair_indices(
+            sizes, max_basket, f"(basket-bucket={int(g['_bucket'].iloc[0])})",
+            log_prefix="georay.apriori",
+        )
+        if ia.size == 0:
+            return empty
+        pk = it_s[ia] * (np.int64(1) << 32) + it_s[ib]
+        u, n = np.unique(pk, return_counts=True)
+        return pa.table({"pk": u, "p_n": n.astype(np.int64)})
+
+    counts = (
+        distinct.map_batches(prune_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(pair_partial, batch_format="pandas")
+        .repartition(combine_partitions)
+        .groupby("pk")
+        .aggregate(Sum("p_n", alias_name="support"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["support"].to_numpy(zero_copy_only=False)
+        keep = s >= min_support
+        pk = t["pk"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "item_a": pk >> 32,
+            "item_b": pk & ((np.int64(1) << 32) - 1),
+            "support": s[keep],
+        })
+
+    return counts.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

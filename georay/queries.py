@@ -6772,6 +6772,31 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+FREQ_SUPPORT = 3
+
+
+def q_frequent_pairs(sf_dir: str):
+    """Market-basket mining: item pairs co-purchased in ≥3 orders
+    (ops.pairs.frequent_pairs — real A-priori pruning: infrequent items
+    broadcast-dropped BEFORE any pair expands, pair emission bucketized
+    by basket hash with the logged giant-basket cap, only pair COUNTS
+    shuffle). SQL twin: distinct-basket self-join + HAVING."""
+    from georay.ops import pairs as pairs_ops
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return pairs_ops.frequent_pairs(li, "l_orderkey", "l_partkey",
+                                    min_support=FREQ_SUPPORT)
+
+
+SQL_FREQUENT_PAIRS = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS (SELECT a.p AS pa, b2.p AS pb
+       FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p)
+SELECT pa AS item_a, pb AS item_b, CAST(COUNT(*) AS BIGINT) AS support
+FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= {FREQ_SUPPORT}
+"""
+
+
 def q_hll_tile_users(sf_dir: str):
     """Per-TILE HyperLogLog distinct-user sketches — the sketch family
     partitioned by a spatial key (ops.sketch.hll_registers_by): events
@@ -9304,6 +9329,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
         "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
         "hll_tile_users": (q_hll_tile_users, SQL_HLL_TILE_USERS),
+        "frequent_pairs": (q_frequent_pairs, SQL_FREQUENT_PAIRS),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

@@ -1411,3 +1411,38 @@ def test_ks2_statistic_matches_scipy_free_brute(ray_session):
     assert out["ks_num"] == dev[i]
     assert out["arg_value"] == uv[i]
     assert out["ks"] == dev[i] / (v1.size * v2.size)
+
+
+def test_frequent_pairs_matches_brute(ray_session):
+    """A-priori pairs vs an itertools replica: duplicate (basket, item)
+    rows collapse, infrequent-item pruning changes nothing, support
+    boundary inclusive."""
+    import itertools
+
+    import ray
+
+    from georay.ops import pairs as pairs_ops
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for b in range(60):
+        items = rng.choice(25, size=rng.randint(1, 7), replace=False)
+        for it in items:
+            rows.append((b, int(it)))
+            if rng.rand() < 0.2:
+                rows.append((b, int(it)))  # duplicate row
+    b_a = np.array([r[0] for r in rows], np.int64)
+    i_a = np.array([r[1] for r in rows], np.int64)
+    out = pairs_ops.frequent_pairs(
+        ray.data.from_arrow(pa.table({"b": b_a, "it": i_a})).repartition(4),
+        "b", "it", min_support=2, num_buckets=8,
+    ).to_pandas()
+    got = {(int(a), int(c)): int(s) for a, c, s in
+           zip(out["item_a"], out["item_b"], out["support"])}
+    from collections import Counter
+    cnt = Counter()
+    for b in np.unique(b_a):
+        for x, y in itertools.combinations(sorted(set(i_a[b_a == b])), 2):
+            cnt[(x, y)] += 1
+    want = {k: v for k, v in cnt.items() if v >= 2}
+    assert want and got == want
