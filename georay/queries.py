@@ -6772,6 +6772,68 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_cell_gini(sf_dir: str):
+    """Gini coefficient of the order-count distribution over occupied
+    BITS_TILE cells — the spatial-skew scalar that predicts shuffle
+    hot-spots. Integer-exact via the sorted-counts identity
+    G_num = Σᵢ (2i − K − 1)·n₍ᵢ₎ (ascending, i 1-based), G_den = K·Σn;
+    the ≤2^bits histogram finalizes driver-side (moran_i shape), ONE
+    float division at the end. SQL twin: ROW_NUMBER over the same
+    ascending (n, cell) order."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: ≤ 2^BITS_TILE occupied cells
+
+    n = agg["n"].to_numpy().astype(np.int64)
+    cellv = agg["cell"].to_numpy().astype(np.int64)
+    order = np.lexsort((cellv, n))  # ascending (n, cell): deterministic
+    ns = n[order]
+    k = np.int64(ns.size)
+    i = np.arange(1, k + 1, dtype=np.int64)
+    g_num = int(((2 * i - k - 1) * ns).sum())
+    g_den = int(k * ns.sum())
+    return pd.DataFrame({
+        "k_cells": [np.int64(k)], "total": [np.int64(ns.sum())],
+        "gini_num": [np.int64(g_num)], "gini_den": [np.int64(g_den)],
+        "gini": [float(g_num) / float(g_den)],
+    })
+
+
+SQL_CELL_GINI = f"""
+WITH c AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n, x * 32 + y) AS BIGINT)
+               AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM c),
+s AS (SELECT CAST(MAX(k) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM((2 * i - k - 1) * n) AS BIGINT) AS g_num
+      FROM r)
+SELECT k AS k_cells, total, g_num AS gini_num,
+       CAST(k * total AS BIGINT) AS gini_den,
+       CAST(g_num AS DOUBLE) / CAST(k * total AS DOUBLE) AS gini
+FROM s
+"""
+
+
 FREQ_SUPPORT = 3
 
 
@@ -6794,6 +6856,103 @@ pr AS (SELECT a.p AS pa, b2.p AS pb
        FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p)
 SELECT pa AS item_a, pb AS item_b, CAST(COUNT(*) AS BIGINT) AS support
 FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= {FREQ_SUPPORT}
+"""
+
+
+def q_assoc_rules(sf_dir: str):
+    """Association rules from the frequent pairs: both directions a→b
+    with integer-rational confidence (support/ante_sup) and lift
+    (support·N over ante_sup·cons_sup) — numerator/denominator emitted
+    as exact int64 (no float ever decides), plus the one float conf.
+    Item supports and the basket count broadcast (bounded vocab);
+    composition over ops.pairs.frequent_pairs."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from georay.ops import pairs as pairs_ops
+    from georay.runtime import per_process
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    distinct = (
+        li.map_batches(
+            lambda t: t.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_d"))
+        .select_columns(["l_orderkey", "l_partkey"])
+        .repartition(8)
+    )
+
+    def item_partial(t: pa.Table) -> pa.Table:
+        it = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, n = np.unique(it, return_counts=True)
+        return pa.table({"it": u, "p_n": n.astype(np.int64)})
+
+    sup = (
+        distinct.map_batches(item_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .repartition(4)
+        .groupby("it")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: item vocabulary
+
+    def basket_partial(t: pa.Table) -> pa.Table:
+        b = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"b": np.unique(b)})
+
+    n_baskets = int(
+        distinct.map_batches(basket_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("b").aggregate(Count(alias_name="_c")).count()
+    )
+
+    sk = sup["it"].to_numpy().astype(np.int64)
+    so = np.argsort(sk, kind="quicksort")
+    sup_ref = ray.put((sk[so], sup["n"].to_numpy().astype(np.int64)[so]))
+    sup_key = sup_ref.hex() + "-assoc"
+
+    fp = pairs_ops.frequent_pairs(li, "l_orderkey", "l_partkey",
+                                  min_support=FREQ_SUPPORT)
+
+    def rules(t: pa.Table) -> pa.Table:
+        keys, vals = per_process(sup_key, lambda: ray.get(sup_ref))
+        a = t["item_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["item_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["support"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ante = np.concatenate([a, b])
+        cons = np.concatenate([b, a])
+        ss = np.concatenate([s, s])
+        sa = vals[np.searchsorted(keys, ante)]
+        sc = vals[np.searchsorted(keys, cons)]
+        return pa.table({
+            "ante": ante, "cons": cons, "support": ss,
+            "ante_sup": sa,
+            "lift_num": ss * np.int64(n_baskets),
+            "lift_den": sa * sc,
+            "conf": ss.astype(np.float64) / sa.astype(np.float64),
+        })
+
+    return fp.map_batches(rules, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_ASSOC_RULES = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY 1),
+nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS nb FROM b),
+pr AS (SELECT a.p AS pa, b2.p AS pb
+       FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+fp AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS support
+       FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= {FREQ_SUPPORT}),
+r AS (SELECT pa AS ante, pb AS cons, support FROM fp
+      UNION ALL SELECT pb, pa, support FROM fp)
+SELECT ante, cons, support, sa.s AS ante_sup,
+       CAST(support * nb AS BIGINT) AS lift_num,
+       CAST(sa.s * sc.s AS BIGINT) AS lift_den,
+       CAST(support AS DOUBLE) / CAST(sa.s AS DOUBLE) AS conf
+FROM r JOIN sup sa ON sa.p = r.ante JOIN sup sc ON sc.p = r.cons
+CROSS JOIN nb
 """
 
 
@@ -9330,6 +9489,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
         "hll_tile_users": (q_hll_tile_users, SQL_HLL_TILE_USERS),
         "frequent_pairs": (q_frequent_pairs, SQL_FREQUENT_PAIRS),
+        "cell_gini": (q_cell_gini, SQL_CELL_GINI),
+        "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
