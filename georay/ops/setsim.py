@@ -483,8 +483,18 @@ def containment_join(ds, num: int, den: int, min_tokens: int = 30,
         b_row = np.repeat(starts, m) + j % np.maximum(b_rep, 1)
         ia, ib = sid_s[a_row], sid_s[b_row]
         keep = ia != ib
-        return pa.table({"id_a": pa.array(ia[keep]),
-                         "id_b": pa.array(ib[keep])})
+        ia, ib = ia[keep], ib[keep]
+        # batch-local dedup: a pair meeting in several tokens of this
+        # bucket would otherwise re-emit once per token and inflate the
+        # global dedup groupby (full-int64-safe lexsort run dedup)
+        if ia.size:
+            o = np.lexsort((ib, ia))
+            ia, ib = ia[o], ib[o]
+            first = np.empty(ia.size, dtype=bool)
+            first[0] = True
+            first[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+            ia, ib = ia[first], ib[first]
+        return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
 
     cand = (
         roles.map_batches(add_pair_bucket, batch_format="pyarrow",
