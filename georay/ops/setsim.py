@@ -252,9 +252,18 @@ def setsim_join(ds, num: int, den: int, id_col: str = "doc_id",
         # read positionally off the sorted run, no per-token id lookup
         sa, sb = ntok_s[ia], ntok_s[ib]
         ok = np.minimum(sa, sb) * den >= num * np.maximum(sa, sb)
+        pa_ids, pb_ids = ids_s[ia[ok]], ids_s[ib[ok]]
+        # batch-local dedup (full-int64-safe): a pair sharing several
+        # prefix tokens in this bucket re-emits once per token otherwise
+        if pa_ids.size:
+            o = np.lexsort((pb_ids, pa_ids))
+            pa_ids, pb_ids = pa_ids[o], pb_ids[o]
+            first = np.empty(pa_ids.size, dtype=bool)
+            first[0] = True
+            first[1:] = (pa_ids[1:] != pa_ids[:-1]) | (pb_ids[1:] != pb_ids[:-1])
+            pa_ids, pb_ids = pa_ids[first], pb_ids[first]
         return pa.table(
-            {"id_a": pa.array(ids_s[ia[ok]]),
-             "id_b": pa.array(ids_s[ib[ok]])}
+            {"id_a": pa.array(pa_ids), "id_b": pa.array(pb_ids)}
         )
 
     cand = (
