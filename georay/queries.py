@@ -6772,6 +6772,125 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_ann_recall(sf_dir: str):
+    """Retrieval-quality EVALUATION as a pipeline: per-query recall@5 of
+    the SQ8-quantized ranking against the exact cosine ranking — both
+    rankings run distributed, overlap counts via one pack-key groupby
+    (pair present on both sides ⟺ count 2), zero-overlap queries kept by
+    a left join against the query list. Integer counts end to end."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from georay.ops import similarity as sim
+
+    q_table = _read_table(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding"])
+    mask = (q_table["vec_id"].to_numpy() % 10) == 0
+    q_ids = q_table["vec_id"].to_numpy()[mask].astype(np.int64)
+    q_mat = sim.emb_matrix(q_table["embedding"])[mask]
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cos = sim.brute_topk(emb, q_ids, q_mat, k=ANN_K).select_columns(
+        ["query_id", "neighbor_id"])
+    sq8 = sim.sq8_topk(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        query_mask_mod=10, k=ANN_K,
+    ).select_columns(["query_id", "neighbor_id"])
+
+    def to_pack(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": q * (np.int64(1) << 32) + n})
+
+    both = cos.map_batches(to_pack, batch_format="pyarrow").union(
+        sq8.map_batches(to_pack, batch_format="pyarrow"))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        u, n = np.unique(t["pk"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"pk": u, "p_n": n.astype(np.int64)})
+
+    matched = (
+        both.map_batches(pair_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .repartition(4)
+        .groupby("pk")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def per_query(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        q = pk[n == 2] >> 32
+        u, c = np.unique(q, return_counts=True)
+        return pa.table({"query_id": u, "p_ov": c.astype(np.int64)})
+
+    counts = (
+        matched.map_batches(per_query, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .repartition(4)
+        .groupby("query_id")
+        .aggregate(Sum("p_ov", alias_name="ov"))
+        .repartition(4)
+    )
+
+    all_q = ray.data.from_arrow(
+        pa.table({"query_id": q_ids})).repartition(2)
+    joined = all_q.join(counts, join_type="left_outer", num_partitions=4,
+                        on=("query_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"],
+            "n_overlap": pc.fill_null(t["ov"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_ANN_RECALL = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+cosr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+               DESC, e.vec_id) AS rank
+    FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+  ) WHERE rank <= {ANN_K}),
+ex AS (SELECT vec_id, unnest(embedding) AS v,
+              unnest(range(len(embedding))) AS dim
+       FROM embeddings),
+r AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+qt AS (SELECT vec_id, dim,
+         CASE WHEN mx > mn THEN
+           LEAST(GREATEST(CAST(FLOOR((CAST(v AS DOUBLE) - mn) * 255.0
+                                     / (CAST(mx AS DOUBLE) - mn)) AS BIGINT),
+                          0), 255)
+         ELSE 0 END AS qv
+       FROM ex JOIN r USING (dim)),
+s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(SUM(a.qv * b.qv) AS BIGINT) AS score
+      FROM qt a JOIN qt b ON a.dim = b.dim AND b.vec_id <> a.vec_id
+      WHERE a.vec_id % 10 = 0
+      GROUP BY 1, 2),
+sqr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s) WHERE rank <= {ANN_K}),
+ov AS (SELECT c.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       FROM cosr c JOIN sqr s2
+         ON s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id
+       GROUP BY 1)
+SELECT q.vec_id AS query_id,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM q LEFT JOIN ov ON ov.query_id = q.vec_id
+"""
+
+
 def q_cell_gini(sf_dir: str):
     """Gini coefficient of the order-count distribution over occupied
     BITS_TILE cells — the spatial-skew scalar that predicts shuffle
@@ -9491,6 +9610,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "frequent_pairs": (q_frequent_pairs, SQL_FREQUENT_PAIRS),
         "cell_gini": (q_cell_gini, SQL_CELL_GINI),
         "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
+        "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
