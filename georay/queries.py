@@ -6772,6 +6772,78 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_chi2_independence(sf_dir: str):
+    """Chi-square independence test of event type × hour-of-day — per
+    cell the deviation is cross-multiplied to integers:
+    dev_num = (o·N − r·c)², dev_den = N·r·c (o observed, r/c marginals,
+    N total), so every comparison-worthy quantity is int64-exact and the
+    per-cell float contribution dev_num/dev_den is the one division.
+    Plan: ONE two-phase (type, hour) count — marginals derive from the
+    bounded table driver-side (moran shape). Overflow contract: the
+    squared deviation (≲ (r·c)²/N²·skew) must fit int64 — pre-scale
+    counts beyond ~10⁹ rows. SQL twin: window marginals over the same
+    crosstab."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist())
+        hr = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+              // 3_600_000_000) % 24
+        df = pd.DataFrame({"et": et, "hr": hr})
+        out = df.groupby(["et", "hr"], as_index=False).size()
+        return pa.table({
+            "et": pa.array(out["et"].to_numpy(), pa.string()),
+            "hr": out["hr"].to_numpy().astype(np.int64),
+            "p_n": out["size"].to_numpy().astype(np.int64),
+        })
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["et", "hr"])
+        .aggregate(Sum("p_n", alias_name="o"))
+    ).to_pandas()  # bounded: types × 24 cells
+
+    et = agg["et"].to_numpy()
+    hr = agg["hr"].to_numpy().astype(np.int64)
+    o = agg["o"].to_numpy().astype(np.int64)
+    n_tot = int(o.sum())
+    r = {k: int(o[et == k].sum()) for k in np.unique(et)}
+    c = {int(h): int(o[hr == h].sum()) for h in np.unique(hr)}
+    rows = []
+    for e_i, h_i, o_i in zip(et, hr, o):
+        rv, cv = r[e_i], c[int(h_i)]
+        num = (int(o_i) * n_tot - rv * cv) ** 2
+        den = n_tot * rv * cv
+        rows.append((e_i, int(h_i), int(o_i), np.int64(num),
+                     np.int64(den), float(num) / float(den)))
+    out = pd.DataFrame(rows, columns=["et", "hr", "o", "dev_num",
+                                      "dev_den", "contrib"])
+    return out.sort_values(["et", "hr"]).reset_index(drop=True)
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH x AS (SELECT event_type AS et,
+                  (epoch_us(ts) // 3600000000) % 24 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+m AS (SELECT et, hr, o,
+             CAST(SUM(o) OVER (PARTITION BY et) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY hr) AS BIGINT) AS c,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM x)
+SELECT et, hr, o,
+       CAST((o * n - r * c) * (o * n - r * c) AS BIGINT) AS dev_num,
+       CAST(n * r * c AS BIGINT) AS dev_den,
+       CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+         / CAST(n * r * c AS DOUBLE) AS contrib
+FROM m
+"""
+
+
 def q_ann_recall(sf_dir: str):
     """Retrieval-quality EVALUATION as a pipeline: per-query recall@5 of
     the SQ8-quantized ranking against the exact cosine ranking — both
@@ -9611,6 +9683,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "cell_gini": (q_cell_gini, SQL_CELL_GINI),
         "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
         "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+        "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
