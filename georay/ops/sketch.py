@@ -874,3 +874,89 @@ def hll_registers_by(ds, group_col: str, col: str, p: int = 8,
         .groupby([group_col, "register"])
         .aggregate(Max("p_rank", alias_name="max_rank"))
     )
+
+
+def ks2_by_group(ds, group_col: str, value_col: str, flag_col: str,
+                 combine_partitions: int = 2):
+    """Per-GROUP two-sample KS distance (:func:`ks2_statistic` segmented
+    by a key column — the drift-per-shard / drift-per-class report):
+    integer cross-multiplied CDF deviation per group, smallest-value
+    tiebreak, groups missing either sample dropped (ks undefined).
+
+    One two-phase (group, value, flag) histogram (bounded-distinct
+    contract), then a segmented driver-side pass: one sort, per-group
+    boundary-reset cumsums, reduceat argmax — no per-group Python loop.
+
+    Output: ``group_col, n1, n2, ks_num, ks_den, arg_value, ks``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t[flag_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "v": v, "f": f})
+        out = df.groupby(["g", "v", "f"], as_index=False).size()
+        return pa.table({
+            "g": pa.array(out["g"].to_numpy()),
+            "v": out["v"].to_numpy().astype(np.int64),
+            "f": out["f"].to_numpy().astype(np.int64),
+            "p_n": out["size"].to_numpy().astype(np.int64),
+        })
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(combine_partitions)
+        .groupby(["g", "v", "f"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: groups × distinct binned values × 2
+
+    codes, uniq = pd.factorize(hist["g"].to_numpy())
+    v = hist["v"].to_numpy().astype(np.int64)
+    f = hist["f"].to_numpy().astype(np.int64)
+    n = hist["n"].to_numpy().astype(np.int64)
+    order = np.lexsort((f, v, codes))
+    cg, cv, cf, cn = codes[order], v[order], f[order], n[order]
+    # collapse to one row per (group, value) with per-flag counts
+    new = np.empty(cg.size, dtype=bool)
+    new[0] = True
+    new[1:] = (cg[1:] != cg[:-1]) | (cv[1:] != cv[:-1])
+    ridx = np.cumsum(new) - 1
+    m = int(ridx[-1]) + 1 if cg.size else 0
+    c1 = np.zeros(m, np.int64)
+    c2 = np.zeros(m, np.int64)
+    np.add.at(c1, ridx[cf == 1], cn[cf == 1])
+    np.add.at(c2, ridx[cf == 2], cn[cf == 2])
+    rg = cg[new]
+    rv = cv[new]
+    starts = np.flatnonzero(
+        np.concatenate(([True], rg[1:] != rg[:-1]))).astype(np.int64)
+    counts = np.diff(np.append(starts, m)).astype(np.int64)
+    # per-group cumsums via global cumsum minus repeated base
+    def seg_cumsum(x):
+        run = np.cumsum(x)
+        base = np.concatenate(
+            ([0], run[starts[1:] - 1])) if starts.size else run[:0]
+        return run - np.repeat(base, counts)
+
+    cum1, cum2 = seg_cumsum(c1), seg_cumsum(c2)
+    ends = starts + counts - 1
+    n1 = np.repeat(cum1[ends], counts)
+    n2 = np.repeat(cum2[ends], counts)
+    dev = np.abs(n2 * cum1 - n1 * cum2)
+    mx = np.maximum.reduceat(dev, starts)
+    pos = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+    cand = np.where(dev == np.repeat(mx, counts), pos, np.int64(1) << 62)
+    sel = starts + np.minimum.reduceat(cand, starts)
+    gn1, gn2 = cum1[ends], cum2[ends]
+    keep = (gn1 > 0) & (gn2 > 0)
+    return pd.DataFrame({
+        group_col: np.asarray(uniq)[rg[sel][keep]],
+        "n1": gn1[keep], "n2": gn2[keep],
+        "ks_num": mx[keep].astype(np.int64),
+        "ks_den": (gn1 * gn2)[keep],
+        "arg_value": rv[sel][keep],
+        "ks": (mx[keep].astype(np.float64)
+               / (gn1 * gn2)[keep].astype(np.float64)),
+    }).sort_values(group_col).reset_index(drop=True)

@@ -6772,6 +6772,63 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_ks_by_type(sf_dir: str):
+    """Per-event-type weekday-vs-weekend value-distribution drift
+    (ops.sketch.ks2_by_group — the grouped two-sample KS: integer
+    cross-multiplied CDF deviations, segmented driver finalize over the
+    bounded histogram). SQL twin: window cumsums partitioned by type +
+    QUALIFY argmax."""
+    from georay.ops import sketch as sketch_ops
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        val = np.round(t["value"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64) // 100
+        return pa.table({
+            "event_type": t["event_type"],
+            "val": val,
+            "flag": np.where(dow < 5, np.int64(1), np.int64(2)),
+        })
+
+    binned = ev.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return sketch_ops.ks2_by_group(binned, "event_type", "val", "flag")
+
+
+SQL_KS_BY_TYPE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) // 100 AS val,
+         CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 < 5
+              THEN 1 ELSE 2 END AS g
+  FROM events),
+h AS (SELECT event_type, val,
+             CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (g = 2) AS BIGINT) AS c2
+      FROM v GROUP BY 1, 2),
+w AS (SELECT event_type, val,
+             CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY val)
+               AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (PARTITION BY event_type ORDER BY val)
+               AS BIGINT) AS cum2,
+             CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+      FROM h),
+d AS (SELECT event_type, val, n1, n2,
+             abs(n2 * cum1 - n1 * cum2) AS dev
+      FROM w WHERE n1 > 0 AND n2 > 0)
+SELECT event_type, n1, n2, CAST(dev AS BIGINT) AS ks_num,
+       CAST(n1 * n2 AS BIGINT) AS ks_den, val AS arg_value,
+       CAST(dev AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY dev DESC, val) = 1
+"""
+
+
 def q_chi2_independence(sf_dir: str):
     """Chi-square independence test of event type × hour-of-day — per
     cell the deviation is cross-multiplied to integers:
@@ -9684,6 +9741,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
         "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
+        "ks_by_type": (q_ks_by_type, SQL_KS_BY_TYPE),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

@@ -1446,3 +1446,38 @@ def test_frequent_pairs_matches_brute(ray_session):
             cnt[(x, y)] += 1
     want = {k: v for k, v in cnt.items() if v >= 2}
     assert want and got == want
+
+
+def test_ks2_by_group_matches_brute(ray_session):
+    """Grouped KS vs the per-group two-CDF replica, incl. a group with
+    one sample missing (dropped) and per-group tie argmax."""
+    import ray
+
+    from georay.ops import sketch as sketch_ops
+
+    rng = np.random.RandomState(29)
+    g, v, f = [], [], []
+    for k in range(8):
+        n1, n2 = rng.randint(5, 60), rng.randint(5, 60) if k != 7 else 0
+        g += [f"g{k}"] * (n1 + n2)
+        v += list(rng.randint(0, 25, n1)) + list(
+            np.minimum(rng.randint(0, 25, n2) + rng.randint(0, 5, n2), 28))
+        f += [1] * n1 + [2] * n2
+    g, v, f = (np.asarray(g), np.asarray(v, np.int64),
+               np.asarray(f, np.int64))
+    out = sketch_ops.ks2_by_group(
+        ray.data.from_arrow(pa.table({"g": g, "v": v, "f": f}))
+        .repartition(4), "g", "v", "f",
+    ).set_index("g")
+    assert "g7" not in out.index  # one-sample group dropped
+    for k in [f"g{i}" for i in range(7)]:
+        v1 = np.sort(v[(g == k) & (f == 1)])
+        v2 = np.sort(v[(g == k) & (f == 2)])
+        uv = np.unique(np.concatenate([v1, v2]))
+        c1 = np.searchsorted(v1, uv, side="right")
+        c2 = np.searchsorted(v2, uv, side="right")
+        dev = np.abs(v2.size * c1 - v1.size * c2)
+        i = int(np.argmax(dev))
+        row = out.loc[k]
+        assert (row["n1"], row["n2"]) == (v1.size, v2.size)
+        assert row["ks_num"] == dev[i] and row["arg_value"] == uv[i]
