@@ -6772,6 +6772,81 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_auc_mwu(sf_dir: str):
+    """Mann–Whitney U ≡ ROC-AUC of order value as a classifier of URGENT
+    vs LOW priority — tie-aware, integer-exact: U2 = Σ c₁(v)·(2·cum₂(v⁻)
+    + c₂(v)) doubles the half-credit ties away, AUC = U2 / (2·n₁·n₂) is
+    the one float division. Same bounded two-phase histogram as ks_drift;
+    the ML-evaluation twin of the KS drift statistic. SQL: window cumsum
+    replay."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        pri = np.asarray(t["o_orderpriority"].to_pylist())
+        keep = (pri == "1-URGENT") | (pri == "5-LOW")
+        dollars = (np.round(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64) // 10_000)
+        val = dollars[keep]
+        flag = np.where(pri[keep] == "1-URGENT", np.int64(1), np.int64(2))
+        pack = val * 2 + (flag - 1)
+        u, n = np.unique(pack, return_counts=True)
+        return pa.table({"val": u >> 1, "flag": u % 2 + 1,
+                         "p_n": n.astype(np.int64)})
+
+    hist = (
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(2)
+        .groupby(["val", "flag"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: binned dollar values × 2
+
+    val = hist["val"].to_numpy().astype(np.int64)
+    flg = hist["flag"].to_numpy().astype(np.int64)
+    n = hist["n"].to_numpy().astype(np.int64)
+    uvals = np.unique(val)
+    c1 = np.zeros(uvals.size, np.int64)
+    c2 = np.zeros(uvals.size, np.int64)
+    pos = np.searchsorted(uvals, val)
+    np.add.at(c1, pos[flg == 1], n[flg == 1])
+    np.add.at(c2, pos[flg == 2], n[flg == 2])
+    cum2 = np.cumsum(c2)
+    cum2_prev = cum2 - c2
+    u2 = int((c1 * (2 * cum2_prev + c2)).sum())
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    return pd.DataFrame({
+        "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+        "u2": [np.int64(u2)],
+        "auc_den": [np.int64(2) * n1 * n2],
+        "auc": [float(u2) / float(2 * n1 * n2)],
+    })
+
+
+SQL_AUC_MWU = """
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000 AS val,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+h AS (SELECT val,
+             CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (g = 2) AS BIGINT) AS c2
+      FROM v GROUP BY 1),
+w AS (SELECT val, c1, c2,
+             CAST(SUM(c2) OVER (ORDER BY val) - c2 AS BIGINT) AS cum2_prev
+      FROM h),
+s AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cum2_prev + c2)) AS BIGINT) AS u2
+      FROM w)
+SELECT n1, n2, u2, CAST(2 * n1 * n2 AS BIGINT) AS auc_den,
+       CAST(u2 AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE) AS auc
+FROM s
+"""
+
+
 def q_ks_by_type(sf_dir: str):
     """Per-event-type weekday-vs-weekend value-distribution drift
     (ops.sketch.ks2_by_group — the grouped two-sample KS: integer
@@ -9742,6 +9817,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
         "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
         "ks_by_type": (q_ks_by_type, SQL_KS_BY_TYPE),
+        "auc_mwu": (q_auc_mwu, SQL_AUC_MWU),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),

