@@ -6772,6 +6772,114 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+SURPRISAL_SCALE = 1_000_000
+
+
+def q_lm_surprisal(sf_dir: str):
+    """Unigram-LM surprisal score per document — the perplexity-proxy
+    quality filter: Σ over token occurrences of
+    ⌊SCALE·(ln T − ln cf_t)⌋ (cf = corpus term frequency, T = total
+    occurrences). The floor runs ONCE PER DISTINCT TOKEN (bounded vocab,
+    driver-side libm — segment-entropy discipline), making every per-doc
+    term an int64, so the distributed doc sums are order-free and
+    bit-exact vs SQL. Plan: tf rows → two-phase cf → broadcast token
+    surprisal ints → per-doc integer dot + two-phase Sum."""
+    import math
+    import re
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from georay.runtime import per_process, table_from_pandas
+
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.string()),
+                           ("tf", pa.int64())])
+
+    def tf_rows(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.findall(word_re).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[row], "w": toks.to_numpy(),
+        }).groupby(["doc_id", "w"], as_index=False).size()
+        return table_from_pandas(out.rename(columns={"size": "tf"}),
+                                 schema=tf_schema)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+
+    def cf_partial(t: pa.Table) -> pa.Table:
+        w = np.asarray(t["w"].to_pylist())
+        v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(w, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, v)
+        return pa.table({"w": pa.array(u, pa.string()), "p_cf": acc})
+
+    cf = (
+        tf.map_batches(cf_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(4)
+        .groupby("w")
+        .aggregate(Sum("p_cf", alias_name="cf"))
+    ).to_pandas()  # bounded: vocabulary
+
+    words = cf["w"].to_numpy()
+    cfv = cf["cf"].to_numpy().astype(np.int64)
+    order = np.argsort(words, kind="quicksort")
+    words, cfv = words[order], cfv[order]
+    t_total = int(cfv.sum())
+    lt = math.log(float(t_total))
+    su = np.array([
+        math.floor(SURPRISAL_SCALE * (lt - math.log(float(c))))
+        for c in cfv
+    ], dtype=np.int64)
+    ref = ray.put((words, su))
+    key = ref.hex() + "-surprisal"
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        ws, sus = per_process(key, lambda: ray.get(ref))
+        w = np.asarray(t["w"].to_pylist())
+        v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = sus[np.searchsorted(ws, w)]
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(did, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, v * s)
+        ntk = np.zeros(u.size, np.int64)
+        np.add.at(ntk, inv, v)
+        return pa.table({"doc_id": u, "p_s": acc, "p_n": ntk})
+
+    return (
+        tf.map_batches(score_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(4)
+        .groupby("doc_id")
+        .aggregate(Sum("p_s", alias_name="surprisal_scaled"),
+                   Sum("p_n", alias_name="n_tokens"))
+    )
+
+
+SQL_LM_SURPRISAL = rf"""
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+              FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, w),
+cf AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY w),
+tt AS (SELECT CAST(SUM(cf) AS BIGINT) AS t FROM cf),
+s AS (SELECT w, CAST(FLOOR({SURPRISAL_SCALE} * (ln(CAST(t AS DOUBLE))
+                     - ln(CAST(cf AS DOUBLE)))) AS BIGINT) AS su
+      FROM cf CROSS JOIN tt)
+SELECT tf.doc_id,
+       CAST(SUM(tf * su) AS BIGINT) AS surprisal_scaled,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens
+FROM tf JOIN s USING (w) GROUP BY 1
+"""
+
+
 def q_auc_mwu(sf_dir: str):
     """Mann–Whitney U ≡ ROC-AUC of order value as a classifier of URGENT
     vs LOW priority — tie-aware, integer-exact: U2 = Σ c₁(v)·(2·cum₂(v⁻)
@@ -9818,6 +9926,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
         "ks_by_type": (q_ks_by_type, SQL_KS_BY_TYPE),
         "auc_mwu": (q_auc_mwu, SQL_AUC_MWU),
+        "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
