@@ -6772,6 +6772,81 @@ FROM c
 SQL_SEGMENT_ENTROPY = _sql_segment_entropy()
 
 
+def q_tile_mk_trend(sf_dir: str):
+    """Mann–Kendall trend per tile over weekly event counts — the
+    nonparametric sibling of the OLS tile_trend (the ArcGIS
+    emerging-hot-spot primitive): S = Σ_{i<j} sign(n_j − n_i) over the
+    tile's present weeks, pure int64. Plan: two-phase (tile, week)
+    counts → driver-bounded dense pivot (≤ tiles × weeks rows — weeks
+    are single digits) → vectorized pair loop across ALL tiles at once.
+    SQL twin: week self-join + SUM(sign)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xi = (eid * HASH_LON) % 360000
+        yi = (eid * HASH_LAT) % 180000
+        tile = (xi // 11250) * 32 + yi // 5625
+        week = us // (7 * 86_400_000_000)
+        pack = tile * (np.int64(1) << 24) + week
+        u, inv = np.unique(pack, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table({"tile": u >> 24, "week": u & ((1 << 24) - 1),
+                         "p_n": n})
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["tile", "week"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: tiles × single-digit weeks
+
+    tiles_v = agg["tile"].to_numpy().astype(np.int64)
+    weeks_v = agg["week"].to_numpy().astype(np.int64)
+    n_v = agg["n"].to_numpy().astype(np.int64)
+    ut = np.unique(tiles_v)
+    uw = np.unique(weeks_v)
+    ti = np.searchsorted(ut, tiles_v)
+    wi = np.searchsorted(uw, weeks_v)
+    dense = np.zeros((ut.size, uw.size), np.int64)
+    present = np.zeros((ut.size, uw.size), bool)
+    dense[ti, wi] = n_v
+    present[ti, wi] = True
+    s = np.zeros(ut.size, np.int64)
+    nw = present.sum(1).astype(np.int64)
+    for i in range(uw.size):
+        for j in range(i + 1, uw.size):
+            both = present[:, i] & present[:, j]
+            s += np.where(both, np.sign(dense[:, j] - dense[:, i]), 0)
+    return pd.DataFrame({
+        "tile": ut, "n_weeks": nw, "mk_s": s,
+    }).sort_values("tile").reset_index(drop=True)
+
+
+SQL_TILE_MK_TREND = f"""
+WITH p AS (
+  SELECT ((((event_id * {HASH_LON}) % 360000) // 11250) * 32
+          + ((event_id * {HASH_LAT}) % 180000) // 5625) AS tile,
+         epoch_us(ts) // {7 * 86_400_000_000} AS week
+  FROM events),
+a AS (SELECT tile, week, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+w AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_weeks FROM a GROUP BY 1),
+s AS (SELECT x.tile,
+             CAST(COALESCE(SUM(CASE WHEN y.n > x.n THEN 1
+                                    WHEN y.n < x.n THEN -1
+                                    ELSE 0 END), 0) AS BIGINT) AS mk_s
+      FROM a x LEFT JOIN a y ON y.tile = x.tile AND y.week > x.week
+      GROUP BY 1)
+SELECT w.tile, w.n_weeks, COALESCE(s.mk_s, 0) AS mk_s
+FROM w JOIN s ON s.tile = w.tile
+"""
+
+
 SURPRISAL_SCALE = 1_000_000
 
 
@@ -9927,6 +10002,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ks_by_type": (q_ks_by_type, SQL_KS_BY_TYPE),
         "auc_mwu": (q_auc_mwu, SQL_AUC_MWU),
         "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
+        "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
