@@ -1005,6 +1005,71 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+CENT_EPS, CENT_MIN_PTS = 18.0, 3  # loose enough for sparse sf0.001
+
+
+def q_dbscan_centroids(sf_dir: str):
+    """Cluster summarization over grid-DBSCAN: per-cluster point count
+    and EXACT integer centroid numerators (Σ of the milli-degree synth
+    coords — the lon/lat floats derive from these ints, so no float sum
+    ever shuffles; centroid = sums / (1000·n) − offset is the caller's
+    one division). Composition: ops.dbscan.grid_dbscan → noise filter →
+    two-phase integer sums per cluster."""
+    from ray.data.aggregate import Sum
+
+    from georay.ops import dbscan as dbscan_ops
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    out = dbscan_ops.grid_dbscan(
+        cust, bits=BITS_JOIN, eps=CENT_EPS, min_pts=CENT_MIN_PTS,
+        id_col="c_custkey", num_partitions=8,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = cl != -1
+        cl, k = cl[keep], k[keep]
+        xi = (k * HASH_LON) % 360000
+        yi = (k * HASH_LAT) % 180000
+        u, inv = np.unique(cl, return_inverse=True)
+        sx = np.zeros(u.size, np.int64)
+        sy = np.zeros(u.size, np.int64)
+        np.add.at(sx, inv, xi)
+        np.add.at(sy, inv, yi)
+        return pa.table({
+            "cluster": u, "p_n": np.bincount(inv).astype(np.int64),
+            "p_sx": sx, "p_sy": sy,
+        })
+
+    return (
+        out.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .repartition(4)
+        .groupby("cluster")
+        .aggregate(Sum("p_n", alias_name="n"),
+                   Sum("p_sx", alias_name="sum_xi"),
+                   Sum("p_sy", alias_name="sum_yi"))
+    )
+
+
+SQL_DBSCAN_CENTROIDS = (
+    SQL_GRID_DBSCAN[: SQL_GRID_DBSCAN.rindex("SELECT d.pid")].rstrip()
+    .replace("<= 6.0 * 6.0", "<= 18.0 * 18.0")
+    .replace("cnt >= 4", "cnt >= 3")
+    + ",\n"
+    + f"""asg AS (SELECT d.pid AS ck,
+              CAST(COALESCE(l.lbl, -1) AS BIGINT) AS cluster
+       FROM deg d LEFT JOIN lab l ON l.pid = d.pid)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((ck * {HASH_LON}) % 360000) AS BIGINT) AS sum_xi,
+       CAST(SUM((ck * {HASH_LAT}) % 180000) AS BIGINT) AS sum_yi
+FROM asg WHERE cluster <> -1 GROUP BY 1
+"""
+)
+
+
 # ---------------------------------------------------------------- box join
 
 BOX_S, BOX_NX, BOX_NY = 11250, 32, 16
@@ -10003,6 +10068,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "auc_mwu": (q_auc_mwu, SQL_AUC_MWU),
         "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
         "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
+        "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
