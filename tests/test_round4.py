@@ -1500,3 +1500,65 @@ def test_auc_mwu_matches_scipy_free_brute(ray_session):
     cum2_prev = np.cumsum(c2) - c2
     u2 = int((c1 * (2 * cum2_prev + c2)).sum())
     assert u2 == u2_expect
+
+
+def test_hll_registers_by_matches_global(ray_session):
+    """Per-group HLL registers == running the global sketch on each
+    group's rows separately (max-merge idempotence across batches)."""
+    import ray
+
+    from georay.ops import sketch as sketch_ops
+
+    rng = np.random.RandomState(31)
+    g = rng.randint(0, 5, size=3000).astype(np.int64)
+    v = rng.randint(0, 400, size=3000).astype(np.int64)
+    out = sketch_ops.hll_registers_by(
+        ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(5),
+        "g", "v", p=6,
+    ).to_pandas()
+    for k in range(5):
+        sub = sketch_ops.hll_registers(
+            ray.data.from_arrow(pa.table({"v": v[g == k]})), "v", p=6,
+        ).to_pandas().sort_values("register").reset_index(drop=True)
+        got = out[out["g"] == k].sort_values("register")[
+            ["register", "max_rank"]].reset_index(drop=True)
+        assert got.equals(sub)
+
+
+def test_rrf_fuse_matches_brute(ray_session):
+    """RRF fusion vs a dict replica over two overlapping rankings with
+    score ties broken by neighbor id."""
+    import ray
+
+    from georay.ops import similarity as sim
+
+    rng = np.random.RandomState(37)
+    rows_a, rows_b = [], []
+    for q in range(6):
+        perm = rng.permutation(20)
+        for r, n in enumerate(perm[:8], 1):
+            rows_a.append((q, int(n), r))
+        perm2 = rng.permutation(20)
+        for r, n in enumerate(perm2[:8], 1):
+            rows_b.append((q, int(n), r))
+
+    def mk(rows):
+        return ray.data.from_arrow(pa.table({
+            "query_id": np.array([r[0] for r in rows], np.int64),
+            "neighbor_id": np.array([r[1] for r in rows], np.int64),
+            "rank": np.array([r[2] for r in rows], np.int64),
+        })).repartition(3)
+
+    out = sim.rrf_fuse([mk(rows_a), mk(rows_b)], k=4, num_partitions=4
+                       ).to_pandas()
+    from collections import defaultdict
+    score = defaultdict(int)
+    for rows in (rows_a, rows_b):
+        for q, n, r in rows:
+            score[(q, n)] += 1_000_000_000 // (60 + r)
+    for q in range(6):
+        cand = sorted(((s, n) for (qq, n), s in score.items() if qq == q),
+                      key=lambda t: (-t[0], t[1]))[:4]
+        got = out[out["query_id"] == q].sort_values("fused_rank")
+        assert list(got["neighbor_id"]) == [n for _, n in cand]
+        assert list(got["rrf_score"]) == [s for s, _ in cand]
