@@ -1005,6 +1005,83 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_gains_deciles(sf_dir: str):
+    """Gains / lift table: orders binned into value deciles by the
+    DISTRIBUTED quantile boundaries (quantile_disc rule, bit-matched),
+    counting per decile how many are URGENT — the model-evaluation gains
+    chart as a pipeline. Boundary rule identical on both sides:
+    decile = 1 + #boundaries strictly below the value; integer counts
+    only."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from georay.ops import sketch as sketch_ops
+    from georay.runtime import per_process
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        pri = np.asarray(t["o_orderpriority"].to_pylist())
+        return pa.table({
+            "g": pa.array(np.repeat("all", len(pri)), pa.string()),
+            "cents": np.round(t["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64),
+            "pos": np.where(pri == "1-URGENT", np.int64(1), np.int64(0)),
+        })
+
+    oc = orders.map_batches(cents, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    qs = tuple(i / 10 for i in range(1, 10))
+    qdf = sketch_ops.grouped_quantiles(
+        oc.select_columns(["g", "cents"]), "g", "cents", qs=qs,
+    ).to_pandas()
+    bounds = np.array([int(qdf[f"p{int(q * 100):02d}"].iloc[0])
+                       for q in qs], dtype=np.int64)
+    ref = ray.put(bounds)
+    key = ref.hex() + "-gains"
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = per_process(key, lambda: ray.get(ref))
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        d = 1 + (c[:, None] > b[None, :]).sum(1).astype(np.int64)
+        u, inv = np.unique(d, return_inverse=True)
+        npos = np.zeros(u.size, np.int64)
+        np.add.at(npos, inv, pos)
+        return pa.table({"decile": u,
+                         "p_n": np.bincount(inv).astype(np.int64),
+                         "p_pos": npos})
+
+    return (
+        oc.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .groupby("decile")
+        .aggregate(Sum("p_n", alias_name="n"),
+                   Sum("p_pos", alias_name="n_pos"))
+    )
+
+
+SQL_GAINS_DECILES = """
+WITH oc AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS pos
+            FROM orders),
+b AS (SELECT {bounds} FROM oc),
+d AS (SELECT CAST(1 {terms} AS BIGINT) AS decile, pos
+      FROM oc CROSS JOIN b)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos
+FROM d GROUP BY 1
+""".format(
+    bounds=", ".join(
+        f"CAST(quantile_disc(cents, {i / 10}) AS BIGINT) AS b{i}"
+        for i in range(1, 10)),
+    terms=" ".join(f"+ CASE WHEN cents > b{i} THEN 1 ELSE 0 END"
+                   for i in range(1, 10)),
+)
+
+
 CENT_EPS, CENT_MIN_PTS = 18.0, 3  # loose enough for sparse sf0.001
 
 
@@ -10069,6 +10146,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
         "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
         "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
+        "gains_deciles": (q_gains_deciles, SQL_GAINS_DECILES),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
