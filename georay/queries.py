@@ -1005,6 +1005,67 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_nn_distance_hist(sf_dir: str):
+    """Nearest-neighbor distance distribution (Ripley's G function, the
+    complement of the ripley_pairs K): every customer's EXACT 1-NN
+    squared distance to another customer via the adaptive ring-expansion
+    kNN (k=2, self dropped — a zero-distance duplicate co-point still
+    yields the correct nearest other), floor-binned and two-phase
+    counted. SQL twin: self-join MIN + the same floor bin."""
+    from ray.data.aggregate import Min, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    refs = _small_points(
+        _read_table(sf_dir, "customer", columns=["c_custkey"]),
+        "c_custkey", BITS_JOIN,
+    ).rename_columns(["ref_id", "lon", "lat", "cell", "cx", "cy"])
+    out = knn_ops.knn_adaptive(
+        cust, refs, bits=BITS_JOIN, k=2,
+        query_cols=["c_custkey"], ref_id="ref_id",
+    )
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        q = t["c_custkey"].to_numpy(zero_copy_only=False)
+        r = t["ref_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(q != r)
+        return pa.table({"c_custkey": t["c_custkey"].filter(keep),
+                         "d2": t["dist2"].filter(keep)})
+
+    nn = (
+        out.map_batches(drop_self, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .repartition(8)
+        .groupby("c_custkey")
+        .aggregate(Min("d2", alias_name="mind2"))
+    )
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = np.floor(t["mind2"].to_numpy(zero_copy_only=False)).astype(
+            np.int64)
+        u, n = np.unique(b, return_counts=True)
+        return pa.table({"bin": u, "p_n": n.astype(np.int64)})
+
+    return (
+        nn.map_batches(binify, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(2)
+        .groupby("bin")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+
+SQL_NN_DISTANCE_HIST = """
+WITH c AS ({c_cte}),
+nn AS (SELECT a.c_custkey,
+              MIN((a.lon - b.lon) * (a.lon - b.lon)
+                + (a.lat - b.lat) * (a.lat - b.lat)) AS d2
+       FROM c a JOIN c b ON b.c_custkey <> a.c_custkey
+       GROUP BY 1)
+SELECT CAST(FLOOR(d2) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM nn GROUP BY 1
+""".format(c_cte=_sql_point_cte("customer", "c_custkey", BITS_JOIN))
+
+
 def q_gains_deciles(sf_dir: str):
     """Gains / lift table: orders binned into value deciles by the
     DISTRIBUTED quantile boundaries (quantile_disc rule, bit-matched),
@@ -10147,6 +10208,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
         "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
         "gains_deciles": (q_gains_deciles, SQL_GAINS_DECILES),
+        "nn_distance_hist": (q_nn_distance_hist, SQL_NN_DISTANCE_HIST),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
