@@ -1005,6 +1005,147 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+KS_TILE_CUT_US = 1_705_276_800_000_000  # 2024-01-15
+
+
+def q_ks_by_tile(sf_dir: str):
+    """Spatiotemporal drift: per-TILE two-sample KS between the event
+    value distributions before vs after Jan 15 (ops.sketch.ks2_by_group
+    keyed by the 32×32 tile — did this REGION's data change?). Integer
+    cross-multiplied CDF deviations; tiles seeing only one half dropped."""
+    from georay.ops import sketch as sketch_ops
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xi = (eid * HASH_LON) % 360000
+        yi = (eid * HASH_LAT) % 180000
+        val = np.round(t["value"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64) // 100
+        return pa.table({
+            "tile": (xi // 11250) * 32 + yi // 5625,
+            "val": val,
+            "flag": np.where(us < KS_TILE_CUT_US, np.int64(1), np.int64(2)),
+        })
+
+    binned = ev.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return sketch_ops.ks2_by_group(binned, "tile", "val", "flag")
+
+
+SQL_KS_BY_TILE = f"""
+WITH v AS (
+  SELECT (((event_id * {HASH_LON}) % 360000) // 11250) * 32
+         + ((event_id * {HASH_LAT}) % 180000) // 5625 AS tile,
+         CAST(ROUND(value * 100) AS BIGINT) // 100 AS val,
+         CASE WHEN epoch_us(ts) < {KS_TILE_CUT_US} THEN 1 ELSE 2 END AS g
+  FROM events),
+h AS (SELECT tile, val,
+             CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (g = 2) AS BIGINT) AS c2
+      FROM v GROUP BY 1, 2),
+w AS (SELECT tile, val,
+             CAST(SUM(c1) OVER (PARTITION BY tile ORDER BY val)
+               AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (PARTITION BY tile ORDER BY val)
+               AS BIGINT) AS cum2,
+             CAST(SUM(c1) OVER (PARTITION BY tile) AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER (PARTITION BY tile) AS BIGINT) AS n2
+      FROM h),
+d AS (SELECT tile, val, n1, n2, abs(n2 * cum1 - n1 * cum2) AS dev
+      FROM w WHERE n1 > 0 AND n2 > 0)
+SELECT tile, n1, n2, CAST(dev AS BIGINT) AS ks_num,
+       CAST(n1 * n2 AS BIGINT) AS ks_den, val AS arg_value,
+       CAST(dev AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY tile ORDER BY dev DESC, val) = 1
+"""
+
+
+def q_fano_burstiness(sf_dir: str):
+    """Fano factor (variance-to-mean dispersion) of each user's daily
+    event counts — the burstiness scalar: F = (n·Σx² − (Σx)²) / (n·Σx)
+    with both sides int64-exact, one float division (F ≈ 1 Poisson,
+    > 1 bursty). One two-phase (user, day) count, then integer moment
+    partials per user."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        pack = uid * (np.int64(1) << 24) + day
+        u, inv = np.unique(pack, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table({"user_id": u >> 24, "day": u & ((1 << 24) - 1),
+                         "p_n": n})
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("p_n", alias_name="x"))
+        .repartition(8)
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        sx = np.zeros(u.size, np.int64)
+        sxx = np.zeros(u.size, np.int64)
+        np.add.at(sx, inv, x)
+        np.add.at(sxx, inv, x * x)
+        return pa.table({"user_id": u,
+                         "p_d": np.bincount(inv).astype(np.int64),
+                         "p_sx": sx, "p_sxx": sxx})
+
+    agg = (
+        daily.map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .repartition(4)
+        .groupby("user_id")
+        .aggregate(Sum("p_d", alias_name="n_days"),
+                   Sum("p_sx", alias_name="sx"),
+                   Sum("p_sxx", alias_name="sxx"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n_days"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n * sxx - sx * sx
+        den = n * sx
+        return pa.table({
+            "user_id": t["user_id"], "n_days": pa.array(n),
+            "fano_num": num, "fano_den": den,
+            "fano": num.astype(np.float64) / den.astype(np.float64),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_FANO_BURSTINESS = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+a AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM e GROUP BY 1, 2),
+m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM a GROUP BY 1)
+SELECT user_id, n_days,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS fano_num,
+       CAST(n_days * sx AS BIGINT) AS fano_den,
+       CAST(n_days * sxx - sx * sx AS DOUBLE)
+         / CAST(n_days * sx AS DOUBLE) AS fano
+FROM m
+"""
+
+
 def q_nn_distance_hist(sf_dir: str):
     """Nearest-neighbor distance distribution (Ripley's G function, the
     complement of the ripley_pairs K): every customer's EXACT 1-NN
@@ -10209,6 +10350,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
         "gains_deciles": (q_gains_deciles, SQL_GAINS_DECILES),
         "nn_distance_hist": (q_nn_distance_hist, SQL_NN_DISTANCE_HIST),
+        "ks_by_tile": (q_ks_by_tile, SQL_KS_BY_TILE),
+        "fano_burstiness": (q_fano_burstiness, SQL_FANO_BURSTINESS),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
