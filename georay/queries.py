@@ -1005,6 +1005,137 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+COVER_RADIUS = 8.0  # degrees (== HUFF_RADIUS, defined later in-file)
+
+
+def q_facility_coverage(sf_dir: str):
+    """Coverage metric: how many customers sit within 8° of AT LEAST one
+    supplier (the service-coverage KPI). Semi-join shape: the broadcast
+    ring join emits pairs, a batch-local distinct on the demand id
+    collapses them, one tiny groupby dedups globally, and the answer is
+    two ints (covered, total). SQL twin: EXISTS."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    total = cust.count()
+    cust = spatial.points_with_cells(cust, "c_custkey", BITS_JOIN, xy=False)
+    supp = _small_points(
+        _read_table(sf_dir, "supplier", columns=["s_suppkey"]),
+        "s_suppkey", BITS_JOIN,
+    )
+    pairs = knn_ops.dwithin_ring(
+        cust, supp, bits=BITS_JOIN, radius=COVER_RADIUS,
+        query_cols=["c_custkey"], ref_id="s_suppkey",
+    )
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        u = np.unique(t["c_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"c_custkey": u})
+
+    covered = int(
+        pairs.map_batches(local_distinct, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Count(alias_name="_c"))
+        .count()
+    )
+    return pd.DataFrame({
+        "covered": [np.int64(covered)], "total": [np.int64(total)],
+    })
+
+
+SQL_FACILITY_COVERAGE = f"""
+WITH c AS ({{c_cte}}),
+     s AS ({{s_cte}})
+SELECT CAST(COUNT(*) FILTER (EXISTS (
+         SELECT 1 FROM s
+         WHERE (c.lon - s.lon) * (c.lon - s.lon)
+             + (c.lat - s.lat) * (c.lat - s.lat)
+               <= {COVER_RADIUS} * {COVER_RADIUS})) AS BIGINT) AS covered,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM c
+""".format(
+    c_cte=_sql_point_cte("customer", "c_custkey", BITS_JOIN),
+    s_cte=_sql_point_cte("supplier", "s_suppkey", BITS_JOIN),
+)
+
+
+def q_longest_streak(sf_dir: str):
+    """Longest run of CONSECUTIVE active days per user — the classic
+    gaps-and-islands on integers: after a two-phase (user, day) distinct,
+    island id = day − position (constant within a consecutive run), and
+    the answer is the max run length. Bucketized segmented numpy — one
+    sort per bucket, no per-user Python call. SQL twin: the day −
+    ROW_NUMBER() island trick."""
+    from ray.data.aggregate import Count, Max
+
+    from georay.ops import buckets as bk
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        pack = np.unique(uid * (np.int64(1) << 24) + day)
+        return pa.table({"user_id": pack >> 24,
+                         "day": pack & ((1 << 24) - 1)})
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["user_id", "day"])
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, "user_id", 32)
+
+    def per_bucket(g):
+        import pandas as pd
+
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        starts = bk.segment_starts(u)
+        counts = bk.segment_counts(starts, u.size)
+        pos = bk.position_in_segment(starts, counts, u.size)
+        island = d - pos  # constant within a consecutive run
+        key = u * (np.int64(1) << 25) + island  # day < 2^24 ⇒ island fits
+        uk, inv = np.unique(key, return_inverse=True)
+        run = np.bincount(inv, minlength=uk.size).astype(np.int64)
+        users = uk >> 25
+        uu = np.unique(users)
+        best = np.zeros(uu.size, np.int64)
+        np.maximum.at(best, np.searchsorted(uu, users), run)
+        return pd.DataFrame({"user_id": uu, "p_best": best})
+
+    return (
+        daily.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Max("p_best", alias_name="longest_streak"))
+    )
+
+
+SQL_LONGEST_STREAK = """
+WITH e AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+r AS (SELECT user_id, day,
+             day - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS island
+      FROM e),
+runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+         FROM r GROUP BY user_id, island)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
 KS_TILE_CUT_US = 1_705_276_800_000_000  # 2024-01-15
 
 
@@ -10352,6 +10483,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "nn_distance_hist": (q_nn_distance_hist, SQL_NN_DISTANCE_HIST),
         "ks_by_tile": (q_ks_by_tile, SQL_KS_BY_TILE),
         "fano_burstiness": (q_fano_burstiness, SQL_FANO_BURSTINESS),
+        "facility_coverage": (q_facility_coverage, SQL_FACILITY_COVERAGE),
+        "longest_streak": (q_longest_streak, SQL_LONGEST_STREAK),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
