@@ -1005,6 +1005,114 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_lag1_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of each user's ordered daily-count series —
+    the time-series sibling of fano_burstiness: all six pair moments
+    (n, Σa, Σb, Σab, Σaa, Σbb over adjacent pairs) are int64-exact from
+    ONE bucketized segmented pass (no per-user Python call), and the
+    Pearson r over pairs is the single float expression, identical
+    association order both sides. Users with < 3 active days dropped
+    (r undefined / zero-variance guard)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from georay.ops import buckets as bk
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        pack = uid * (np.int64(1) << 24) + day
+        u, inv = np.unique(pack, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table({"user_id": u >> 24, "day": u & ((1 << 24) - 1),
+                         "p_n": n})
+
+    daily = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("p_n", alias_name="x"))
+        .repartition(8)
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, "user_id", 32)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        order = np.lexsort((day, uid))
+        u, xv = uid[order], x[order]
+        starts = bk.segment_starts(u)
+        a, b = xv[:-1], xv[1:]
+        same = u[1:] == u[:-1]
+        idx = np.flatnonzero(same)
+        seg = np.searchsorted(starts, idx, side="right") - 1
+        uu = u[starts]
+        cols = {}
+        for nm, v in (("n", np.ones(idx.size, np.int64)), ("sa", a[idx]),
+                      ("sb", b[idx]), ("sab", a[idx] * b[idx]),
+                      ("saa", a[idx] * a[idx]), ("sbb", b[idx] * b[idx])):
+            acc = np.zeros(uu.size, np.int64)
+            np.add.at(acc, seg, v)
+            cols[nm] = acc
+        out = pd.DataFrame({"user_id": uu, **cols})
+        return out[out["n"] >= 2].reset_index(drop=True)
+
+    agg = (
+        daily.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    ).to_pandas()
+
+    n = agg["n"].astype("int64")
+    num = n * agg["sab"] - agg["sa"] * agg["sb"]
+    dx = n * agg["saa"] - agg["sa"] ** 2
+    dy = n * agg["sbb"] - agg["sb"] ** 2
+    keep = (dx > 0) & (dy > 0)
+    import math
+
+    r = [float(a) / (math.sqrt(float(b)) * math.sqrt(float(c)))
+         for a, b, c in zip(num[keep], dx[keep], dy[keep])]
+    out = pd.DataFrame({
+        "user_id": agg["user_id"][keep].astype("int64"),
+        "n_pairs": n[keep], "num": num[keep].astype("int64"),
+        "dx": dx[keep].astype("int64"), "dy": dy[keep].astype("int64"),
+        "r1": r,
+    })
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_LAG1_AUTOCORR = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+a AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM e GROUP BY 1, 2),
+l AS (SELECT user_id, x AS b,
+             LAG(x) OVER (PARTITION BY user_id ORDER BY day) AS a
+      FROM a),
+m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a * b) AS BIGINT) AS sab,
+             CAST(SUM(a * a) AS BIGINT) AS saa,
+             CAST(SUM(b * b) AS BIGINT) AS sbb
+      FROM l WHERE a IS NOT NULL GROUP BY 1)
+SELECT user_id, n AS n_pairs,
+       CAST(n * sab - sa * sb AS BIGINT) AS num,
+       CAST(n * saa - sa * sa AS BIGINT) AS dx,
+       CAST(n * sbb - sb * sb AS BIGINT) AS dy,
+       CAST(n * sab - sa * sb AS DOUBLE)
+         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS r1
+FROM m
+WHERE n >= 2 AND n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+"""
+
+
 COVER_RADIUS = 8.0  # degrees (== HUFF_RADIUS, defined later in-file)
 
 
@@ -10485,6 +10593,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "fano_burstiness": (q_fano_burstiness, SQL_FANO_BURSTINESS),
         "facility_coverage": (q_facility_coverage, SQL_FACILITY_COVERAGE),
         "longest_streak": (q_longest_streak, SQL_LONGEST_STREAK),
+        "lag1_autocorr": (q_lag1_autocorr, SQL_LAG1_AUTOCORR),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
