@@ -1005,6 +1005,79 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_hour_concentration(sf_dir: str):
+    """Circular concentration of each event type's hour-of-day profile —
+    the mean resultant length R of directional statistics (R→0 uniform
+    around the clock, →1 single-peaked). Per-HOUR unit vectors are
+    floored to ints ONCE (24 driver-side libm values — the lm_surprisal
+    discipline), so the distributed Σcos/Σsin are exact int64 dot
+    products with the hour counts; the final R is one identical float
+    expression. Plan: one two-phase (type, hour) count."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist())
+        hr = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+              // 3_600_000_000) % 24
+        df = pd.DataFrame({"et": et, "hr": hr})
+        out = df.groupby(["et", "hr"], as_index=False).size()
+        return pa.table({
+            "et": pa.array(out["et"].to_numpy(), pa.string()),
+            "hr": out["hr"].to_numpy().astype(np.int64),
+            "p_n": out["size"].to_numpy().astype(np.int64),
+        })
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["et", "hr"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: types × 24
+
+    ci = np.array([math.floor(1_000_000 * math.cos(2 * math.pi * h / 24))
+                   for h in range(24)], dtype=np.int64)
+    si = np.array([math.floor(1_000_000 * math.sin(2 * math.pi * h / 24))
+                   for h in range(24)], dtype=np.int64)
+    rows = []
+    for et in np.sort(agg["et"].unique()):
+        sub = agg[agg["et"] == et]
+        hr = sub["hr"].to_numpy().astype(np.int64)
+        n = sub["n"].to_numpy().astype(np.int64)
+        rx = int((ci[hr] * n).sum())
+        ry = int((si[hr] * n).sum())
+        tot = int(n.sum())
+        r = math.sqrt(float(rx) * float(rx) + float(ry) * float(ry)) \
+            / (1_000_000.0 * float(tot))
+        rows.append((et, tot, np.int64(rx), np.int64(ry), r))
+    return pd.DataFrame(rows, columns=["et", "n", "rx", "ry", "r_len"])
+
+
+SQL_HOUR_CONCENTRATION = """
+WITH x AS (SELECT event_type AS et,
+                  (epoch_us(ts) // 3600000000) % 24 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+u AS (SELECT hr,
+             CAST(FLOOR(1000000 * cos(2 * pi() * hr / 24)) AS BIGINT) AS ci,
+             CAST(FLOOR(1000000 * sin(2 * pi() * hr / 24)) AS BIGINT) AS si
+      FROM (SELECT DISTINCT hr FROM x)),
+m AS (SELECT et, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(ci * n) AS BIGINT) AS rx,
+             CAST(SUM(si * n) AS BIGINT) AS ry
+      FROM x JOIN u USING (hr) GROUP BY 1)
+SELECT et, n, rx, ry,
+       sqrt(CAST(rx AS DOUBLE) * CAST(rx AS DOUBLE)
+            + CAST(ry AS DOUBLE) * CAST(ry AS DOUBLE))
+         / (1000000.0 * CAST(n AS DOUBLE)) AS r_len
+FROM m
+"""
+
+
 def q_lag1_autocorr(sf_dir: str):
     """Lag-1 autocorrelation of each user's ordered daily-count series —
     the time-series sibling of fano_burstiness: all six pair moments
@@ -10594,6 +10667,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "facility_coverage": (q_facility_coverage, SQL_FACILITY_COVERAGE),
         "longest_streak": (q_longest_streak, SQL_LONGEST_STREAK),
         "lag1_autocorr": (q_lag1_autocorr, SQL_LAG1_AUTOCORR),
+        "hour_concentration": (q_hour_concentration,
+                               SQL_HOUR_CONCENTRATION),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
