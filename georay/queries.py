@@ -1005,6 +1005,95 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_spherical_resultant(sf_dir: str):
+    """Spherical dispersion per nation: each customer point becomes a
+    3-D unit vector FLOORED to integers (⌊10⁹·cosφcosλ⌋, …) so the
+    per-nation component sums are exact under any order; the resultant
+    length R = |Σv|/(10⁹n) (the Fisher-concentration proxy — R→1 means
+    the nation's points cluster on the sphere) is the one float
+    expression, written with identical association order (explicit
+    x·π/180, never radians()) on both sides."""
+    from ray.data.aggregate import Sum
+
+    import math
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    SC = 1_000_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False)
+        nat = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        lon, lat = spatial.synth_lonlat(key)
+        lam = lon * math.pi / 180.0
+        phi = lat * math.pi / 180.0
+        vx = np.floor(SC * np.cos(phi) * np.cos(lam)).astype(np.int64)
+        vy = np.floor(SC * np.cos(phi) * np.sin(lam)).astype(np.int64)
+        vz = np.floor(SC * np.sin(phi)).astype(np.int64)
+        u, inv = np.unique(nat, return_inverse=True)
+        cols = {}
+        for nm, v in (("p_x", vx), ("p_y", vy), ("p_z", vz),
+                      ("p_n", np.ones_like(vx))):
+            acc = np.zeros(u.size, np.int64)
+            np.add.at(acc, inv, v)
+            cols[nm] = acc
+        return pa.table({"c_nationkey": u, **cols})
+
+    agg = (
+        cust.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .repartition(4)
+        .groupby("c_nationkey")
+        .aggregate(Sum("p_x", alias_name="sx"),
+                   Sum("p_y", alias_name="sy"),
+                   Sum("p_z", alias_name="sz"),
+                   Sum("p_n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sz = t["sz"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = np.sqrt(sx * sx + sy * sy + sz * sz) / (float(SC) * n)
+        return pa.table({
+            "c_nationkey": t["c_nationkey"], "n": t["n"],
+            "sx": t["sx"], "sy": t["sy"], "sz": t["sz"],
+            "r_len": r,
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_spherical_resultant() -> str:
+    lon = sql_lon("c_custkey")
+    lat = sql_lat("c_custkey")
+    return f"""
+WITH p AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+    CAST(FLOOR(1000000000 * cos(({lat}) * pi() / 180.0)
+               * cos(({lon}) * pi() / 180.0)) AS BIGINT) AS vx,
+    CAST(FLOOR(1000000000 * cos(({lat}) * pi() / 180.0)
+               * sin(({lon}) * pi() / 180.0)) AS BIGINT) AS vy,
+    CAST(FLOOR(1000000000 * sin(({lat}) * pi() / 180.0)) AS BIGINT) AS vz
+  FROM customer),
+m AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vx) AS BIGINT) AS sx,
+             CAST(SUM(vy) AS BIGINT) AS sy,
+             CAST(SUM(vz) AS BIGINT) AS sz
+      FROM p GROUP BY 1)
+SELECT c_nationkey, n, sx, sy, sz,
+       sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+            + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+            + CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+         / (1000000000.0 * CAST(n AS DOUBLE)) AS r_len
+FROM m
+"""
+
+
+SQL_SPHERICAL_RESULTANT = _sql_spherical_resultant()
+
+
 def q_hour_concentration(sf_dir: str):
     """Circular concentration of each event type's hour-of-day profile —
     the mean resultant length R of directional statistics (R→0 uniform
@@ -10669,6 +10758,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "lag1_autocorr": (q_lag1_autocorr, SQL_LAG1_AUTOCORR),
         "hour_concentration": (q_hour_concentration,
                                SQL_HOUR_CONCENTRATION),
+        "spherical_resultant": (q_spherical_resultant,
+                                SQL_SPHERICAL_RESULTANT),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
