@@ -1005,6 +1005,77 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_cycle_time_median(sf_dir: str):
+    """Order-cycle-time analytics: per priority class, the EXACT
+    interpolated median of (last shipment − order date) in whole days —
+    a two-phase per-order Max, one hash join to orders, integer day
+    diffs, then ops.sketch.grouped_median2 (2×median stays int64).
+    SQL twin: window-function percentile replay."""
+    from ray.data.aggregate import Max
+
+    from georay.ops import sketch as sketch_ops
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def ship_partial(t: pa.Table) -> pa.Table:
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        us = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(key, return_inverse=True)
+        mx = np.full(u.size, np.int64(-1) << 62, dtype=np.int64)
+        np.maximum.at(mx, inv, us)
+        return pa.table({"o_orderkey": u, "p_mx": mx})
+
+    last_ship = (
+        li.map_batches(ship_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(8)
+        .groupby("o_orderkey")
+        .aggregate(Max("p_mx", alias_name="ship_us"))
+        .repartition(8)
+    )
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]).repartition(8)
+    joined = last_ship.join(orders, join_type="inner", num_partitions=8,
+                            on=("o_orderkey",))
+
+    def days(t: pa.Table) -> pa.Table:
+        ship = t["ship_us"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pri = np.asarray(t["o_orderpriority"].to_pylist())
+        return pa.table({
+            "pri": np.array([int(p[0]) for p in pri], dtype=np.int64),
+            "days": (ship - od) // 86_400_000_000,
+        })
+
+    return sketch_ops.grouped_median2(
+        joined.map_batches(days, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "pri", "days",
+    )
+
+
+SQL_CYCLE_TIME_MEDIAN = """
+WITH ls AS (SELECT l_orderkey,
+                   CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS ship_us
+            FROM lineitem GROUP BY 1),
+v AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             (ship_us - epoch_us(o_orderdate)) // 86400000000 AS v
+      FROM orders JOIN ls ON l_orderkey = o_orderkey),
+r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM v),
+s AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                           THEN v ELSE 0 END) AS BIGINT) AS s
+      FROM r GROUP BY g)
+SELECT g AS pri, n_rows,
+       CASE WHEN n_rows % 2 = 1 THEN 2 * s ELSE s END AS median2
+FROM s
+"""
+
+
 def q_spherical_resultant(sf_dir: str):
     """Spherical dispersion per nation: each customer point becomes a
     3-D unit vector FLOORED to integers (⌊10⁹·cosφcosλ⌋, …) so the
@@ -10760,6 +10831,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
                                SQL_HOUR_CONCENTRATION),
         "spherical_resultant": (q_spherical_resultant,
                                 SQL_SPHERICAL_RESULTANT),
+        "cycle_time_median": (q_cycle_time_median, SQL_CYCLE_TIME_MEDIAN),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
