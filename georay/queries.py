@@ -1005,6 +1005,65 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_spatial_entropy(sf_dir: str):
+    """Global spatial entropy of the order distribution over BITS_TILE
+    cells (the diversity scalar complementing cell_gini's inequality):
+    H = ln N − Σ nᵢ·⌊10⁶·ln nᵢ⌋ / (10⁶·N) — the log is floored ONCE per
+    cell-count value (lm_surprisal discipline), so the big sum is int64
+    and order-free; ONE float expression at the end, identical on both
+    sides."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: ≤ 2^BITS_TILE occupied cells
+
+    n = agg["n"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    ent_num = int(sum(
+        int(c) * math.floor(1_000_000 * math.log(float(c))) for c in n
+    ))
+    h = math.log(float(total)) - float(ent_num) / (1_000_000.0
+                                                   * float(total))
+    return pd.DataFrame({
+        "k_cells": [np.int64(len(n))], "total": [np.int64(total)],
+        "ent_num": [np.int64(ent_num)], "entropy": [h],
+    })
+
+
+SQL_SPATIAL_ENTROPY = f"""
+WITH c AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(n * CAST(FLOOR(1000000
+                   * ln(CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT) AS ent_num
+      FROM c)
+SELECT k AS k_cells, total, ent_num,
+       ln(CAST(total AS DOUBLE))
+         - CAST(ent_num AS DOUBLE) / (1000000.0 * CAST(total AS DOUBLE))
+         AS entropy
+FROM m
+"""
+
+
 def q_cycle_time_median(sf_dir: str):
     """Order-cycle-time analytics: per priority class, the EXACT
     interpolated median of (last shipment − order date) in whole days —
@@ -10832,6 +10891,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "spherical_resultant": (q_spherical_resultant,
                                 SQL_SPHERICAL_RESULTANT),
         "cycle_time_median": (q_cycle_time_median, SQL_CYCLE_TIME_MEDIAN),
+        "spatial_entropy": (q_spatial_entropy, SQL_SPATIAL_ENTROPY),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
