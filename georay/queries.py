@@ -1005,6 +1005,116 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_pareto_share(sf_dir: str):
+    """Revenue concentration (the 80/20 check): exact integer revenue of
+    the customers at or above the 99th-percentile customer-revenue
+    boundary vs everyone — per-customer two-phase revenue sums, the
+    distributed quantile boundary (quantile_disc rule, bit-matched),
+    and one broadcast-compare pass. All int64; no floats anywhere."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from georay.ops import sketch as sketch_ops
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        pct = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - pct)
+        u, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table({"o_orderkey": u, "p_rev": acc})
+
+    by_order = (
+        li.map_batches(rev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(8)
+        .groupby("o_orderkey")
+        .aggregate(Sum("p_rev", alias_name="rev"))
+        .repartition(8)
+    )
+    joined = by_order.join(orders.repartition(8), join_type="inner",
+                           num_partitions=8, on=("o_orderkey",))
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, r)
+        return pa.table({"c": u, "p_r": acc})
+
+    by_cust = (
+        joined.map_batches(cust_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("c")
+        .aggregate(Sum("p_r", alias_name="crev"))
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(np.repeat("all", t.num_rows), pa.string()),
+            "crev": t["crev"],
+        })
+
+    qdf = sketch_ops.grouped_quantiles(
+        by_cust.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        "g", "crev", qs=(0.99,),
+    ).to_pandas()
+    q99 = int(qdf["p99"].iloc[0])
+
+    def split(t: pa.Table) -> pa.Table:
+        r = t["crev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = r >= q99
+        return pa.table({
+            "p_n": np.array([r.size], np.int64),
+            "p_topn": np.array([int(top.sum())], np.int64),
+            "p_toprev": np.array([int(r[top].sum())], np.int64),
+            "p_rev": np.array([int(r.sum())], np.int64),
+        })
+
+    tot = (
+        by_cust.map_batches(split, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .sum(["p_n", "p_topn", "p_toprev", "p_rev"])
+    )
+    return pd.DataFrame({
+        "n_cust": [np.int64(tot["sum(p_n)"])],
+        "top_n": [np.int64(tot["sum(p_topn)"])],
+        "q99_rev": [np.int64(q99)],
+        "top_rev_u": [np.int64(tot["sum(p_toprev)"])],
+        "total_rev_u": [np.int64(tot["sum(p_rev)"])],
+    })
+
+
+SQL_PARETO_SHARE = """
+WITH rev AS (SELECT l_orderkey AS ok,
+                    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l_discount * 100)
+                                           AS BIGINT))) AS BIGINT) AS r
+             FROM lineitem GROUP BY 1),
+bc AS (SELECT o_custkey, CAST(SUM(r) AS BIGINT) AS crev
+       FROM orders JOIN rev ON ok = o_orderkey GROUP BY 1),
+q AS (SELECT CAST(quantile_disc(crev, 0.99) AS BIGINT) AS q99 FROM bc)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(COUNT(*) FILTER (crev >= q99) AS BIGINT) AS top_n,
+       q99 AS q99_rev,
+       CAST(COALESCE(SUM(crev) FILTER (crev >= q99), 0) AS BIGINT)
+         AS top_rev_u,
+       CAST(SUM(crev) AS BIGINT) AS total_rev_u
+FROM bc CROSS JOIN q GROUP BY q99
+"""
+
+
 def q_spatial_entropy(sf_dir: str):
     """Global spatial entropy of the order distribution over BITS_TILE
     cells (the diversity scalar complementing cell_gini's inequality):
@@ -10892,6 +11002,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
                                 SQL_SPHERICAL_RESULTANT),
         "cycle_time_median": (q_cycle_time_median, SQL_CYCLE_TIME_MEDIAN),
         "spatial_entropy": (q_spatial_entropy, SQL_SPATIAL_ENTROPY),
+        "pareto_share": (q_pareto_share, SQL_PARETO_SHARE),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
