@@ -1005,6 +1005,57 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_benford_digits(sf_dir: str):
+    """Benford first-digit audit of order totals (the fraud/data-quality
+    screen): observed counts per leading digit of the cent amount vs the
+    Benford expectation — expected_scaled = n·⌊10⁶·log₁₀(1+1/d)⌋ floored
+    ONCE per digit (9 libm calls driver-side), so every emitted number is
+    int64. Digit extraction is string-based on both sides (no float log
+    near power-of-ten boundaries). One two-phase count."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        d = pd.Series(cents).astype(str).str[0].astype(np.int64).to_numpy()
+        u, n = np.unique(d, return_counts=True)
+        return pa.table({"digit": u, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(2)
+        .groupby("digit")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: 9 digits
+
+    total = int(agg["n"].sum())
+    rows = []
+    for d, n in sorted(zip(agg["digit"].astype(int), agg["n"].astype(int))):
+        b = math.floor(1_000_000 * math.log10(1 + 1 / float(d)))
+        rows.append((int(d), int(n), np.int64(total) * b))
+    return pd.DataFrame(rows, columns=["digit", "n", "expected_scaled"])
+
+
+SQL_BENFORD_DIGITS = """
+WITH c AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM orders),
+h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+SELECT digit, n,
+       CAST(total * CAST(FLOOR(1000000
+              * log10(1 + 1 / CAST(digit AS DOUBLE))) AS BIGINT)
+         AS BIGINT) AS expected_scaled
+FROM h CROSS JOIN t
+"""
+
+
 def q_pareto_share(sf_dir: str):
     """Revenue concentration (the 80/20 check): exact integer revenue of
     the customers at or above the 99th-percentile customer-revenue
@@ -11003,6 +11054,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "cycle_time_median": (q_cycle_time_median, SQL_CYCLE_TIME_MEDIAN),
         "spatial_entropy": (q_spatial_entropy, SQL_SPATIAL_ENTROPY),
         "pareto_share": (q_pareto_share, SQL_PARETO_SHARE),
+        "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
