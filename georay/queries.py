@@ -1005,6 +1005,97 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_simpson_diversity(sf_dir: str):
+    """Per-user Simpson concentration of event types — the diversity
+    index whose numerator Σ nᵢ(nᵢ−1) and denominator n(n−1) are BOTH
+    plain integers (unlike Shannon, no transcendental at all): λ→1 means
+    one behavior dominates. Two-phase (user, type) counts → per-user
+    rollup of the aggregate rows; users with a single event dropped
+    (denominator zero)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist())
+        df = pd.DataFrame({"u": uid, "t": et})
+        out = df.groupby(["u", "t"], as_index=False).size()
+        return pa.table({
+            "u": out["u"].to_numpy().astype(np.int64),
+            "t": pa.array(out["t"].to_numpy(), pa.string()),
+            "p_n": out["size"].to_numpy().astype(np.int64),
+        })
+
+    per_type = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["u", "t"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .repartition(8)
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        tot = np.zeros(uu.size, np.int64)
+        num = np.zeros(uu.size, np.int64)
+        np.add.at(tot, inv, n)
+        np.add.at(num, inv, n * (n - 1))
+        return pa.table({
+            "user_id": uu,
+            "p_tot": tot, "p_num": num,
+            "p_k": np.bincount(inv).astype(np.int64),
+        })
+
+    agg = (
+        per_type.map_batches(rollup, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .repartition(4)
+        .groupby("user_id")
+        .aggregate(Sum("p_tot", alias_name="n_events"),
+                   Sum("p_num", alias_name="simpson_num"),
+                   Sum("p_k", alias_name="n_types"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = t["simpson_num"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = n > 1
+        w = pa.array(keep)
+        den = n[keep] * (n[keep] - 1)
+        return pa.table({
+            "user_id": t["user_id"].filter(w),
+            "n_events": pa.array(n[keep]),
+            "n_types": t["n_types"].filter(w),
+            "simpson_num": pa.array(num[keep]),
+            "simpson_den": pa.array(den),
+            "simpson": num[keep].astype(np.float64)
+            / den.astype(np.float64),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+m AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS simpson_num
+      FROM c GROUP BY 1)
+SELECT user_id, n_events, n_types, simpson_num,
+       CAST(n_events * (n_events - 1) AS BIGINT) AS simpson_den,
+       CAST(simpson_num AS DOUBLE)
+         / CAST(n_events * (n_events - 1) AS DOUBLE) AS simpson
+FROM m WHERE n_events > 1
+"""
+
+
 def q_benford_digits(sf_dir: str):
     """Benford first-digit audit of order totals (the fraud/data-quality
     screen): observed counts per leading digit of the cent amount vs the
@@ -11055,6 +11146,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "spatial_entropy": (q_spatial_entropy, SQL_SPATIAL_ENTROPY),
         "pareto_share": (q_pareto_share, SQL_PARETO_SHARE),
         "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
+        "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
