@@ -1005,6 +1005,99 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_week_overlap(sf_dir: str):
+    """Week-over-week audience overlap: for each consecutive week pair,
+    the Jaccard of the active-user sets — the retention-curve primitive
+    as exact integer counts (n_w, n_w1, n_both) plus the one float
+    division. Plan: global distinct (user, week) → bucketized per-user
+    adjacent-week co-presence (diff == 1 on the sorted week runs, no
+    per-user Python call) → tiny per-week count joins driver-side
+    (weeks are single digits)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from georay.ops import buckets as bk
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+              // 604_800_000_000)
+        pack = np.unique(uid * (np.int64(1) << 24) + wk)
+        return pa.table({"user_id": pack >> 24,
+                         "wk": pack & ((1 << 24) - 1)})
+
+    duw = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "wk"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["user_id", "wk"])
+        .repartition(8)
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, "user_id", 16)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        wk = g["wk"].to_numpy(np.int64)
+        order = np.lexsort((wk, uid))
+        u, w = uid[order], wk[order]
+        adj = (u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1)
+        wb, nb = np.unique(w[:-1][adj], return_counts=True)
+        ww, nw = np.unique(w, return_counts=True)
+        return pd.DataFrame({
+            "wk": np.concatenate([ww, wb]),
+            "kind": np.concatenate([np.zeros(ww.size, np.int64),
+                                    np.ones(wb.size, np.int64)]),
+            "p_n": np.concatenate([nw, nb]).astype(np.int64),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        duw.map_batches(add_bucket, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["wk", "kind"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: weeks × 2
+
+    wk = agg["wk"].to_numpy().astype(np.int64)
+    kind = agg["kind"].to_numpy().astype(np.int64)
+    n = agg["n"].to_numpy().astype(np.int64)
+    active = {int(w): int(v) for w, v, k in zip(wk, n, kind) if k == 0}
+    both = {int(w): int(v) for w, v, k in zip(wk, n, kind) if k == 1}
+    rows = []
+    for w in sorted(active):
+        if w + 1 not in active:
+            continue
+        nb = both.get(w, 0)
+        n1, n2 = active[w], active[w + 1]
+        rows.append((w, n1, n2, nb,
+                     float(nb) / float(n1 + n2 - nb)))
+    return pd.DataFrame(rows, columns=["week", "n_w", "n_w1", "n_both",
+                                       "jaccard"])
+
+
+SQL_WEEK_OVERLAP = """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS wk FROM events),
+cnt AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+b AS (SELECT a.wk, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM d a JOIN d b2 ON b2.user_id = a.user_id AND b2.wk = a.wk + 1
+      GROUP BY 1)
+SELECT c1.wk AS week, c1.n AS n_w, c2.n AS n_w1,
+       CAST(COALESCE(nb, 0) AS BIGINT) AS n_both,
+       CAST(COALESCE(nb, 0) AS DOUBLE)
+         / CAST(c1.n + c2.n - COALESCE(nb, 0) AS DOUBLE) AS jaccard
+FROM cnt c1 JOIN cnt c2 ON c2.wk = c1.wk + 1
+LEFT JOIN b ON b.wk = c1.wk
+"""
+
+
 def q_simpson_diversity(sf_dir: str):
     """Per-user Simpson concentration of event types — the diversity
     index whose numerator Σ nᵢ(nᵢ−1) and denominator n(n−1) are BOTH
@@ -11147,6 +11240,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "pareto_share": (q_pareto_share, SQL_PARETO_SHARE),
         "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
         "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
+        "week_overlap": (q_week_overlap, SQL_WEEK_OVERLAP),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
