@@ -1005,6 +1005,63 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_interarrival_median(sf_dir: str):
+    """Per-user EXACT interpolated median inter-arrival time (whole
+    seconds): gaps come from ONE bucketized segmented pass over the
+    (ts, event_id)-ordered stream (cross-user diffs masked, no per-user
+    Python call), the median from ops.sketch.grouped_median2 (2×median
+    stays int64). SQL twin: LAG gaps + the window percentile replay."""
+    import pandas as pd
+
+    from georay.ops import buckets as bk
+    from georay.ops import sketch as sketch_ops
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return bk.append_bucket(t, "user_id", 16)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        u, t = uid[order], us[order]
+        same = u[1:] == u[:-1]
+        return pd.DataFrame({
+            "user_id": u[1:][same],
+            "gap_s": (t[1:] - t[:-1])[same] // 1_000_000,
+        })
+
+    gap_ds = (
+        ev.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(gaps, batch_format="pandas")
+    )
+    return sketch_ops.grouped_median2(gap_ds, "user_id", "gap_s")
+
+
+SQL_INTERARRIVAL_MEDIAN = """
+WITH l AS (SELECT user_id,
+                  (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                    // 1000000 AS v
+           FROM events),
+g AS (SELECT user_id AS gk, v FROM l WHERE v IS NOT NULL),
+r AS (SELECT gk, v, ROW_NUMBER() OVER (PARTITION BY gk ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY gk) AS n
+      FROM g),
+s AS (SELECT gk, CAST(MAX(n) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                           THEN v ELSE 0 END) AS BIGINT) AS s
+      FROM r GROUP BY gk)
+SELECT gk AS user_id, n_rows,
+       CASE WHEN n_rows % 2 = 1 THEN 2 * s ELSE s END AS median2
+FROM s
+"""
+
+
 def q_week_overlap(sf_dir: str):
     """Week-over-week audience overlap: for each consecutive week pair,
     the Jaccard of the active-user sets — the retention-curve primitive
@@ -11241,6 +11298,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
         "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
         "week_overlap": (q_week_overlap, SQL_WEEK_OVERLAP),
+        "interarrival_median": (q_interarrival_median,
+                                SQL_INTERARRIVAL_MEDIAN),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
