@@ -1005,6 +1005,61 @@ FROM deg d LEFT JOIN lab l ON l.pid = d.pid
 )
 
 
+def q_rolling_wau(sf_dir: str):
+    """Rolling 7-day active users per day (the WAU curve): each distinct
+    (user, day) pair expands to the 7 window-end days it supports, a
+    batch-local dedup collapses the expansion, one (window, user) groupby
+    kills cross-batch duplicates, and a two-phase count finishes — the
+    sliding-distinct shape where only distinct pairs ever shuffle. SQL
+    twin: the same expansion via unnest(range(7)) + COUNT(DISTINCT)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        pack = np.unique(uid * (np.int64(1) << 24) + day)
+        u0, d0 = pack >> 24, pack & ((1 << 24) - 1)
+        wd = (d0[:, None] + np.arange(7)[None, :]).reshape(-1)
+        uu = np.repeat(u0, 7)
+        wpack = np.unique(uu * (np.int64(1) << 24) + wd)
+        return pa.table({"wd": wpack & ((1 << 24) - 1),
+                         "user_id": wpack >> 24})
+
+    pairs = (
+        ev.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["wd", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["wd"])
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        u, n = np.unique(t["wd"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"window_day": u.astype(np.int64),
+                         "p_n": n.astype(np.int64)})
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .repartition(2)
+        .groupby("window_day")
+        .aggregate(Sum("p_n", alias_name="wau"))
+    )
+
+
+SQL_ROLLING_WAU = """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+e AS (SELECT DISTINCT user_id, day + i AS wd
+      FROM d, unnest(range(7)) t(i))
+SELECT wd AS window_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM e GROUP BY 1
+"""
+
+
 def q_interarrival_median(sf_dir: str):
     """Per-user EXACT interpolated median inter-arrival time (whole
     seconds): gaps come from ONE bucketized segmented pass over the
@@ -11300,6 +11355,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "week_overlap": (q_week_overlap, SQL_WEEK_OVERLAP),
         "interarrival_median": (q_interarrival_median,
                                 SQL_INTERARRIVAL_MEDIAN),
+        "rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU),
         "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
         "cell_bbox": (q_cell_bbox, SQL_CELL_BBOX),
         "precision_error": (q_precision_error, SQL_PRECISION_ERROR),
