@@ -984,14 +984,20 @@ def nearest_segment(points_ds, seg_table: pa.Table, point_id: str,
     ``ray.put`` once, a running-best sweep over segments inside each
     ``map_batches`` task — vectorized over the batch's points per
     segment, O(points × segments) integer ops, no shuffle. Coordinates
-    must satisfy |coord| < 2^15 so every cross-multiplied compare fits
-    int64 (num ≤ 2·G²·den with den ≤ 2·G², compare products ≤ 8·G⁶).
+    must satisfy |coord| ≤ 2^9 = 512 so every cross-multiplied compare
+    fits int64: with |coord| ≤ G the differences are ≤ 2G, so
+    w2, td ≤ 8·G², num ≤ w2·td ≤ 64·G⁴, and the compare product
+    num·best_den ≤ 512·G⁶ < 2^63 requires G ≤ 2^9. Enforced with a
+    ValueError on both the segment table (here) and every point batch
+    (per task) — larger grids silently wrapped int64 before this guard.
 
     Output: ``point_id, seg_id, d2_num, d2_den``.
     """
     import ray
 
     from georay.runtime import per_process
+
+    COORD_BOUND = 512  # 2^9 — see the docstring's overflow derivation
 
     sid_arr = seg_table[seg_id].to_numpy().astype(np.int64)
     order = np.argsort(sid_arr, kind="stable")  # ascending-sid sweep makes
@@ -1003,6 +1009,13 @@ def nearest_segment(points_ds, seg_table: pa.Table, point_id: str,
         seg_table[x2].to_numpy().astype(np.int64)[order],
         seg_table[y2].to_numpy().astype(np.int64)[order],
     )
+    for arr in segs[1:]:
+        if arr.size and np.abs(arr).max() > COORD_BOUND:
+            raise ValueError(
+                "nearest_segment: |segment coord| must be <= %d to keep the "
+                "cross-multiplied int64 compare exact (got %d)"
+                % (COORD_BOUND, int(np.abs(arr).max()))
+            )
     seg_ref = ray.put(segs)
     state_key = seg_ref.hex()
 
@@ -1015,6 +1028,13 @@ def nearest_segment(points_ds, seg_table: pa.Table, point_id: str,
         pid = t[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
         px = t[px_col].to_numpy(zero_copy_only=False).astype(np.int64)
         py = t[py_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if px.size:
+            pmax = max(int(np.abs(px).max()), int(np.abs(py).max()))
+            if pmax > 512:  # COORD_BOUND — same int64-overflow contract
+                raise ValueError(
+                    "nearest_segment: |point coord| must be <= 512 to keep "
+                    "the cross-multiplied int64 compare exact (got %d)" % pmax
+                )
         n = pid.size
         best_num = np.zeros(n, np.int64)
         best_den = np.ones(n, np.int64)

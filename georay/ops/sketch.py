@@ -912,6 +912,15 @@ def ks2_by_group(ds, group_col: str, value_col: str, flag_col: str,
         .aggregate(Sum("p_n", alias_name="n"))
     ).to_pandas()  # bounded: groups × distinct binned values × 2
 
+    if not len(hist):  # empty/fully-filtered input: new[0] below would IndexError
+        return pd.DataFrame({
+            group_col: np.empty(0, dtype=object),
+            "n1": np.empty(0, np.int64), "n2": np.empty(0, np.int64),
+            "ks_num": np.empty(0, np.int64), "ks_den": np.empty(0, np.int64),
+            "arg_value": np.empty(0, np.int64),
+            "ks": np.empty(0, np.float64),
+        })
+
     codes, uniq = pd.factorize(hist["g"].to_numpy())
     v = hist["v"].to_numpy().astype(np.int64)
     f = hist["f"].to_numpy().astype(np.int64)

@@ -18,6 +18,39 @@ from georay.runtime import table_from_pandas
 US_PER_DAY = 86_400 * 1_000_000
 
 
+def _assert_ts_scale(dtype, ts_scale_us: int, where: str) -> None:
+    """Loud guard for the silent-nanoseconds hazard: casting a datetime64 /
+    timestamp column to int64 yields raw ticks in the COLUMN's unit, so the
+    caller's ``ts_scale_us`` must match it (1000 for ns, 1 for us). Plain
+    integer columns pass through unchecked — the caller owns their unit
+    contract. Accepts a numpy/pandas dtype or a pyarrow DataType."""
+    unit = None
+    if isinstance(dtype, pa.DataType):
+        if pa.types.is_timestamp(dtype):
+            unit = dtype.unit
+    else:
+        try:
+            np_dt = np.dtype(dtype)
+            if np_dt.kind == "M":
+                unit = np.datetime_data(np_dt)[0]
+        except TypeError:
+            unit = getattr(dtype, "unit", None)  # pandas DatetimeTZDtype
+    if unit is None:
+        return
+    need = {"ns": 1000, "us": 1}.get(unit)
+    if need is None:
+        raise ValueError(
+            "%s: unsupported timestamp unit %r — convert to timestamp[us] "
+            "(or [ns] with ts_scale_us=1000)" % (where, unit)
+        )
+    if ts_scale_us != need:
+        raise ValueError(
+            "%s: ts column has unit %r so ts_scale_us must be %d (got %d) — "
+            "the int64 cast would otherwise be silently wrong by 1000x"
+            % (where, unit, need, ts_scale_us)
+        )
+
+
 def tumbling(ds, key_col: str, ts_col: str, value_col: str,
              width_us: int = US_PER_DAY, combine_partitions: int = 8):
     """(key, window) → n, int-exact value sum. Two-phase partial agg."""
@@ -25,6 +58,7 @@ def tumbling(ds, key_col: str, ts_col: str, value_col: str,
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        _assert_ts_scale(t[ts_col].type, 1, "tumbling")  # requires us ticks
         us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = us // width_us
         milli = np.floor(t[value_col].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
@@ -56,6 +90,7 @@ def sliding(ds, key_col: str, ts_col: str, value_col: str,
     n_covers = width_us // slide_us
 
     def partial(t: pa.Table) -> pa.Table:
+        _assert_ts_scale(t[ts_col].type, ts_scale_us, "sliding")
         us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // ts_scale_us
         milli = np.floor(t[value_col].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
         keys = t[key_col].to_pandas().to_numpy()
@@ -173,6 +208,7 @@ def running_stats(ds, key_col: str, ts_col: str, order_col: str,
         return bk.append_bucket(t, key_col, num_buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _assert_ts_scale(g[ts_col].dtype, ts_scale_us, "running_stats")
         codes, _ = pd.factorize(g[key_col].to_numpy())
         ts_raw = g[ts_col].astype("int64").to_numpy()
         order = np.lexsort(
@@ -306,6 +342,7 @@ def session(ds, key_col: str, ts_col: str, gap_us: int, ts_scale_us: int = 1,
         return bk.append_bucket(t, key_col, num_buckets)
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        _assert_ts_scale(g[ts_col].dtype, ts_scale_us, "session")
         keys = g[key_col].to_numpy()
         codes, _ = pd.factorize(keys)
         us_all = g[ts_col].astype("int64").to_numpy() // ts_scale_us
@@ -419,6 +456,14 @@ def resample_gapfill(ds, key_col: str, ts_col: str, value_col: str,
     ``value_col`` must already be integer-valued (pre-scale floats to
     cents upstream so sums are exact under any execution order).
 
+    Bit contract: partials pack ``key * 2^24 + bucket``, so every bucket
+    index ``(ts // ts_scale_us) // bucket_us`` must satisfy
+    ``0 <= bucket < 2^24`` and ``|key| < 2^39`` — epoch-microsecond
+    timestamps need ``bucket_us >= ~1.7e11/2^24`` (hour buckets from a
+    1970 epoch overflow; rebase ts or widen bucket_us). Validated per
+    batch with a ValueError — out-of-range buckets silently corrupted
+    keys before this guard.
+
     Plan: per-batch (key, bucket) partials → one groupby; per-key
     (min, max) span partials → a second tiny groupby; the dense grid is a
     segmented-arange flat-map of the span rows (O(span) rows per key, no
@@ -429,10 +474,18 @@ def resample_gapfill(ds, key_col: str, ts_col: str, value_col: str,
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        _assert_ts_scale(t[ts_col].type, ts_scale_us, "resample_gapfill")
         key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         us = t[ts_col].cast(pa.int64()).to_numpy(
             zero_copy_only=False) // ts_scale_us
         b = us // bucket_us
+        if b.size and (b.min() < 0 or b.max() >= (1 << 24)):
+            raise ValueError(
+                "resample_gapfill: bucket index out of the packed 24-bit "
+                "range [0, 2^24) (got [%d, %d]) — rebase timestamps or "
+                "widen bucket_us (see docstring bit contract)"
+                % (int(b.min()), int(b.max()))
+            )
         val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         pack = key * (np.int64(1) << 24) + b  # buckets fit 24 bits here
         u, inv = np.unique(pack, return_inverse=True)
