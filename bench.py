@@ -43,6 +43,23 @@ BENCH_QUERIES = [
     "q1_lineitem",
 ]
 
+# Heavy non-headline families (VERDICT r4 #1): perf was graded on 8/195
+# paths and a 20x containment_join regression hid for a round. Walls are
+# ~3x the measured sf0.1 @32cpu best (2026-08-19: corpus 12.6, setsim 8.0,
+# containment 8.6, dbscan 8.7, pagerank 23.3, semdedup 2.8, minhash 4.3 s)
+# to ride out this VM's documented 2x steal phases; "--heavy" exits
+# non-zero on violation (the regression gate), the default suite reports
+# "heavy_over_budget" without crashing the driver's record.
+HEAVY_QUERIES = {
+    "corpus_curation": 30.0,
+    "setsim_join": 25.0,
+    "containment_join": 25.0,
+    "grid_dbscan": 25.0,
+    "pagerank_suppliers": 60.0,
+    "semantic_dedup": 15.0,
+    "minhash_neardup_shuffle": 20.0,
+}
+
 
 def run_suite(only: list[str] | None = None) -> dict:
     import ray
@@ -93,6 +110,19 @@ def run_suite(only: list[str] | None = None) -> dict:
         if name == "flagship_images":
             extras["images_per_sec"] = round(n_images / dt, 1)
         del n_rows
+    heavy: dict[str, float] = {}
+    if only is None:  # default suite also gates the heavy families
+        for name in HEAVY_QUERIES:
+            fn = callables[name]
+            t0 = time.time()
+            res = fn(SF_DIR)
+            if isinstance(res, ray.data.Dataset):
+                res = res.to_pandas()
+            heavy[name] = round(time.time() - t0, 3)
+        extras["heavy"] = heavy
+        extras["heavy_over_budget"] = sorted(
+            n for n, dt in heavy.items() if dt > HEAVY_QUERIES[n]
+        )
     ray.shutdown()
     return {
         "metric": "spatial-join + tile-assignment suite wall time",
@@ -519,6 +549,32 @@ def run_single_process() -> dict:
     }
 
 
+def run_heavy() -> dict:
+    """Regression gate for the heavy non-headline families: best-of-2 per
+    query (single-run walls on this VM swing >2x in steal phases), exits
+    non-zero if any best exceeds its budget wall."""
+    best: dict[str, float] = {}
+    for attempt in range(2):
+        r = run_suite(list(HEAVY_QUERIES))
+        for n, dt in r["queries"].items():
+            best[n] = min(best.get(n, float("inf")), dt)
+        if all(best[n] <= HEAVY_QUERIES[n] for n in best):
+            break
+    over = sorted(n for n, dt in best.items() if dt > HEAVY_QUERIES[n])
+    out = {
+        "metric": "heavy-family regression gate (best-of-2)",
+        "queries": best,
+        "budgets": HEAVY_QUERIES,
+        "over_budget": over,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(out))
+    if over:
+        raise SystemExit(f"heavy families over budget: {over}")
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -532,6 +588,8 @@ if __name__ == "__main__":
         print(json.dumps(run_shuffle_job()))
     elif "--only-dedup" in sys.argv:
         print(json.dumps(run_dedup_job()))
+    elif "--heavy" in sys.argv:
+        run_heavy()  # prints its own JSON; exits non-zero over budget
     elif "--scaling-dedup" in sys.argv:
         print(json.dumps(run_scaling_dedup()))
     else:

@@ -21,6 +21,7 @@ import pyarrow as pa
 from georay.ops.pairs import (
     bucket_pair_indices,
     bucket_pairs,
+    distinct_pairs,
     grouped_pair_indices,
 )
 from georay.ops.sketch import splitmix64
@@ -196,13 +197,11 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
         .groupby("_pb")
         .map_groups(pairs, batch_format="pandas")
     )
-    # dedupe pairs found in multiple bands
-    from ray.data.aggregate import Count
-
-    return (
-        cand.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands_hit"))
-    )
+    # dedupe pairs found in multiple bands — pair-hash bucket dedup, not
+    # groupby(pair).aggregate: the sort-aggregate grinds on skewed blocks
+    # from capped hot buckets (ops.pairs.distinct_pairs, measured in
+    # containment_join). The old n_bands_hit count had no consumers.
+    return distinct_pairs(cand)
 
 
 def jaccard_verify(pairs_ds, docs_table: pa.Table, shingle_k: int = 5,

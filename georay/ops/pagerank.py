@@ -27,8 +27,10 @@ D_NUM, D_DEN = 85, 100  # damping 0.85 as an exact rational
 
 def _distinct_edges(ds, src_col: str, dst_col: str, combine_partitions: int):
     """DISTINCT (src, dst): batch-local pair dedup first — repeated pairs
-    never leave their block — then one groupby collapses global dups."""
-    from ray.data.aggregate import Count
+    never leave their block — then the pair-hash bucket distinct
+    (ops.pairs.distinct_pairs; the old groupby(src,dst) sort-aggregate was
+    the remaining wall after the driver-loop dual plan landed)."""
+    from georay.ops.pairs import distinct_pairs
 
     def local(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -36,26 +38,59 @@ def _distinct_edges(ds, src_col: str, dst_col: str, combine_partitions: int):
         }).group_by(["src", "dst"]).aggregate([])
 
     return (
-        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(combine_partitions)
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
+        distinct_pairs(
+            ds.map_batches(local, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            a_col="src", b_col="dst",
+        )
         .repartition(combine_partitions)
         .materialize()  # reused every iteration
     )
 
 
 def pagerank(ds, src_col: str, dst_col: str, iterations: int = 3,
-             combine_partitions: int = 8, num_partitions: int = 8):
+             combine_partitions: int = 8, num_partitions: int = 8,
+             driver_max_edges: int = 5_000_000):
     """Integer PageRank over the DISTINCT (src, dst) edges of ``ds``.
 
     Returns a Dataset of ``(node, outd, r)`` after ``iterations`` rounds —
     r in SCALE-units summing (up to floor slack) to SCALE. Callers top-k /
-    join as needed."""
+    join as needed.
+
+    Dual plan: edge dedup is always distributed, but when the distinct
+    edge count is at most ``driver_max_edges`` the iterations run as a
+    driver-side numpy loop (np.add.at bincount — bit-identical integers,
+    since every update is an order-independent int64 sum). The
+    distributed per-iteration plan (2 joins + union-groupby, below) pays
+    ~6 JoinOperator exchanges per call in fixed overhead — 23–43 s at
+    sf0.1 for a 21k-node graph whose whole iteration loop is 10 ms of
+    numpy — and remains the >driver_max_edges path."""
     from ray.data.aggregate import Sum
 
     edges = _distinct_edges(ds, src_col, dst_col, combine_partitions)
+
+    if edges.count() <= driver_max_edges:
+        import ray
+
+        et = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+        src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(node, src)
+        di = np.searchsorted(node, dst)
+        outd = np.bincount(si, minlength=node.size).astype(np.int64)
+        n_nodes = node.size
+        r = np.full(n_nodes, SCALE // n_nodes, np.int64)
+        base = (15 * (SCALE // n_nodes)) // D_DEN
+        for _ in range(iterations):
+            dang_share = int(r[outd == 0].sum(dtype=np.int64)) // n_nodes
+            contrib = r[si] // outd[si]
+            ins = np.zeros(n_nodes, np.int64)
+            np.add.at(ins, di, contrib)
+            r = base + (D_NUM * (ins + dang_share)) // D_DEN
+        return ray.data.from_arrow(
+            pa.table({"node": node, "outd": outd, "r": r})
+        )
 
     # node table with out-degrees: src nodes carry their degree, dst nodes
     # union in with degree 0, one groupby-max collapses duplicates.

@@ -32,9 +32,13 @@ Scale shape — only ids + 64-bit hashes shuffle; text is tokenized ONCE:
    the doc-hash bucket idiom (one vectorized sort + cumcount per bucket,
    not a per-doc map_groups).
 4. Prefix buckets emit candidate pairs (anti-explosion cap from ops.pairs,
-   logged), pairs dedupe in a groupby, and the exact verify hash-joins the
-   pair list back to the packed sets from step 1 — same big-big shape as
-   ops.minhash.jaccard_verify_shuffle, no corpus broadcast.
+   logged), pairs dedupe via the pair-hash bucket idiom
+   (ops.pairs.distinct_pairs — NOT a sort-aggregate, which grinds on the
+   skewed blocks capped hot tokens produce), and the exact verify is a
+   dual plan: packed sets broadcast once while the doc count is at most
+   ``broadcast_docs_max`` (batch-local searchsorted lookup), else
+   hash-joined back — the same big-big shape as
+   ops.minhash.jaccard_verify_shuffle and the 100 TB path.
 """
 
 from __future__ import annotations
@@ -47,11 +51,11 @@ import pyarrow as pa
 
 # module level, NOT inside worker-executed functions (CLAUDE.md invariant)
 from georay.ops.minhash import _packed_view
-from georay.ops.pairs import grouped_pair_indices
+from georay.ops.pairs import distinct_pairs, grouped_pair_indices
 from georay.ops.sketch import splitmix64
 from georay.ops.text import fingerprint64
 from georay.ops.tiles import count_by
-from georay.runtime import table_from_pandas
+from georay.runtime import per_process, table_from_pandas
 
 _WORD_RE = re.compile(r"[\w']+", re.UNICODE)
 
@@ -112,10 +116,46 @@ def _prefix_len(n: np.ndarray, num: int, den: int) -> np.ndarray:
     return np.where(n > 0, n - ceil_tn + 1, 0)
 
 
+def _broadcast_sets(sets):
+    """Collect the materialized (sid, sh, n_tok) table and ``ray.put`` it
+    as (sorted ids, flat token values, per-row offsets) for batch-local
+    pair verification — the small-side fast path of the verify dual plan
+    (two chained Acero joins cost 42.6 + 17.3 s remote wall at sf0.1 for
+    a 1.3M-pair × 50k-doc verify; the broadcast map is one lookup).
+    Returns ``(object_ref, state_key)``."""
+    import ray
+
+    tbl = pa.concat_tables(list(sets.iter_batches(batch_format="pyarrow")))
+    vals, counts = _packed_view(tbl["sh"])
+    sid = tbl["sid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.zeros(sid.size + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    order = np.argsort(sid, kind="quicksort")
+    ref = ray.put((sid[order], order.astype(np.int64), vals,
+                   offs, counts.astype(np.int64)))
+    return ref, "georay-setsim-sets-" + ref.hex()
+
+
+class _SetLookup:
+    """Per-process holder of the broadcast packed sets (zero-copy plasma
+    views). ``rows(ids)`` maps doc ids to their original row indices."""
+
+    def __init__(self, ref):
+        import ray
+
+        (self.sid_sorted, self.row_of_rank, self.vals,
+         self.offs, self.counts) = ray.get(ref)
+
+    def rows(self, ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.sid_sorted, ids)
+        return self.row_of_rank[pos]
+
+
 def setsim_join(ds, num: int, den: int, id_col: str = "doc_id",
-                text_col: str = "text", num_partitions: int = 8,
+                text_col: str = "text", num_partitions: int | None = None,
                 combine_partitions: int = 8, max_bucket: int | None = 4096,
-                broadcast_vocab_max: int = 2_000_000):
+                broadcast_vocab_max: int = 2_000_000,
+                broadcast_docs_max: int = 1_000_000):
     """All pairs with token-set Jaccard ≥ num/den (0 < num ≤ den).
 
     Returns ``(id_a, id_b, n_inter, n_union, jaccard)`` with id_a < id_b;
@@ -130,7 +170,11 @@ def setsim_join(ds, num: int, den: int, id_col: str = "doc_id",
     if not (0 < num <= den):
         raise ValueError("threshold must satisfy 0 < num/den <= 1")
     import ray
-    from ray.data.aggregate import Count
+
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     sets = token_sets(ds, id_col, text_col).materialize()
 
@@ -267,18 +311,48 @@ def setsim_join(ds, num: int, den: int, id_col: str = "doc_id",
         )
 
     cand = (
-        prefixes.map_batches(add_pair_bucket, batch_format="pyarrow",
-                             zero_copy_batch=True)
-        .groupby("_pb")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["id_a", "id_b"])
-        # merge aggregate blocks: the sort-aggregate emits SCHEMA-LESS
-        # empties when combine partitions exceed the group count, and Acero
-        # (the verify joins below) rejects them (CLAUDE.md invariant)
+        distinct_pairs(
+            prefixes.map_batches(add_pair_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("_pb")
+            .map_groups(pairs, batch_format="pandas")
+        )
+        # distinct_pairs spreads by PAIR hash (a hot prefix token's capped
+        # pair pile scattered one sort-aggregate reducer for 39 s before);
+        # repartition merges any empty buckets pre-Acero (CLAUDE.md
+        # schema-less empty-block invariant)
         .repartition(num_partitions)
     )
+
+    if sets.count() <= broadcast_docs_max:
+        # verify dual plan, small-side fast path: the packed sets broadcast
+        # ONCE (ray.put, zero-copy plasma views per process) and each cand
+        # batch resolves both blob slices by searchsorted — replaces two
+        # chained Acero joins (42.6 + 17.3 s remote wall at sf0.1)
+        sets_ref, sets_key = _broadcast_sets(sets)
+
+        def jac_bcast(t: pa.Table) -> pa.Table:
+            lk = per_process(sets_key, lambda: _SetLookup(sets_ref))
+            ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ra, rb = lk.rows(ia), lk.rows(ib)
+            vals, offs = lk.vals, lk.offs
+            inter = np.empty(ia.size, np.int64)
+            isect = np.intersect1d
+            for k in range(ia.size):
+                sa = vals[offs[ra[k]]: offs[ra[k]] + lk.counts[ra[k]]]
+                sb = vals[offs[rb[k]]: offs[rb[k]] + lk.counts[rb[k]]]
+                inter[k] = isect(sa, sb, assume_unique=True).size
+            union = lk.counts[ra] + lk.counts[rb] - inter
+            keep = inter * den >= num * np.maximum(union, 1)
+            keep &= union > 0
+            return pa.table({
+                "id_a": ia[keep], "id_b": ib[keep],
+                "n_inter": inter[keep], "n_union": union[keep],
+                "jaccard": inter[keep] / union[keep],
+            })
+
+        return cand.map_batches(jac_bcast, batch_format="pyarrow")
 
     def as_side(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -330,9 +404,11 @@ def setsim_join(ds, num: int, den: int, id_col: str = "doc_id",
 
 def containment_join(ds, num: int, den: int, min_tokens: int = 30,
                      id_col: str = "doc_id", text_col: str = "text",
-                     num_partitions: int = 8, combine_partitions: int = 8,
+                     num_partitions: int | None = None,
+                     combine_partitions: int = 8,
                      max_pairs_per_token: int | None = 1 << 22,
-                     broadcast_vocab_max: int = 2_000_000):
+                     broadcast_vocab_max: int = 2_000_000,
+                     broadcast_docs_max: int = 1_000_000):
     """ASYMMETRIC set-containment join: every ORDERED pair (A, B), A ≠ B,
     with ``|A ∩ B| ≥ (num/den)·|A|`` and ``|A| ≥ min_tokens`` — "document
     A is (almost) contained in document B", the directional near-dup /
@@ -362,7 +438,11 @@ def containment_join(ds, num: int, den: int, min_tokens: int = 30,
     import logging
 
     import ray
-    from ray.data.aggregate import Count
+
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     log = logging.getLogger("georay.setsim")
     sets = token_sets(ds, id_col, text_col).materialize()
@@ -506,15 +586,41 @@ def containment_join(ds, num: int, den: int, min_tokens: int = 30,
         return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
 
     cand = (
-        roles.map_batches(add_pair_bucket, batch_format="pyarrow",
-                          zero_copy_batch=True)
-        .groupby("_pb")
-        .map_groups(bipartite_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["id_a", "id_b"])
+        distinct_pairs(
+            roles.map_batches(add_pair_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("_pb")
+            .map_groups(bipartite_pairs, batch_format="pandas")
+        )  # pair-hash spread dedup, not sort-aggregate (skew: hot tokens)
         .repartition(num_partitions)  # schema-less empty-block guard
     )
+
+    if sets.count() <= broadcast_docs_max:
+        # verify dual plan, small-side fast path (see setsim_join): packed
+        # sets broadcast once, per-batch searchsorted lookup, no joins
+        sets_ref, sets_key = _broadcast_sets(sets)
+
+        def contain_bcast(t: pa.Table) -> pa.Table:
+            lk = per_process(sets_key, lambda: _SetLookup(sets_ref))
+            ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ra, rb = lk.rows(ia), lk.rows(ib)
+            vals, offs = lk.vals, lk.offs
+            inter = np.empty(ia.size, np.int64)
+            isect = np.intersect1d
+            for k in range(ia.size):
+                sa = vals[offs[ra[k]]: offs[ra[k]] + lk.counts[ra[k]]]
+                sb = vals[offs[rb[k]]: offs[rb[k]] + lk.counts[rb[k]]]
+                inter[k] = isect(sa, sb, assume_unique=True).size
+            n_a = lk.counts[ra]
+            keep = inter * den >= num * n_a
+            return pa.table({
+                "id_a": ia[keep], "id_b": ib[keep],
+                "n_inter": inter[keep], "n_a": n_a[keep],
+                "containment": inter[keep] / n_a[keep],
+            })
+
+        return cand.map_batches(contain_bcast, batch_format="pyarrow")
 
     def as_side(side: str):
         def fn(t: pa.Table) -> pa.Table:

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 # module level (worker-executed code must not import georay at runtime —
 # CLAUDE.md invariant; by-value cloudpickle only covers captured objects)
-from georay.ops.pairs import grouped_pair_indices
+from georay.ops.pairs import distinct_pairs, grouped_pair_indices
 from georay.ops.sketch import splitmix64
 
 
@@ -393,7 +393,6 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
     O(b²) group on a single reducer) with the shared logged-chunking helper
     every LSH family here uses; ``None`` restores exact all-pairs."""
     import pandas as pd
-    from ray.data.aggregate import Max
 
     from georay.runtime import per_process
 
@@ -482,13 +481,15 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, n_planes: int = 12,
              "cos": pa.array(cos[keep])}
         )
 
-    return (
+    # the same pair can collide in several tables: per-pair-hash bucket
+    # dedup keeping the max cos (bit-stable: every emission of a pair
+    # computes the identical einsum value) — ops.pairs.distinct_pairs,
+    # not groupby(pair).aggregate (sort-aggregate skew pathology)
+    return distinct_pairs(
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_pb")
-        .map_groups(pairs, batch_format="pandas")
-        # the same pair can collide in several tables: dedupe
-        .groupby(["id_a", "id_b"])
-        .aggregate(Max("cos", alias_name="cos"))
+        .map_groups(pairs, batch_format="pandas"),
+        max_col="cos",
     )
 
 

@@ -20,10 +20,15 @@ US_PER_DAY = 86_400 * 1_000_000
 
 def _assert_ts_scale(dtype, ts_scale_us: int, where: str) -> None:
     """Loud guard for the silent-nanoseconds hazard: casting a datetime64 /
-    timestamp column to int64 yields raw ticks in the COLUMN's unit, so the
-    caller's ``ts_scale_us`` must match it (1000 for ns, 1 for us). Plain
-    integer columns pass through unchecked — the caller owns their unit
-    contract. Accepts a numpy/pandas dtype or a pyarrow DataType."""
+    timestamp column to int64 yields raw ticks in the COLUMN's unit, and
+    ``ts_scale_us`` is the ticks-per-output-unit divisor (callers also use
+    it to coarsen us ticks to seconds, e.g. 1_000_000 with gaps given in
+    seconds — so any multiple of the ns→us factor is legitimate). The one
+    certainly-wrong shape this catches: ns-tick columns with a divisor not
+    divisible by 1000 (above all the default 1, which is silently 1000×
+    off — ADVICE r4). Plain integer columns pass through unchecked; ms/s
+    timestamp columns are rejected as unsupported. Accepts a numpy/pandas
+    dtype or a pyarrow DataType."""
     unit = None
     if isinstance(dtype, pa.DataType):
         if pa.types.is_timestamp(dtype):
@@ -37,17 +42,16 @@ def _assert_ts_scale(dtype, ts_scale_us: int, where: str) -> None:
             unit = getattr(dtype, "unit", None)  # pandas DatetimeTZDtype
     if unit is None:
         return
-    need = {"ns": 1000, "us": 1}.get(unit)
-    if need is None:
+    if unit not in ("ns", "us"):
         raise ValueError(
             "%s: unsupported timestamp unit %r — convert to timestamp[us] "
-            "(or [ns] with ts_scale_us=1000)" % (where, unit)
+            "(or [ns] with ts_scale_us a multiple of 1000)" % (where, unit)
         )
-    if ts_scale_us != need:
+    if unit == "ns" and ts_scale_us % 1000 != 0:
         raise ValueError(
-            "%s: ts column has unit %r so ts_scale_us must be %d (got %d) — "
-            "the int64 cast would otherwise be silently wrong by 1000x"
-            % (where, unit, need, ts_scale_us)
+            "%s: ts column has ns ticks, so ts_scale_us must be a multiple "
+            "of 1000 (got %d) — the int64 cast would otherwise be silently "
+            "wrong by 1000x" % (where, ts_scale_us)
         )
 
 

@@ -28,14 +28,16 @@ def test_running_stats_rejects_ns_without_scale(ray_session):
     )
     t_ns = pa.Table.from_pandas(df, preserve_index=False)
     assert t_ns["ts"].type == pa.timestamp("ns")
-    with pytest.raises(Exception, match="ts_scale_us must be 1000"):
+    with pytest.raises(Exception, match="multiple of 1000"):
         running_stats(
             ray.data.from_arrow(t_ns), "k", "ts", "oid", "v"
         ).to_pandas()
 
 
-def test_session_rejects_scale_mismatch_on_us(ray_session):
-    """timestamp[us] with ts_scale_us=1000 (the opposite mismatch) raises."""
+def test_session_allows_unit_coarsening_on_us(ray_session):
+    """ts_scale_us is ticks-per-unit: us columns may be coarsened (e.g. to
+    seconds with gaps in seconds — the events_session query shape); only
+    the ns-ticks/indivisible-scale combination is the loud-failure case."""
     import ray
 
     from georay.ops.window import session
@@ -43,12 +45,13 @@ def test_session_rejects_scale_mismatch_on_us(ray_session):
     t = pa.table(
         {
             "k": np.zeros(8, np.int64),
-            "ts": pa.array(np.arange(8, dtype=np.int64), pa.timestamp("us")),
+            "ts": pa.array(np.arange(8, dtype=np.int64) * 2_000_000,
+                           pa.timestamp("us")),
         }
     )
-    with pytest.raises(Exception, match="ts_scale_us must be 1"):
-        session(ray.data.from_arrow(t), "k", "ts", gap_us=5,
-                ts_scale_us=1000).to_pandas()
+    out = session(ray.data.from_arrow(t), "k", "ts", gap_us=1,
+                  ts_scale_us=1_000_000).to_pandas()
+    assert len(out) == 8  # every 2s step exceeds the 1-unit (second) gap
 
 
 def test_resample_gapfill_rejects_out_of_range_bucket(ray_session):
@@ -92,6 +95,69 @@ def test_ks2_by_group_empty_input(ray_session):
     assert list(out.columns) == [
         "g", "n1", "n2", "ks_num", "ks_den", "arg_value", "ks"
     ]
+
+
+# ------------------------------------------------- verify dual plan parity
+
+def _synth_docs(n=400, seed=11):
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    texts = []
+    for i in range(n):
+        toks = list(rng.choice(vocab, 40, replace=False))
+        if i % 7 == 1:  # near-dup of predecessor: share 37 of 40 tokens
+            prev = texts[-1].split()
+            toks = prev[:37] + list(rng.choice(vocab, 3, replace=False))
+        texts.append(" ".join(toks))
+    return pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                     "text": texts})
+
+
+@pytest.mark.parametrize("op", ["setsim", "containment"])
+def test_setsim_broadcast_and_join_verify_agree(ray_session, op):
+    """The verify dual plan's two paths (broadcast lookup vs the 100 TB
+    hash-join fallback) must produce identical rows."""
+    import ray
+
+    from georay.ops import setsim as setsim_ops
+
+    docs = ray.data.from_arrow(_synth_docs()).repartition(4)
+
+    def run(bmax):
+        if op == "setsim":
+            r = setsim_ops.setsim_join(docs, 7, 10,
+                                       broadcast_docs_max=bmax)
+        else:
+            r = setsim_ops.containment_join(docs, 9, 10, min_tokens=30,
+                                            broadcast_docs_max=bmax)
+        return (r.to_pandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+
+    a = run(10**9)  # broadcast path
+    b = run(0)      # join fallback path
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pagerank_driver_and_distributed_agree(ray_session):
+    """PageRank dual plan: the small-graph driver numpy loop must be
+    bit-identical to the distributed join plan (same int64 updates)."""
+    import ray
+
+    from georay.ops import pagerank as pr
+
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 60, 500).astype(np.int64)
+    dst = rng.randint(60, 140, 500).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    a = (pr.pagerank(edges, "src", "dst", iterations=3)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (pr.pagerank(edges, "src", "dst", iterations=3,
+                     driver_max_edges=0)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b[a.columns])
 
 
 def test_nearest_segment_rejects_big_coords(ray_session):
