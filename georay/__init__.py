@@ -42,7 +42,7 @@ def _import_all() -> None:
     import importlib
 
     for name in ("codec", "cells", "geometry", "images", "stages", "io",
-                 "runtime", "queries", "ops"):
+                 "runtime", "queries", "ops", "vecindex"):
         try:
             importlib.import_module(f"georay.{name}")
         except ImportError:

@@ -4387,6 +4387,43 @@ def q_ann_ivf_sq8(sf_dir: str):
     )
 
 
+def q_ann_index_lifecycle(sf_dir: str):
+    """Persisted vector-index lifecycle under oracle check (VecIndex —
+    the ANN build/open split CellIndex provides for the spatial family):
+    BUILD the IVF-SQ8 index (distributed codebook + encode, one parquet
+    partition per inverted list, checkpointed write), OPEN a fresh handle
+    from disk (props + quantizer sidecars only), QUERY at full probe.
+    At n_probe == n_centroids the loaded index's ranking is bit-identical
+    to the in-flight ivf_sq8_topk, so the integer SQ8 SQL oracle gates
+    the whole save/load round trip — any quantizer drift, lost partition
+    or code-blob corruption breaks the match. Fresh root per call: the
+    lifecycle itself is the unit under test, never a cache hit."""
+    import os
+    import shutil
+    import tempfile
+
+    from georay.ops import similarity as sim
+    from georay.vecindex import VecIndex
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_vecidx_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_mat = sim.emb_matrix(table["embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    VecIndex.build(
+        emb, root, sample_mat=all_mat[:: max(1, all_mat.shape[0] // 256)],
+        n_centroids=16,
+    )
+    idx = VecIndex(root)  # fresh open: everything must come from disk
+    ids = table["vec_id"].to_numpy(zero_copy_only=False)
+    mask = ids % 10 == 0
+    return idx.query_topk(ids[mask], all_mat[mask], k=ANN_K, n_probe=16)
+
+
 KMEANS_K, KMEANS_ITERS, KMEANS_SCALE, EMB_DIM = 8, 3, 1 << 20, 64
 
 
@@ -11210,6 +11247,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ann_filtered": (q_ann_filtered, SQL_ANN_FILTERED),
         "ann_hard_negatives": (q_ann_hard_negatives, SQL_ANN_HARD_NEGATIVES),
         "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_SQ8),
+        "ann_index_lifecycle": (q_ann_index_lifecycle, SQL_ANN_SQ8),
         "kmeans_clusters": (q_kmeans, sql_kmeans()),
         "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup()),
         "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
