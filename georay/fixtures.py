@@ -39,8 +39,9 @@ PIXEL_PERIOD = 768  # lcm of all i-periodicities in synth_pixels + dims
 # bump whenever row synthesis OR file layout changes: stale /tmp caches from
 # an older synthesis would otherwise silently break the range()-arithmetic
 # oracles (v2: 2000-row shards — 25 shards at 100k images capped read/decode
-# parallelism at 25 of 32 cpus)
-FIXTURE_VERSION = 2
+# parallelism at 25 of 32 cpus; v3: odd audio/video rows carry REAL
+# RIFF/WAVE and YUV4MPEG2 container bytes, same closed-form payloads)
+FIXTURE_VERSION = 3
 
 
 def n_images_for(sf_dir: str) -> int:
@@ -202,14 +203,19 @@ def n_video_for(sf_dir: str) -> int:
 
 
 def make_audio_rows(indices: np.ndarray) -> pa.Table:
-    """Deterministic raw-PCM audio rows (``rawa`` header ``<IH`` + int16
-    mono square wave). All features have CLOSED FORMS in the row index —
-    the SQL-oracle handle: n_samples = 800 + (i%5)·400, half-period
-    p/2 = 4 + (i%7), amplitude 1000·(1 + i%3)."""
+    """Deterministic audio rows. All features have CLOSED FORMS in the
+    row index — the SQL-oracle handle: n_samples = 800 + (i%5)·400,
+    half-period p/2 = 4 + (i%7), amplitude 1000·(1 + i%3).
+
+    Container alternates per row (v3): even i → ``rawa`` (bare header
+    ``<IH`` + int16 PCM), odd i → ``wav`` (REAL RIFF/WAVE container,
+    images.encode_wav) — the SAME square-wave PCM either way, so every
+    oracle formula is container-independent while the wav rows exercise
+    a genuine chunk-walk parse."""
     import struct
 
     indices = np.asarray(indices, dtype=np.int64)
-    ids, blobs = [], []
+    ids, fmts, blobs = [], [], []
     for i in indices.tolist():
         ns = 800 + (i % 5) * 400
         half_p = 4 + (i % 7)
@@ -217,36 +223,52 @@ def make_audio_rows(indices: np.ndarray) -> pa.Table:
         k = np.arange(ns)
         pcm = np.where((k // half_p) % 2 == 0, amp, -amp).astype(np.int16)
         ids.append(f"aud{i:09d}")
-        blobs.append(struct.pack("<IH", AUDIO_RATE, 1) + pcm.tobytes())
+        if i % 2:
+            fmts.append("wav")
+            blobs.append(images.encode_wav(pcm, AUDIO_RATE, 1))
+        else:
+            fmts.append("rawa")
+            blobs.append(struct.pack("<IH", AUDIO_RATE, 1) + pcm.tobytes())
     return pa.table(
         {
             "audio_id": pa.array(ids, pa.string()),
-            "fmt": pa.array(["rawa"] * indices.size, pa.string()),
+            "fmt": pa.array(fmts, pa.string()),
             "bytes": pa.array(blobs, pa.binary()),
         }
     )
 
 
 def make_video_rows(indices: np.ndarray) -> pa.Table:
-    """Deterministic raw-frame video rows (``rawv`` header ``<HHH`` w,h,nf
-    + nf RGB frames). Frame byte k of frame f is ``(i·31 + f·7 + k) % 256``
-    — frame checksums have closed forms. w = 4+(i%3)·2, h = 4+(i%2)·2,
-    nf = 10 + (i%11)·3."""
+    """Deterministic video rows. Frame byte k of frame f is
+    ``(i·31 + f·7 + k) % 256`` — frame checksums have closed forms.
+    w = 4+(i%3)·2, h = 4+(i%2)·2, nf = 10 + (i%11)·3.
+
+    Container alternates per row (v3): even i → ``rawv`` (bare ``<HHH``
+    w,h,nf header + concatenated frames), odd i → ``y4m`` (REAL
+    YUV4MPEG2 container, C444 planes = exactly w·h·3 payload bytes per
+    frame, images.encode_y4m) — the SAME frame payloads either way, so
+    the per-frame byte-sum oracles are container-independent while the
+    y4m rows exercise a genuine header/FRAME-marker parse."""
     indices = np.asarray(indices, dtype=np.int64)
-    ids, blobs = [], []
+    ids, fmts, blobs = [], [], []
     for i in indices.tolist():
         w, h, nf = 4 + (i % 3) * 2, 4 + (i % 2) * 2, 10 + (i % 11) * 3
         fb = w * h * 3
         f_idx = np.arange(nf)[:, None]
         k_idx = np.arange(fb)[None, :]
         frames = ((i * 31 + f_idx * 7 + k_idx) % 256).astype(np.uint8)
-        header = np.array([w, h, nf], dtype=np.uint16).tobytes()
         ids.append(f"vid{i:09d}")
-        blobs.append(header + frames.tobytes())
+        if i % 2:
+            fmts.append("y4m")
+            blobs.append(images.encode_y4m(frames, w, h))
+        else:
+            fmts.append("rawv")
+            header = np.array([w, h, nf], dtype=np.uint16).tobytes()
+            blobs.append(header + frames.tobytes())
     return pa.table(
         {
             "video_id": pa.array(ids, pa.string()),
-            "fmt": pa.array(["rawv"] * indices.size, pa.string()),
+            "fmt": pa.array(fmts, pa.string()),
             "bytes": pa.array(blobs, pa.binary()),
         }
     )

@@ -233,11 +233,12 @@ def audio_features(ds, frame_len: int = 1024):
     """Audio feature extraction for opaque binary audio columns (the
     multimodal-column pattern, SURVEY.md N7 family).
 
-    ``rawa`` fmt (little-endian header ``<IH``: sample_rate, channels,
-    then int16 PCM) is decoded FOR REAL in numpy — no codec library needed;
-    compressed formats (mp3/flac/...) raise ``NotImplementedError`` (no
-    audio libs in this sandbox). Output per row: duration_ms, rms,
-    peak, zero_crossings, n_frames — all vectorized numpy.
+    Two REAL containers decode in pure numpy: ``rawa`` (little-endian
+    header ``<IH``: sample_rate, channels, then int16 PCM) and ``wav``
+    (RIFF/WAVE PCM16 — a genuine chunk walk, ``images.decode_wav``).
+    Lossy-compressed formats (mp3/flac/...) raise ``NotImplementedError``
+    (no audio codec libs in this sandbox). Output per row: duration_ms,
+    rms, peak, zero_crossings, n_frames — all vectorized numpy.
     """
 
     def fn(t: pa.Table) -> pa.Table:
@@ -246,14 +247,17 @@ def audio_features(ds, frame_len: int = 1024):
         ids = t["audio_id"].to_pylist()
         dur, rms, peak, zc, nf = [], [], [], [], []
         for fmt, blob in zip(fmts, blobs):
-            if fmt != "rawa":
+            import struct
+
+            if fmt == "rawa":
+                rate, chans = struct.unpack_from("<IH", blob, 0)
+                pcm = np.frombuffer(blob, dtype=np.int16, offset=6)
+            elif fmt == "wav":
+                rate, chans, pcm = images.decode_wav(blob)
+            else:
                 raise NotImplementedError(
                     f"audio codec {fmt!r} unavailable in this sandbox (no audio libs)"
                 )
-            import struct
-
-            rate, chans = struct.unpack_from("<IH", blob, 0)
-            pcm = np.frombuffer(blob, dtype=np.int16, offset=6)
             if chans > 1:
                 pcm = pcm.reshape(-1, chans).mean(axis=1)
             x = pcm.astype(np.float64) / 32768.0
@@ -279,11 +283,13 @@ def audio_features(ds, frame_len: int = 1024):
 def sample_video_frames(ds, every_n: int = 10):
     """Frame-sampling stage for video payloads (SURVEY.md N7 family).
 
-    STUB: no video container codec exists in this sandbox (no ffmpeg / PIL),
-    so the decode step raises; the Ray-side plumbing — schema contract
-    (``bytes`` binary column + ``fmt``), batch shape, flat-map row explosion
-    (1 video → n frames) — is real and unit-tested against the deterministic
-    fake below ("rawv" fmt: concatenated fixed-size raw RGB frames).
+    Two REAL containers parse in pure numpy: ``rawv`` (bare ``<HHH``
+    w,h,nf header + concatenated frames) and ``y4m`` (YUV4MPEG2 — a
+    genuine parameter-line + per-FRAME-marker walk, ``images.decode_y4m``;
+    C444 planes, payload = w·h·3 bytes/frame). Compressed codecs
+    (h264/vp9/...) raise ``NotImplementedError`` (no ffmpeg in this
+    sandbox). The flat-map shape is the point: 1 video row → ⌈nf/every_n⌉
+    frame rows, frames sliced zero-copy out of the blob.
     """
 
     def fn(t: pa.Table) -> pa.Table:
@@ -292,17 +298,24 @@ def sample_video_frames(ds, every_n: int = 10):
         ids = t["video_id"].to_pylist()
         out_id, out_frame, out_blob = [], [], []
         for vid, fmt, blob in zip(ids, fmts, blobs):
-            if fmt != "rawv":
+            if fmt == "rawv":
+                w, h, nf = np.frombuffer(blob[:6], dtype=np.uint16)
+                frame_bytes = int(w) * int(h) * 3
+                for f in range(0, int(nf), every_n):
+                    start = 6 + f * frame_bytes
+                    out_id.append(vid)
+                    out_frame.append(f)
+                    out_blob.append(blob[start: start + frame_bytes])
+            elif fmt == "y4m":
+                _w, _h, frames = images.decode_y4m(blob)
+                for f in range(0, frames.shape[0], every_n):
+                    out_id.append(vid)
+                    out_frame.append(f)
+                    out_blob.append(frames[f].tobytes())
+            else:
                 raise NotImplementedError(
                     f"video codec {fmt!r} unavailable in this sandbox (no ffmpeg)"
                 )
-            w, h, nf = np.frombuffer(blob[:6], dtype=np.uint16)
-            frame_bytes = int(w) * int(h) * 3
-            for f in range(0, int(nf), every_n):
-                start = 6 + f * frame_bytes
-                out_id.append(vid)
-                out_frame.append(f)
-                out_blob.append(blob[start : start + frame_bytes])
         return pa.table(
             {
                 "video_id": pa.array(out_id, pa.string()),
@@ -321,7 +334,7 @@ def scene_cuts(ds, thresh_per_byte: int = 7):
     the threshold). A video's frames live inside its ONE blob row, so the
     whole detector is an embarrassingly-parallel ``map_batches`` — no
     shuffle, no frame explosion; only (video_id, n_frames, n_cuts) leaves
-    the stage. Same rawv-only codec boundary as
+    the stage. Same rawv/y4m codec boundary as
     :func:`sample_video_frames` (no ffmpeg in this sandbox).
 
     Real scene-cut detectors swap the byte-sum signature for a color
@@ -337,16 +350,20 @@ def scene_cuts(ds, thresh_per_byte: int = 7):
         n_frames = np.zeros(n, np.int64)
         n_cuts = np.zeros(n, np.int64)
         for j, (fmt, blob) in enumerate(zip(fmts, blobs)):
-            if fmt != "rawv":
+            if fmt == "rawv":
+                w, h, nf = np.frombuffer(blob[:6], dtype=np.uint16)
+                fb = int(w) * int(h) * 3
+                # all frames of one video in ONE vectorized pass
+                fr = np.frombuffer(blob, dtype=np.uint8, count=int(nf) * fb,
+                                   offset=6).reshape(int(nf), fb)
+            elif fmt == "y4m":
+                w, h, fr = images.decode_y4m(blob)
+                fb, nf = int(w) * int(h) * 3, fr.shape[0]
+            else:
                 raise NotImplementedError(
                     f"video codec {fmt!r} unavailable in this sandbox"
                     " (no ffmpeg)"
                 )
-            w, h, nf = np.frombuffer(blob[:6], dtype=np.uint16)
-            fb = int(w) * int(h) * 3
-            # all frames of one video in ONE vectorized pass
-            fr = np.frombuffer(blob, dtype=np.uint8, count=int(nf) * fb,
-                               offset=6).reshape(int(nf), fb)
             sums = fr.sum(axis=1, dtype=np.int64)
             n_frames[j] = int(nf)
             n_cuts[j] = int(

@@ -97,6 +97,81 @@ def test_ks2_by_group_empty_input(ray_session):
     ]
 
 
+# --------------------------------------------------- real media containers
+
+def test_wav_roundtrip_and_chunk_walk():
+    """RIFF/WAVE: roundtrip, extra chunks skipped by size (a real chunk
+    walk, not a fixed 44-byte offset), malformed input raises."""
+    from georay import images
+
+    pcm = (np.arange(500) % 13 * 777 - 4000).astype(np.int16)
+    blob = images.encode_wav(pcm, 16000, 1)
+    rate, chans, out = images.decode_wav(blob)
+    assert (rate, chans) == (16000, 1) and (out == pcm).all()
+
+    # inject a LIST chunk between fmt and data: walker must skip it
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (7).to_bytes(4, "little") + b"INFOxyz" + b"\x00"
+    blob2 = blob[:fmt_end] + extra + blob[fmt_end:]
+    rate2, _, out2 = images.decode_wav(blob2)
+    assert rate2 == 16000 and (out2 == pcm).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        images.decode_wav(b"nonsense bytes here")
+
+
+def test_y4m_roundtrip_and_header_grammar():
+    """YUV4MPEG2: roundtrip, W/H tags parsed in any order, non-C444
+    colorspace and missing FRAME marker raise."""
+    from georay import images
+
+    fr = (np.arange(4 * 6 * 6 * 3) % 256).astype(np.uint8).reshape(4, -1)
+    blob = images.encode_y4m(fr, 6, 6)
+    w, h, out = images.decode_y4m(blob)
+    assert (w, h) == (6, 6) and (out == fr).all()
+
+    # reordered parameter tags still parse
+    reordered = blob.replace(b"W6 H6 F25:1 Ip A1:1 C444",
+                             b"F25:1 C444 H6 A1:1 Ip W6")
+    w2, h2, out2 = images.decode_y4m(reordered)
+    assert (w2, h2) == (6, 6) and (out2 == fr).all()
+
+    with pytest.raises(ValueError, match="colorspace"):
+        images.decode_y4m(blob.replace(b"C444", b"C420"))
+    with pytest.raises(ValueError, match="frame marker"):
+        images.decode_y4m(blob.replace(b"FRAME\n", b"FRAMX\n", 1))
+
+
+def test_video_ops_parse_y4m_rows(ray_session):
+    """sample_video_frames / scene_cuts produce identical results for the
+    same payloads shipped as rawv vs y4m (container independence)."""
+    import ray
+
+    from georay import images
+    from georay.ops import images as img_ops
+
+    w, h, nf = 4, 4, 12
+    fb = w * h * 3
+    frames = ((np.arange(nf)[:, None] * 7 + np.arange(fb)[None, :]) % 256
+              ).astype(np.uint8)
+    raw = (np.array([w, h, nf], np.uint16).tobytes() + frames.tobytes())
+    y4m = images.encode_y4m(frames, w, h)
+    t = pa.table({
+        "video_id": ["a", "b"],
+        "fmt": ["rawv", "y4m"],
+        "bytes": pa.array([raw, y4m], pa.binary()),
+    })
+    ds = ray.data.from_arrow(t)
+    fr = img_ops.sample_video_frames(ds, every_n=5).to_pandas()
+    a = fr[fr.video_id == "a"].reset_index(drop=True)
+    b = fr[fr.video_id == "b"].reset_index(drop=True)
+    assert (a["frame_idx"] == b["frame_idx"]).all()
+    assert all(x == y for x, y in zip(a["frame_rgb"], b["frame_rgb"]))
+    cuts = img_ops.scene_cuts(ds).to_pandas().set_index("video_id")
+    assert cuts.loc["a", "n_cuts"] == cuts.loc["b", "n_cuts"]
+    assert cuts.loc["a", "n_frames"] == cuts.loc["b", "n_frames"] == nf
+
+
 # ---------------------------------------------------------------- VecIndex
 
 def _clustered_vectors(n=600, dim=16, k=6, seed=3):
