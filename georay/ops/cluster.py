@@ -4,12 +4,16 @@ the transitive closure, "A~B, B~C ⇒ keep one of {A,B,C}").
 
 Min-label propagation over an edge Dataset: every node starts labeled with
 itself; each round, labels flow across edges (two hash joins + a min-groupby)
-until no label changes. Rounds ≈ graph diameter — near-dup graphs are
-unions of small cliques, so 2–3 rounds in practice. Each round's label table
-is materialized (bounded: one row per node) so the lazy lineage doesn't
-re-execute from scratch; the edge set streams through joins unshuffled each
-round. Convergence is detected by the monotone total-label sum (labels only
-ever decrease; equal sum ⇒ fixed point).
+AND every label pointer-jumps to its label's label (the shortcutting step of
+the large-star/small-star family — Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14), so chain distances halve per round and
+convergence takes O(log diameter) rounds, not O(diameter) — a 10⁴-long
+near-dup chain (duplicated boilerplate) converges in ~15 rounds instead of
+10⁴ (VERDICT r4 #6; round bound unit-tested on a chain graph). Each round's
+label table is materialized (bounded: one row per node) so the lazy lineage
+doesn't re-execute from scratch; the edge set streams through joins
+unshuffled each round. Convergence is detected by the monotone total-label
+sum (labels only ever decrease; equal sum ⇒ fixed point).
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ def connected_components(
     num_partitions: int = 8,
     max_rounds: int = 50,
     broadcast_edges_max: int = 2_000_000,
+    round_counter: list | None = None,
 ):
     """(node, component) labeling: component = min node id reachable.
 
@@ -39,8 +44,9 @@ def connected_components(
     driver (edges are tiny relative to nodes for near-dup graphs) and the
     node→component map is broadcast once into a ``map_batches`` over the
     node stream; larger edge sets run the distributed min-label
-    propagation (per-round edge join + min-groupby on materialized
-    labels)."""
+    propagation with per-round pointer jumping (see module docstring —
+    O(log diameter) rounds). ``round_counter``, if given, receives one
+    append per distributed round (test hook for the log-round bound)."""
     from ray.data.aggregate import Max, Min, Sum
 
     edge_pairs = edges_ds.select_columns([edge_a, edge_b]).materialize()
@@ -118,6 +124,40 @@ def connected_components(
             .repartition(num_partitions)
             .materialize()
         )
+        # pointer jump (shortcutting): label ← label(label). Every label
+        # value is itself a labeled row after round 1 (edges are
+        # symmetrized, so every endpoint appears as a dst), and
+        # label(L) ≤ L by monotonicity — chain distances halve per round.
+        # left_outer + coalesce keeps the row if a label id has no row yet
+        # (possible only in round 1 for isolated self-labels).
+        as_parent = labels.map_batches(
+            lambda t: pa.table({"plabel": t["node"], "label2": t["label"]}),
+            batch_format="pyarrow",
+        )
+        jumped = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "plabel": t["label"],
+                                "is_node": t["is_node"]}),
+            batch_format="pyarrow",
+        ).join(
+            as_parent, join_type="left_outer",
+            num_partitions=num_partitions, on=("plabel",),
+        )
+
+        def shortcut(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"],
+                "label": pc.coalesce(t["label2"], t["plabel"]).cast(
+                    pa.int64()),
+                "is_node": t["is_node"],
+            })
+
+        labels = (
+            jumped.map_batches(shortcut, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        if round_counter is not None:
+            round_counter.append(1)
         cur = label_sum(labels)
         if cur == prev:
             break

@@ -357,3 +357,35 @@ def test_nearest_segment_rejects_big_coords(ray_session):
     out = nearest_segment(pts_ok, seg_ok, "pid", "px", "py").to_pandas()
     # d² = 3² = 9 as the un-reduced rational num/den with den = |v|² = 100
     assert out.loc[0, "d2_num"] / out.loc[0, "d2_den"] == 9.0
+
+
+def test_cc_pointer_jump_log_rounds(ray_session):
+    """VERDICT r4 #6: a length-n chain graph must converge in O(log n)
+    distributed rounds (pointer jumping), not O(n) (pure min-label
+    propagation needed ~n rounds and would blow max_rounds=50 here)."""
+    import math
+
+    import ray.data
+
+    from georay.ops.cluster import connected_components
+
+    n = 64
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(list(range(n)), pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(range(n - 1)), pa.int64()),
+                "id_b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    rounds: list = []
+    out = connected_components(
+        nodes, edges, num_partitions=2, broadcast_edges_max=0,
+        round_counter=rounds,
+    ).to_pandas()
+    assert dict(zip(out["node"], out["component"])) == {i: 0 for i in range(n)}
+    # log2(64)=6; +3 slack for the warmup round and the fixpoint-detect round
+    assert len(rounds) <= math.ceil(math.log2(n)) + 3, rounds
