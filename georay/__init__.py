@@ -41,8 +41,8 @@ def _import_all() -> None:
     """Eagerly import submodules so register_by_value covers them."""
     import importlib
 
-    for name in ("codec", "cells", "geometry", "images", "stages", "io",
-                 "runtime", "queries", "ops", "vecindex"):
+    for name in ("codec", "cells", "geometry", "images", "jpeg", "stages",
+                 "io", "runtime", "queries", "ops", "vecindex"):
         try:
             importlib.import_module(f"georay.{name}")
         except ImportError:

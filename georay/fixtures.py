@@ -7,7 +7,8 @@ target), cached as partitioned parquet under ``/tmp/georay_cache``, and read
 back with column pruning. Row semantics:
 
 - ``image_id = f"img{i:012d}"``; ``w, h = 32+(i%4)*16, 32+(i%3)*16``;
-  ``fmt`` cycles bmp/png/q6.
+  ``fmt`` cycles bmp/png/q6, except pixel-index % 16 == 5 rows are real
+  baseline JPEG (georay/jpeg.py — the DCT-codec share of the corpus).
 - pixels: :func:`georay.images.synth_pixels` (period 768 in the pixel index —
   the SQL-oracle handle for content dedup).
 - duplicate injection: rows with ``i % 64 == 63`` carry the pixels/dims/fmt
@@ -40,8 +41,9 @@ PIXEL_PERIOD = 768  # lcm of all i-periodicities in synth_pixels + dims
 # an older synthesis would otherwise silently break the range()-arithmetic
 # oracles (v2: 2000-row shards — 25 shards at 100k images capped read/decode
 # parallelism at 25 of 32 cpus; v3: odd audio/video rows carry REAL
-# RIFF/WAVE and YUV4MPEG2 container bytes, same closed-form payloads)
-FIXTURE_VERSION = 3
+# RIFF/WAVE and YUV4MPEG2 container bytes, same closed-form payloads;
+# v4: pixel-index % 16 == 5 rows are REAL baseline JPEG, quality 97)
+FIXTURE_VERSION = 4
 
 
 def n_images_for(sf_dir: str) -> int:

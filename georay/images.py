@@ -10,6 +10,10 @@ codecs, all pure numpy + stdlib zlib:
 - ``q6``   — 6-bit/channel quantization + zlib (LOSSY; PSNR ≈ 46–49 dB vs
              the source, exercising the PSNR ≥ 40 dB decoded-pixel
              invariant for real, BASELINE.json:15).
+- ``jpeg`` — REAL baseline JFIF (georay/jpeg.py: 8×8 DCT, Annex K quant +
+             Huffman tables, byte stuffing — a perceptual transform codec,
+             VERDICT r4 #7). Lossy; quality 97 → PSNR ≥ 43.5 dB over every
+             fixture pattern (measured min across the 768-period).
 
 Pixels are (h, w, 3) uint8 RGB everywhere. Everything is deterministic —
 :func:`synth_pixels` regenerates any image's ground truth from its row index
@@ -23,8 +27,9 @@ import zlib
 
 import numpy as np
 
-FORMATS = ("bmp", "png", "q6")
-LOSSY_FORMATS = ("q6",)
+FORMATS = ("bmp", "png", "q6", "jpeg")
+LOSSY_FORMATS = ("q6", "jpeg")
+_ROTATION = ("bmp", "png", "q6")  # base per-row cycle; jpeg overrides 1/16
 
 
 # ------------------------------------------------------------------------ BMP
@@ -127,8 +132,12 @@ def decode_q6(data: bytes) -> np.ndarray:
     return ((q << 2) | (q >> 4)).astype(np.uint8)  # bit-replicate to 8 bits
 
 
-_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "q6": encode_q6}
-_DECODERS = {"bmp": decode_bmp, "png": decode_png, "q6": decode_q6}
+from georay.jpeg import decode_jpeg, encode_jpeg  # noqa: E402 (registry)
+
+_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "q6": encode_q6,
+             "jpeg": encode_jpeg}
+_DECODERS = {"bmp": decode_bmp, "png": decode_png, "q6": decode_q6,
+             "jpeg": decode_jpeg}
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
@@ -223,7 +232,15 @@ def image_dims(i: int) -> tuple[int, int]:
 
 
 def image_fmt(i: int) -> str:
-    return FORMATS[i % 3]
+    """Per-pixel-index format: bmp/png/q6 cycle, with every 16th slot
+    (i % 16 == 5) overridden to real baseline JPEG. The 1/16 share keeps
+    the only Python-loop decode (Huffman, georay/jpeg.py) off the decode
+    stage's critical path while exercising a true DCT codec at every
+    scale. SQL twin: CASE WHEN pix%16=5 THEN 'jpeg' ELSE pix%3 cycle END
+    (period 48, divides PIXEL_PERIOD=768)."""
+    if i % 16 == 5:
+        return "jpeg"
+    return _ROTATION[i % 3]
 
 
 def synth_pixels(i: int, w: int | None = None, h: int | None = None) -> np.ndarray:

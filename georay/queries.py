@@ -3136,7 +3136,9 @@ def q_images_decode(sf_dir: str):
 def sql_images_decode(n: int) -> str:
     return f"""
 WITH img AS ({_sql_img(n)})
-SELECT CASE pix % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'q6' END AS fmt,
+SELECT CASE WHEN pix % 16 = 5 THEN 'jpeg'
+            WHEN pix % 3 = 0 THEN 'bmp'
+            WHEN pix % 3 = 1 THEN 'png' ELSE 'q6' END AS fmt,
        COUNT(*) AS n, COUNT(*) AS n_ok
 FROM img GROUP BY 1
 """

@@ -86,7 +86,8 @@ def test_decode_invariant_batch():
     assert out["ok"].to_pylist() == [True] * 24
     psnr_v = np.array(out["psnr"].to_pylist())
     fmts = out["fmt"].to_pylist()
-    lossy = np.array([f == "q6" for f in fmts])
+    lossy = np.array([f in images.LOSSY_FORMATS for f in fmts])
+    assert "jpeg" in fmts  # pix 5 and 21 land in the 24-row window
     assert (psnr_v[~lossy] == 99.0).all()
     assert (psnr_v[lossy] >= 40.0).all() and (psnr_v[lossy] < 99.0).all()
 
@@ -117,3 +118,79 @@ def test_decode_invariant_catches_caption_mismatch():
     t = t.set_column(5, "caption", pa.array(caps, pa.string()))
     out = DecodeInvariant()(t)
     assert out["ok"].to_pylist() == [False, True]
+
+
+# ------------------------------------------------------------- baseline JPEG
+
+
+@pytest.mark.parametrize("i", [0, 5, 42, 225])  # 225 = measured worst pattern
+def test_jpeg_roundtrip_psnr(i):
+    from georay.jpeg import decode_jpeg, encode_jpeg
+
+    pixels = images.synth_pixels(i)
+    back = decode_jpeg(encode_jpeg(pixels))
+    assert back.shape == pixels.shape
+    p = images.psnr(pixels, back)
+    assert 40.0 <= p < 99.0  # real lossy codec above the invariant floor
+
+
+def test_jpeg_odd_dims_padding():
+    from georay.jpeg import decode_jpeg, encode_jpeg
+
+    pixels = images.synth_pixels(0, 33, 17)  # non-multiple-of-8 both axes
+    back = decode_jpeg(encode_jpeg(pixels))
+    assert back.shape == (17, 33, 3)
+    assert images.psnr(pixels, back) >= 40.0
+
+
+def test_jpeg_marker_structure():
+    """The stream is spec-shaped JFIF: SOI, APP0(JFIF), DQT, SOF0, DHT,
+    SOS, EOI — and every interior 0xFF is stuffed or a marker."""
+    from georay.jpeg import encode_jpeg
+
+    blob = encode_jpeg(images.synth_pixels(7))
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert blob[2:4] == b"\xff\xe0" and blob[6:11] == b"JFIF\x00"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in blob[:2000], marker
+
+
+def test_jpeg_extreme_pixels_encode():
+    """Full-scale basis-pattern blocks at quality 100 stay inside the
+    baseline Huffman category range (the ±1023 clamp)."""
+    from georay.jpeg import decode_jpeg, encode_jpeg
+
+    # worst case: 1-px checkerboard (Nyquist) at max amplitude
+    px = np.zeros((16, 16, 3), np.uint8)
+    px[::2, ::2] = 255
+    px[1::2, 1::2] = 255
+    back = decode_jpeg(encode_jpeg(px, quality=100))
+    assert back.shape == px.shape  # decodes cleanly; PSNR not asserted
+
+
+def test_jpeg_garbage_raises():
+    from georay.jpeg import decode_jpeg
+
+    for bad in (b"nope", b"\xff\xd8\xff\xd9", b"\xff\xd8" + b"\x01" * 64):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_jpeg_truncation_raises():
+    from georay.jpeg import decode_jpeg, encode_jpeg
+
+    blob = encode_jpeg(images.synth_pixels(1))
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2] + b"\xff\xd9")
+
+
+def test_image_fmt_jpeg_share():
+    fmts = [images.image_fmt(i) for i in range(768)]
+    assert fmts.count("jpeg") == 48  # 1/16 of the period
+    assert images.image_fmt(5) == "jpeg"
+    assert images.image_fmt(21) == "jpeg"
+    assert images.image_fmt(0) == "bmp"
+    # registry dispatch
+    px = images.synth_pixels(5)
+    back = images.decode_image(images.encode_image(px, "jpeg"), "jpeg")
+    assert images.psnr(px, back) >= 40.0
