@@ -35,7 +35,7 @@ def interval_join(
     start_col: str = "start",
     end_col: str = "end",
     bucket: int = 86_400,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """1:N containment join: every (point, interval) pair with
     ``start <= ts < end`` sharing the ``by`` key — the temporal RANGE join.
@@ -46,6 +46,10 @@ def interval_join(
     exact half-open containment filter. Choose ``bucket`` near the typical
     interval span: too small explodes intervals, too large bloats join
     fan-in. Output: ``by``, ``point_ts``, ``start_col``, ``end_col``."""
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     def prep_points(t: pa.Table) -> pa.Table:
         s = t[point_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -29,7 +29,7 @@ def connected_components(
     node_col: str = "node",
     edge_a: str = "id_a",
     edge_b: str = "id_b",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_rounds: int = 50,
     broadcast_edges_max: int = 2_000_000,
     round_counter: list | None = None,
@@ -46,8 +46,15 @@ def connected_components(
     node stream; larger edge sets run the distributed min-label
     propagation with per-round pointer jumping (see module docstring —
     O(log diameter) rounds). ``round_counter``, if given, receives one
-    append per distributed round (test hook for the log-round bound)."""
+    append per distributed round (test hook for the log-round bound).
+    ``num_partitions=None`` → ``runtime.adaptive_partitions()`` (≈ cluster
+    CPUs, VERDICT r4 #4)."""
     from ray.data.aggregate import Max, Min, Sum
+
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     edge_pairs = edges_ds.select_columns([edge_a, edge_b]).materialize()
     n_edges = edge_pairs.count()
@@ -269,7 +276,7 @@ def dedup_clusters(
     docs_ds,
     pairs_ds,
     id_col: str = "doc_id",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Near-dup clustering: every doc labeled with its component's min id
     (its own id if it has no near-duplicates). Output:

@@ -70,14 +70,22 @@ def grid_dbscan(
     eps: float,
     min_pts: int,
     id_col: str = "id",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Deterministic grid DBSCAN. ``points_ds`` carries ``id_col`` +
     ``lon``/``lat``/``cell`` (ops.spatial.points_with_cells layout).
     Returns a Dataset ``(id_col, cluster, role)`` — cluster = min reachable
     core id (int64, -1 for noise), role ∈ {2 core, 1 border, 0 noise}.
+
+    ``num_partitions=None`` → ``runtime.adaptive_partitions()`` (≈ cluster
+    CPUs) for the pair join + label exchanges (VERDICT r4 #4).
     """
     from ray.data.aggregate import Min, Sum
+
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     def as_side(name):
         def fn(t: pa.Table) -> pa.Table:

@@ -113,7 +113,7 @@ def shuffle_cell_join(
     left_ds,
     right_ds,
     on: str = "cell",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     join_type: str = "inner",
@@ -121,6 +121,11 @@ def shuffle_cell_join(
     """Equi-join of two large Datasets: Ray Data hash shuffle join.
 
     ``join_type``: inner / left_outer / right_outer / full_outer."""
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     if left_cols is not None:
         left_ds = left_ds.select_columns(list(dict.fromkeys([on] + left_cols)))
     if right_cols is not None:
@@ -140,7 +145,7 @@ def salted_shuffle_join(
     hot_keys,
     on: str = "cell",
     n_salt: int = 8,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
 ):
@@ -151,6 +156,11 @@ def salted_shuffle_join(
     unchanged. Output rows carry the original (unsalted) key — row counts
     are exactly those of the plain join.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import numpy as np
 
     hot = np.sort(np.unique(np.asarray(hot_keys)))
@@ -331,7 +341,7 @@ def build_bloom(keys_ds, col: str, n_bits: int = 1 << 23, n_hashes: int = 4,
 
 def bloom_semi_join(ds, keys_ds, on: str, right_on: str | None = None,
                     anti: bool = False, n_bits: int = 1 << 23,
-                    n_hashes: int = 4, num_partitions: int = 16,
+                    n_hashes: int = 4, num_partitions: int | None = None,
                     exact: bool = True):
     """Semi / anti join against a key set too large to broadcast raw.
 
@@ -349,6 +359,11 @@ def bloom_semi_join(ds, keys_ds, on: str, right_on: str | None = None,
     At 10^10 keys and 10 bits/key the broadcast is ~12 GB of bitset versus
     ~80 GB of raw keys, and only the candidate band — not the full probe
     table — pays the exact-verify shuffle."""
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import ray
 
     right_on = right_on or on
@@ -423,7 +438,7 @@ def box_overlap_join(
     ny: int,
     a_id: str = "a_id",
     b_id: str = "b_id",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     emit_area: bool = True,
     coalesce: int | None = None,
 ):
@@ -447,6 +462,11 @@ def box_overlap_join(
 
     Output: ``a_id, b_id`` (+ ``inter_area`` int64 when ``emit_area``).
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     s = np.int64(cell_size)
 
     def explode(prefix: str, id_col: str):
@@ -535,7 +555,7 @@ def box_overlap_join(
 
 
 def segment_crossings(ds, id_col: str, x1: str, y1: str, x2: str, y2: str,
-                      cell_shift: int = 3, num_partitions: int = 8,
+                      cell_shift: int = 3, num_partitions: int | None = None,
                       combine_partitions: int = 8):
     """Segment-intersection join on INTEGER endpoint coordinates: all
     unordered pairs of segments that PROPERLY cross (strict orientation
@@ -552,6 +572,11 @@ def segment_crossings(ds, id_col: str, x1: str, y1: str, x2: str, y2: str,
 
     Ids must fit 31 bits (pair key packs a*2³¹+b).
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Count
 
     def scatter(t: pa.Table) -> pa.Table:

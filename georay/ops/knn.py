@@ -361,7 +361,7 @@ def knn_shuffle(
     query_id: str = "query_id",
     ref_id: str = "ref_id",
     cell_col: str = "cell",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     expand_side: str = "queries",
 ):
     """Big×big kNN: explode ONE side to its ring cells (vectorized, 1 row →
@@ -379,8 +379,17 @@ def knn_shuffle(
     endpoints are themselves in-grid), so candidate pairs are IDENTICAL
     either way; pick the SMALLER side ("refs" when refs ≪ queries) and the
     all-to-all exchange shrinks by ~(2r+1)²/(1+|small|/|big|·(2r+1)²)
-    (measured 1.7× wall on the 1.2M×300k probe)."""
+    (measured 1.7× wall on the 1.2M×300k probe).
+
+    ``num_partitions=None`` → ``runtime.adaptive_partitions()`` (≈ cluster
+    CPUs, VERDICT r4 #4; a syscall-taxed host favors HALVING it — see
+    BASELINE.md partition forensics)."""
     import pandas as pd
+
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     def explode(t: pa.Table) -> pa.Table:
         qcell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -454,7 +463,7 @@ def knn_cogroup(
     ref_id: str = "ref_id",
     cell_col: str = "cell",
     num_buckets: int = 64,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Big×big kNN via a SORT-shuffle cogroup join (no hash-aggregator
     actors): both sides are tagged, keyed by a cell-hash bucket, unioned,
@@ -467,8 +476,14 @@ def knn_cogroup(
     hash-join plan is ~3× faster — keep :func:`knn_shuffle` as the default
     and reach for this plan only where hash-aggregator actors are the
     bottleneck (e.g. actor-count-capped clusters). ``query_id`` /
-    ``ref_id`` must be integer-valued."""
+    ``ref_id`` must be integer-valued. ``num_partitions=None`` →
+    ``runtime.adaptive_partitions()``."""
     import pandas as pd
+
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     def prep_queries(t: pa.Table) -> pa.Table:
         qcell = t[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -670,7 +685,7 @@ def dwithin_shuffle(
     query_id: str = "query_id",
     ref_id: str = "ref_id",
     cell_col: str = "cell",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     expand_side: str = "queries",
 ):
     """Big×big distance-within join: ring-explode one side (the ring from
@@ -680,7 +695,12 @@ def dwithin_shuffle(
     exchange with streaming filter output. ``expand_side`` as in
     :func:`knn_shuffle` (ring membership is symmetric; explode the smaller
     side). Output: ``query_id, ref_id, dist2``.
+    ``num_partitions=None`` → ``runtime.adaptive_partitions()``.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
     ring = dwithin_ring_for(radius, bits)
     r2 = np.float64(radius) * np.float64(radius)
 
@@ -1159,7 +1179,7 @@ def accessibility_2sfca(demand_ds, supply_table: pa.Table, bits: int,
 def huff_shares(demand_ds, supply_table: pa.Table, bits: int, radius: float,
                 demand_id: str, supply_id: str, cap_col: str,
                 scale: int = 1_000_000, share_scale: int = 1_000_000,
-                combine_partitions: int = 8, num_partitions: int = 8):
+                combine_partitions: int = 8, num_partitions: int | None = None):
     """Huff gravity-model market shares: each demand point splits its
     patronage over the supply sites within ``radius`` proportionally to
     ``w_j = ⌊scale·cap_j / (1 + d²)⌋`` (capacity over squared distance;
@@ -1178,6 +1198,11 @@ def huff_shares(demand_ds, supply_table: pa.Table, bits: int, radius: float,
     Output: ``demand_id, supply_id, w, share_scaled`` with
     ``share_scaled = ⌊share_scale·w / Σ_k w_k⌋``.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Sum
 
     pairs = dwithin_ring(

@@ -49,7 +49,8 @@ def _distinct_edges(ds, src_col: str, dst_col: str, combine_partitions: int):
 
 
 def pagerank(ds, src_col: str, dst_col: str, iterations: int = 3,
-             combine_partitions: int = 8, num_partitions: int = 8,
+             combine_partitions: int = 8,
+             num_partitions: int | None = None,
              driver_max_edges: int = 5_000_000):
     """Integer PageRank over the DISTINCT (src, dst) edges of ``ds``.
 
@@ -64,8 +65,16 @@ def pagerank(ds, src_col: str, dst_col: str, iterations: int = 3,
     distributed per-iteration plan (2 joins + union-groupby, below) pays
     ~6 JoinOperator exchanges per call in fixed overhead — 23–43 s at
     sf0.1 for a 21k-node graph whose whole iteration loop is 10 ms of
-    numpy — and remains the >driver_max_edges path."""
+    numpy — and remains the >driver_max_edges path.
+
+    ``num_partitions=None`` → ``runtime.adaptive_partitions()`` for the
+    distributed plan's per-iteration joins (VERDICT r4 #4)."""
     from ray.data.aggregate import Sum
+
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     edges = _distinct_edges(ds, src_col, dst_col, combine_partitions)
 

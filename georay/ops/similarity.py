@@ -1100,7 +1100,7 @@ def ivf_pq_topk(ds, m_subspaces: int = 8, n_codewords: int = 16,
 def knn_classify(ds, query_ids: np.ndarray, query_mat: np.ndarray,
                  k: int = 5, id_col: str = "vec_id",
                  emb_col: str = "embedding", label_col: str = "label",
-                 num_partitions: int = 8, num_buckets: int = 16):
+                 num_partitions: int | None = None, num_buckets: int = 16):
     """k-NN CLASSIFIER: each query's label predicted by majority vote of
     its k nearest neighbors (exact brute cosine, self excluded); vote
     ties break to the SMALLEST label, deterministically. The evaluation
@@ -1114,6 +1114,11 @@ def knn_classify(ds, query_ids: np.ndarray, query_mat: np.ndarray,
 
     Output: ``query_id, pred_label, votes``.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import pandas as pd
 
     from georay.ops import buckets as bk
@@ -1169,7 +1174,7 @@ def knn_classify(ds, query_ids: np.ndarray, query_mat: np.ndarray,
 
 
 def rrf_fuse(rankings, k: int = 10, c: int = 60,
-             scale: int = 1_000_000_000, num_partitions: int = 8):
+             scale: int = 1_000_000_000, num_partitions: int | None = None):
     """Reciprocal-rank fusion (Cormack et al.) of N per-query rankings:
     fused score = Σ_rankers ⌊scale / (c + rank)⌋ — the floor makes every
     term int64, so the fused sum is exact under any combine order and the
@@ -1181,6 +1186,11 @@ def rrf_fuse(rankings, k: int = 10, c: int = 60,
     Output: ``query_id, neighbor_id, rrf_score, fused_rank`` (1..k,
     ties broken by neighbor_id ascending).
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Sum
 
     from georay.ops.rank import grouped_topk

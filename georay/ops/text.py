@@ -264,7 +264,7 @@ def make_gram_hash_rows(k: int, id_col: str, text_col: str):
 
 
 def decontaminate(train, bench, k: int = 8, id_col: str = "doc_id",
-                  text_col: str = "text", num_partitions: int = 8,
+                  text_col: str = "text", num_partitions: int | None = None,
                   combine_partitions: int = 8):
     """Benchmark decontamination (the GPT-3 appendix-C / Brown et al. 2020
     shape, at token-k-gram granularity): flag every training document that
@@ -287,6 +287,11 @@ def decontaminate(train, bench, k: int = 8, id_col: str = "doc_id",
 
     Output: ``id_col, n_grams, n_contam`` for train docs with ≥ k tokens.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Sum
 
     from georay.ops.tiles import count_by
@@ -340,7 +345,7 @@ def decontaminate(train, bench, k: int = 8, id_col: str = "doc_id",
 
 
 def ngram_span_stats(ds, k: int = 8, id_col: str = "doc_id",
-                     text_col: str = "text", num_partitions: int = 8,
+                     text_col: str = "text", num_partitions: int | None = None,
                      combine_partitions: int = 8):
     """Substring-level duplicate-span detection (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" exact-
@@ -372,6 +377,11 @@ def ngram_span_stats(ds, k: int = 8, id_col: str = "doc_id",
 
     Output: ``id_col, n_spans, n_dup_spans`` for docs with ≥ k tokens.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Sum
 
     from georay.ops.tiles import count_by
@@ -414,7 +424,7 @@ def ngram_span_stats(ds, k: int = 8, id_col: str = "doc_id",
 
 
 def tfidf_topk(ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text",
-               num_partitions: int = 8, combine_partitions: int = 8):
+               num_partitions: int | None = None, combine_partitions: int = 8):
     """Top-k distinctive terms per document, ranked by ``(tf DESC, df ASC,
     term ASC)`` — a deterministic INTEGER-EXACT tf-idf ordering (idf =
     ln(N/df) is strictly decreasing in df, so for equal tf the idf order IS
@@ -434,6 +444,11 @@ def tfidf_topk(ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text",
 
     Output: ``id_col, w, tf, df, rank`` (rank 1..k per doc).
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import re
 
     import pandas as pd
@@ -498,7 +513,7 @@ def tfidf_topk(ds, k: int = 5, id_col: str = "doc_id", text_col: str = "text",
 
 
 def cooccur_topk(ds, k: int = 50, id_col: str = "doc_id", text_col: str = "text",
-                 combine_partitions: int = 8, num_partitions: int = 8,
+                 combine_partitions: int = 8, num_partitions: int | None = None,
                  broadcast_vocab_max: int = 2_000_000):
     """Top-k co-occurring token pairs by LIFT = P(a,b)/(P(a)·P(b)) =
     n_ab·N / (n_a·n_b) — the pointwise-mutual-information ranking without
@@ -518,6 +533,11 @@ def cooccur_topk(ds, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
 
     Output: ``w_a, w_b, n_ab, n_a, n_b, lift`` (w_a < w_b).
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import re
 
     import pandas as pd
@@ -789,7 +809,7 @@ def chunk_stats(ds, window: int, stride: int, id_col: str = "doc_id",
 
 
 def rarity_scores(ds, n_docs: int, id_col: str = "doc_id",
-                  text_col: str = "text", num_partitions: int = 8,
+                  text_col: str = "text", num_partitions: int | None = None,
                   combine_partitions: int = 8):
     """Per-document RARITY score — the integer surprisal proxy
     Σ_occurrences (N − df(term)): rare terms (low document frequency)
@@ -804,6 +824,11 @@ def rarity_scores(ds, n_docs: int, id_col: str = "doc_id",
 
     Output: ``id_col, n_tokens, rarity``.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import re
 
     import pandas as pd

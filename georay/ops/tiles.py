@@ -206,7 +206,7 @@ def pyramid_counts(ds, bits: int, levels: int, cell_col: str = "cell",
 
 def focal_sum(raster_ds, bits: int, cell_col: str = "cell",
               value_col: str = "n", combine_partitions: int = 8,
-              num_partitions: int = 8):
+              num_partitions: int | None = None):
     """3×3 k-ring focal (neighborhood) sum over an aggregated raster.
 
     Scatter-gather formulation: every occupied cell SCATTERS its value to
@@ -225,6 +225,11 @@ def focal_sum(raster_ds, bits: int, cell_col: str = "cell",
     Output: ``cell_col, value_col, focal_sum, n_nb`` (n_nb counts the
     occupied cells in the window, for a mean = focal_sum / n_nb).
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Sum
 
     def scatter(t: pa.Table) -> pa.Table:
@@ -327,7 +332,7 @@ def zonal_stats(ds, zone_col: str, value_col: str, combine_partitions: int = 4):
 
 
 def hotspot_gi(ds, bits: int, cell_col: str = "cell",
-               combine_partitions: int = 8, num_partitions: int = 8):
+               combine_partitions: int = 8, num_partitions: int | None = None):
     """Getis-Ord Gi* hot-spot z-score per OCCUPIED cell over a 3×3 queen
     neighborhood (the cell-grid form of the classic spatial hot-spot
     statistic, computed over the set of occupied cells).
@@ -350,6 +355,11 @@ def hotspot_gi(ds, bits: int, cell_col: str = "cell",
     scalars closed over (bounded driver pull: one partial row per counts
     block). Output: ``tile_x, tile_y, n, gi_z``.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Sum
 
     from georay import codec
@@ -448,7 +458,7 @@ def hotspot_gi(ds, bits: int, cell_col: str = "cell",
 
 def adaptive_cells(ds, bits: int, levels: int, threshold: int,
                    cell_col: str = "cell", combine_partitions: int = 16,
-                   num_partitions: int = 8):
+                   num_partitions: int | None = None):
     """Skew-adaptive quadtree leaves: split every cell holding more than
     ``threshold`` points into its 4 Morton children, down to at most
     ``bits`` precision — the partitioning primitive that turns dense urban
@@ -467,6 +477,11 @@ def adaptive_cells(ds, bits: int, levels: int, threshold: int,
     the leaf decision is distributed. Output: ``cell_bits, tile_x, tile_y,
     n`` (leaf precision in bits, grid coords at that precision).
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Sum
 
     from georay import codec
@@ -628,7 +643,7 @@ def tile_trend(ds, cell_col: str = "cell", x_col: str = "x", y_col: str = "y",
 
 def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
               value_col: str = "n", combine_partitions: int = 8,
-              num_partitions: int = 8):
+              num_partitions: int | None = None):
     """Empirical semivariogram of an aggregated raster: every unordered
     pair of OCCUPIED cells within Chebyshev distance ``max_lag`` is binned
     by squared Euclidean grid distance d² = dx²+dy² and contributes
@@ -645,6 +660,11 @@ def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
     partial rows. Plain grid geometry — no longitude wrap: a variogram is
     a distance statistic, not a topology query.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Sum
 
     nx_bits, ny_bits = codec.split_bits(bits)
@@ -707,7 +727,7 @@ def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
 
 def grid_bfs(raster_ds, bits: int, max_hops: int,
              cell_col: str = "cell", src_col: str = "n_src",
-             num_partitions: int = 8):
+             num_partitions: int | None = None):
     """Multi-source BFS hop distance over OCCUPIED raster cells: sources
     are cells with ``src_col`` > 0 (hop 0); each round scatters the
     frontier to its queen 8-neighborhood (codec.neighbors — lon wrap, lat
@@ -723,6 +743,11 @@ def grid_bfs(raster_ds, bits: int, max_hops: int,
     deduped and materialized per round (bounded), keeping the lazy plan
     one round deep.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import ray
     from ray.data.aggregate import Min
 
@@ -778,7 +803,7 @@ def grid_bfs(raster_ds, bits: int, max_hops: int,
 
 def kernel_convolve(raster_ds, bits: int, kernel, cell_col: str = "cell",
                     value_col: str = "n", combine_partitions: int = 8,
-                    num_partitions: int = 8):
+                    num_partitions: int | None = None):
     """Arbitrary integer-kernel raster convolution (focal_sum generalized):
     every occupied cell scatters ``value × weight`` to cell+(dx, dy) for
     each kernel tap, contributions partial-combine per batch, one small
@@ -789,6 +814,11 @@ def kernel_convolve(raster_ds, bits: int, kernel, cell_col: str = "cell",
 
     Output: ``cell_col, value_col, conv``.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     from ray.data.aggregate import Sum
 
     taps = [(int(dx), int(dy), int(w)) for dx, dy, w in kernel]
@@ -831,7 +861,7 @@ def kernel_convolve(raster_ds, bits: int, kernel, cell_col: str = "cell",
 
 def flow_direction(raster_ds, bits: int, cell_col: str = "cell",
                    value_col: str = "n", combine_partitions: int = 8,
-                   num_partitions: int = 8):
+                   num_partitions: int | None = None):
     """D8 flow direction over an aggregated integer raster: every occupied
     cell drains to its LOWEST-value occupied 8-neighbor, provided that
     neighbor is strictly lower; ties break to the smallest compass index
@@ -851,6 +881,11 @@ def flow_direction(raster_ds, bits: int, cell_col: str = "cell",
     Output: ``cell_col, value_col, dir, nb_min`` (nb_min = lowest occupied
     neighbor value, −1 when there is none).
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 

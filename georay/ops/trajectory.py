@@ -107,7 +107,7 @@ def trajectory_stats(ds, key_col: str, ts_col: str, order_col: str,
 
 
 def od_matrix(ds, key_col: str, ts_col: str, order_col: str, cell_col: str,
-              num_partitions: int = 8, num_buckets: int = 32):
+              num_partitions: int | None = None, num_buckets: int = 32):
     """Origin→destination transition matrix over trajectory legs: how many
     legs go from cell A to cell B, across all keys.
 
@@ -122,6 +122,11 @@ def od_matrix(ds, key_col: str, ts_col: str, order_col: str, cell_col: str,
     one row per leg. Self-loop legs (consecutive points in the same cell)
     are counted. Output: ``(o_cell, d_cell, n)``.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
@@ -436,7 +441,7 @@ def stay_points(ds, key_col: str, ts_col: str, order_col: str,
 
 def spatiotemporal_pairs(ds, id_col: str, user_col: str, ts_col: str,
                          x_col: str, y_col: str, eps: int, window_us: int,
-                         num_partitions: int = 8):
+                         num_partitions: int | None = None):
     """Spatiotemporal contact join: every pair of events from DIFFERENT
     users within integer grid distance ``eps`` (d² ≤ eps²) AND within
     ``window_us`` in time — the proximity/contact-tracing join, a true 3-D
@@ -455,6 +460,11 @@ def spatiotemporal_pairs(ds, id_col: str, user_col: str, ts_col: str,
 
     Output: ``event_a, event_b, d2, dt_us`` (a < b).
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import pyarrow as pa
 
     eps2 = np.int64(eps) * np.int64(eps)

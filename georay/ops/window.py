@@ -451,7 +451,7 @@ def transitions(ds, key_col: str, ts_col: str, order_col: str, type_col: str,
 
 def resample_gapfill(ds, key_col: str, ts_col: str, value_col: str,
                      bucket_us: int, ts_scale_us: int = 1,
-                     num_partitions: int = 8, combine_partitions: int = 8):
+                     num_partitions: int | None = None, combine_partitions: int = 8):
     """Fixed-interval time-series resample WITH gap fill: per (key, bucket)
     count + integer value sum, then every missing bucket between each
     key's first and last observation emitted as an explicit zero row —
@@ -474,6 +474,11 @@ def resample_gapfill(ds, key_col: str, ts_col: str, value_col: str,
     driver loop), left-joined back to the aggregate with nulls → 0. The
     exchanges carry only aggregate and span rows — never raw events.
     """
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min, Sum
 

@@ -65,21 +65,26 @@ def table_from_pandas(df, schema: "pa.Schema | None" = None) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
-def adaptive_partitions(cap: int = 32, floor: int = 4) -> int:
+def adaptive_partitions(cap: int | None = None, floor: int = 4) -> int:
     """``num_partitions ≈ cluster CPUs`` for JoinOperator / groupby call
     sites (BASELINE.md partition forensics: more join partitions than CPUs
     raises per-message syscall density — which this host's kernel-tax
     phases punish 2–8× — while fewer caps the exchange's parallelism; a
-    fixed 8 left 24 of 32 cores idle in containment_join's verify). Clamped
-    to [floor, cap]; falls back to 8 CPUs when Ray isn't initialised (the
-    driver inits Ray before importing queries, so that's test-only)."""
+    fixed 8 left 24 of 32 cores idle in containment_join's verify).
+
+    ``cap=None`` (default) tracks the CLUSTER's CPU count so exchanges
+    keep widening on multi-node deployments — a hard cap would silently
+    serialize a 256-node job's shuffles; pass an explicit cap only for
+    probes that need a fixed physical plan across parallelism levels.
+    Clamped to [floor, cap]; falls back to 8 when Ray isn't initialised
+    (the driver inits Ray before importing queries, so that's test-only)."""
     import ray
 
     cpus = (
         int(ray.cluster_resources().get("CPU", 8))
         if ray.is_initialized() else 8
     )
-    return max(floor, min(cap, cpus))
+    return max(floor, cpus if cap is None else min(cap, cpus))
 
 
 def detect_heavy_keys(ds, col: str, threshold: int) -> np.ndarray:

@@ -389,3 +389,19 @@ def test_cc_pointer_jump_log_rounds(ray_session):
     assert dict(zip(out["node"], out["component"])) == {i: 0 for i in range(n)}
     # log2(64)=6; +3 slack for the warmup round and the fixpoint-detect round
     assert len(rounds) <= math.ceil(math.log2(n)) + 3, rounds
+
+
+def test_adaptive_partitions_semantics(ray_session):
+    """VERDICT r4 #4: join call sites default to ~cluster CPUs; cap=None
+    must track the cluster (a hard cap would serialize multi-node
+    shuffles), floor guards tiny clusters, explicit caps still bind."""
+    import ray
+
+    from georay.runtime import adaptive_partitions
+
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    assert cpus >= 1
+    assert adaptive_partitions() == max(4, cpus)
+    assert adaptive_partitions(cap=2) == 4  # floor wins over cap
+    assert adaptive_partitions(cap=max(4, cpus - 1)) == max(4, cpus - 1)
+    assert adaptive_partitions(floor=1, cap=1) == 1
