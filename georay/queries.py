@@ -4426,6 +4426,46 @@ def q_ann_index_lifecycle(sf_dir: str):
     return idx.query_topk(ids[mask], all_mat[mask], k=ANN_K, n_probe=16)
 
 
+def q_ann_index_pq_lifecycle(sf_dir: str):
+    """Persisted IVF-PQ lifecycle under oracle check (VecIndex.build_pq —
+    the FAISS ``IVF,PQ`` layout: 8 one-byte codeword ids per vector on
+    disk instead of ``dim`` SQ8 bytes). BUILD with the same codebook rows
+    (vec_id < 16, ascending) and full-corpus SQ8 ranges the in-flight
+    ivf_pq_topk derives, OPEN fresh from disk, QUERY at full probe: the
+    ADC ranking is then mathematically identical to pq_topk, so the
+    relational PQ SQL oracle gates the whole persisted round trip —
+    codeword drift, a lost inverted list, or LUT layout corruption all
+    break the match. Fresh root per call."""
+    import os
+    import shutil
+    import tempfile
+
+    from georay.ops import similarity as sim
+    from georay.vecindex import VecIndex
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_vecidxpq_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    table = _read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_mat = sim.emb_matrix(table["embedding"])
+    ids = table["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="quicksort")
+    cb_mask = ids[order] < 16
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    VecIndex.build_pq(
+        emb, root,
+        sample_mat=all_mat[:: max(1, all_mat.shape[0] // 256)],
+        cb_mat=all_mat[order][cb_mask],
+        n_centroids=8, m_subspaces=8,
+    )
+    idx = VecIndex(root)  # fresh open: everything must come from disk
+    mask = ids % 10 == 0
+    return idx.query_topk(ids[mask], all_mat[mask], k=ANN_K, n_probe=8)
+
+
 KMEANS_K, KMEANS_ITERS, KMEANS_SCALE, EMB_DIM = 8, 3, 1 << 20, 64
 
 
@@ -11250,6 +11290,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ann_hard_negatives": (q_ann_hard_negatives, SQL_ANN_HARD_NEGATIVES),
         "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_SQ8),
         "ann_index_lifecycle": (q_ann_index_lifecycle, SQL_ANN_SQ8),
+        "ann_index_pq_lifecycle": (q_ann_index_pq_lifecycle, SQL_ANN_PQ),
         "kmeans_clusters": (q_kmeans, sql_kmeans()),
         "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup()),
         "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),

@@ -1,4 +1,4 @@
-"""Persisted IVF-SQ8 vector index over a partitioned Parquet layout.
+"""Persisted IVF-SQ8 / IVF-PQ vector index over a partitioned Parquet layout.
 
 Mirror of :class:`georay.index.CellIndex` for the ANN family (VERDICT r4
 missing #1): build → save → open → query, so a large-corpus user trains
@@ -14,13 +14,22 @@ unprefixed stray files, CLAUDE.md invariant).
 
 Queries prune at the partition level — only the probed buckets' files
 are opened (the IVF analogue of CellIndex's cell-prefix pruning) — and
-score the stored packed uint8 SQ8 codes with int64 dot products. The
-quantization (``sq8_quantize``), centroid training
-(``train_centroids``), assignment expression and the (score DESC,
+score stored uint8 codes with int64 math only. Two storage kinds:
+
+- ``ivf_sq8`` (default): each vector stores its full ``dim``-byte SQ8
+  code; scoring is an int64 dot against the query's SQ8 code.
+- ``ivf_pq`` (:meth:`build_pq`): each vector stores only
+  ``m_subspaces`` one-byte PQ codeword ids (FAISS ``IVF,PQ`` shape,
+  Jegou et al. 2011) and scoring gathers per-query integer ADC lookup
+  tables — the memory scale path (8 bytes/vector at 64 dims).
+
+The quantization (``sq8_quantize``), centroid training
+(``train_centroids``), assignment expressions and the (score DESC,
 neighbor_id ASC) merge are shared with / identical to the in-flight
-pipeline, so at ``n_probe == n_centroids`` a loaded index returns
-bit-identical rows to ``ivf_sq8_topk`` and to the integer SQL oracle
-(the ``ann_index_lifecycle`` harness query asserts exactly that).
+pipelines, so at ``n_probe == n_centroids`` a loaded index returns
+bit-identical rows to ``ivf_sq8_topk`` / ``ivf_pq_topk`` and to the
+integer SQL oracles (the ``ann_index_lifecycle`` and
+``ann_index_pq_lifecycle`` harness queries assert exactly that).
 """
 
 from __future__ import annotations
@@ -69,10 +78,14 @@ class VecIndex:
         self.n_centroids = props["n_centroids"]
         self.dim = props["dim"]
         self.id_col = props["id_col"]
+        self.kind = props.get("kind", "ivf_sq8")
         q = np.load(os.path.join(root, _QUANT))
         self.cents = q["cents"]
         self.mn = q["mn"]
         self.mx = q["mx"]
+        if self.kind == "ivf_pq":
+            self.cb_sub = q["cb_sub"]  # (n_codewords, m_subspaces, d_sub)
+            self.m_subspaces = int(props["m_subspaces"])
 
     # -------------------------------------------------------------- building
 
@@ -133,7 +146,91 @@ class VecIndex:
         )
         np.savez(os.path.join(root, _QUANT), cents=cents, mn=mn, mx=mx)
         props = {"n_centroids": int(n_centroids), "dim": dim,
-                 "id_col": id_col}
+                 "id_col": id_col, "kind": "ivf_sq8"}
+        tmp = os.path.join(root, _PROPS + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(props, f)
+        os.replace(tmp, os.path.join(root, _PROPS))
+        return VecIndex(root)
+
+    @staticmethod
+    def build_pq(
+        ds,
+        root: str,
+        sample_mat: np.ndarray,
+        cb_mat: np.ndarray,
+        n_centroids: int = 16,
+        m_subspaces: int = 8,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        combine_partitions: int = 4,
+        resume: bool = True,
+    ) -> "VecIndex":
+        """IVF-PQ build: every vector persists as ``m_subspaces`` one-byte
+        PQ codeword ids (vs ``dim`` bytes for SQ8) plus its inverted-list
+        bucket — the FAISS ``IVF,PQ`` layout. ``cb_mat`` is the
+        (n_codewords, dim) float codebook sample (the in-flight
+        ``ivf_pq_topk`` uses the vectors with the smallest ids — pass the
+        same rows for bit-parity); it is SQ8-quantized with the
+        distributed per-dim ranges so the per-subspace assignment argmin
+        (integer L2, ties to the lowest codeword id) and the query-time
+        ADC tables are pure int64 and order-independent."""
+        import ray
+
+        os.makedirs(root, exist_ok=True)
+
+        ranges_t = pa.concat_tables(
+            list(dim_ranges(ds, emb_col, combine_partitions).iter_batches(
+                batch_format="pyarrow"))
+        )
+        order = np.argsort(ranges_t["dim"].to_numpy(zero_copy_only=False))
+        mn = ranges_t["mn"].to_numpy(zero_copy_only=False)[order]
+        mx = ranges_t["mx"].to_numpy(zero_copy_only=False)[order]
+        dim = int(mn.size)
+        if dim % m_subspaces:
+            raise ValueError(
+                f"dims {dim} not divisible by {m_subspaces} subspaces")
+        d_sub = dim // m_subspaces
+        cb_codes = sq8_quantize(np.asarray(cb_mat), mn, mx)
+        cb_sub = cb_codes.reshape(cb_codes.shape[0], m_subspaces, d_sub)
+        cents = train_centroids(np.asarray(sample_mat), n_centroids)
+
+        ref = ray.put((cents, mn, mx, cb_sub))
+
+        def encode(t: pa.Table) -> pa.Table:
+            c, lo, hi, cb = ray.get(ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            fmat = emb_matrix(t[emb_col])
+            assign = (_normalize(fmat) @ c.T).argmax(axis=1)
+            codes = sq8_quantize(fmat, lo, hi).reshape(
+                ids.size, m_subspaces, d_sub)
+            # per-subspace integer L2 argmin — identical expression to
+            # ivf_pq_topk's BucketTopK (ties break to the lowest cw id)
+            pq_assign = np.empty((ids.size, m_subspaces), np.uint8)
+            for s in range(m_subspaces):
+                diff = codes[:, s, None, :] - cb[None, :, s, :]
+                pq_assign[:, s] = np.argmin(
+                    np.einsum("rcd,rcd->rc", diff, diff), axis=1)
+            buf = pq_assign.tobytes()
+            blobs = [buf[i * m_subspaces: (i + 1) * m_subspaces]
+                     for i in range(ids.size)]
+            return pa.table({
+                id_col: ids,
+                "code": pa.array(blobs, type=pa.binary()),
+                "_bucket": assign.astype(np.int64),
+            })
+
+        runtime.write_partitioned(
+            ds.map_batches(encode, batch_format="pyarrow"),
+            root, "_bucket", resume=resume,
+            lineage=(f"vecindex build_pq n_centroids={n_centroids} "
+                     f"m_subspaces={m_subspaces}"),
+        )
+        np.savez(os.path.join(root, _QUANT),
+                 cents=cents, mn=mn, mx=mx, cb_sub=cb_sub)
+        props = {"n_centroids": int(n_centroids), "dim": dim,
+                 "id_col": id_col, "kind": "ivf_pq",
+                 "m_subspaces": int(m_subspaces)}
         tmp = os.path.join(root, _PROPS + ".tmp")
         with open(tmp, "w") as f:
             json.dump(props, f)
@@ -153,11 +250,14 @@ class VecIndex:
 
     def query_topk(self, query_ids: np.ndarray, query_mat: np.ndarray,
                    k: int = 5, n_probe: int = 4):
-        """Top-k by int64 SQ8 code dot product over the probed inverted
-        lists only — partition-pruned read, per-batch local top-k, one
-        per-query merge. Self-matches (same id) are excluded, ties break
-        by ascending neighbor id; at ``n_probe == n_centroids`` the
-        ranking is bit-identical to the in-flight ``ivf_sq8_topk``.
+        """Top-k by int64 code math over the probed inverted lists only —
+        partition-pruned read, per-batch local top-k, one per-query merge.
+        ``ivf_sq8``: SQ8 query code · stored SQ8 code dot products;
+        ``ivf_pq``: per-query integer ADC lookup tables gathered through
+        the stored PQ codeword ids (no vector reconstructed). Self-matches
+        (same id) are excluded, ties break by ascending neighbor id; at
+        ``n_probe == n_centroids`` the ranking is bit-identical to the
+        in-flight ``ivf_sq8_topk`` / ``ivf_pq_topk``.
         Output: ``query_id, neighbor_id, score, rank``."""
         import pandas as pd
         import ray
@@ -167,6 +267,18 @@ class VecIndex:
         q_ids = np.asarray(query_ids, dtype=np.int64)
         q_mat = np.asarray(query_mat)
         q_codes = sq8_quantize(q_mat, self.mn, self.mx)
+        if self.kind == "ivf_pq":
+            # per-query flattened ADC tables: (nq, m_subspaces * n_cw)
+            n_cw = self.cb_sub.shape[0]
+            d_sub = self.dim // self.m_subspaces
+            q_sub = q_codes.reshape(q_ids.size, self.m_subspaces, d_sub)
+            q_codes = np.einsum("qsd,csd->qsc", q_sub, self.cb_sub).reshape(
+                q_ids.size, -1)
+            cw_off = n_cw * np.arange(self.m_subspaces, dtype=np.int64)
+            code_width = self.m_subspaces
+        else:
+            cw_off = None
+            code_width = self.dim
         probe = np.argsort(-(_normalize(q_mat) @ self.cents.T),
                            axis=1)[:, :n_probe]
         files = self._files_for_buckets(
@@ -178,13 +290,14 @@ class VecIndex:
                 "score": pa.array([], pa.int64()),
                 "rank": pa.array([], pa.int64()),
             }))
-        ref = ray.put((q_ids, q_codes, probe, self.n_centroids))
+        ref = ray.put((q_ids, q_codes, probe, self.n_centroids, cw_off))
         state_key = "georay-vecindex-" + ref.hex()
-        id_col, dim = self.id_col, self.dim
+        id_col = self.id_col
 
         class Scorer:
             def __init__(self):
-                self.q_ids, self.q_codes, probe, n_cents = ray.get(ref)
+                (self.q_ids, self.q_codes, probe, n_cents,
+                 self.cw_off) = ray.get(ref)
                 self.bucket_queries = [
                     np.flatnonzero((probe == b).any(axis=1))
                     for b in range(n_cents)
@@ -197,7 +310,7 @@ class VecIndex:
                 # (score DESC, neighbor_id ASC) rule (see ivf_sq8_topk)
                 id_order = np.argsort(ids, kind="stable")
                 ids = ids[id_order]
-                codes = _codes_view(t["code"], dim)[id_order].astype(
+                codes = _codes_view(t["code"], code_width)[id_order].astype(
                     np.int64)
                 assign = t["_bucket"].to_numpy(
                     zero_copy_only=False)[id_order]
@@ -207,7 +320,14 @@ class VecIndex:
                     if qs.size == 0:
                         continue
                     rows = np.flatnonzero(assign == b)
-                    scores = self.q_codes[qs] @ codes[rows].T
+                    if self.cw_off is not None:
+                        # PQ-ADC: gather each stored codeword id through
+                        # the query's flattened lookup table — identical
+                        # expression to ivf_pq_topk's BucketTopK
+                        scores = self.q_codes[qs][
+                            :, codes[rows] + self.cw_off].sum(axis=2)
+                    else:
+                        scores = self.q_codes[qs] @ codes[rows].T
                     scores[self.q_ids[qs][:, None]
                            == ids[rows][None, :]] = -1
                     kk = min(k, rows.size)

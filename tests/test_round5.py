@@ -216,6 +216,38 @@ def test_vecindex_full_probe_matches_inflight(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want[got.columns])
 
 
+def test_vecindex_pq_full_probe_matches_inflight(ray_session, tmp_path):
+    """build_pq → open → query at full probe is bit-identical to the
+    in-flight ivf_pq_topk given the same codebook rows / sample / mask
+    (the persisted FAISS IVF,PQ layout, VERDICT r4 #2)."""
+    import ray
+
+    from georay.ops import similarity as sim
+    from georay.vecindex import VecIndex
+
+    mat = _clustered_vectors()
+    t = _emb_table(mat)
+    ds = ray.data.from_arrow(t).repartition(5)
+    sample = mat[::7]
+    cb_mat = mat[:16]  # ids 0..15 ascending — the rows collect() picks
+
+    VecIndex.build_pq(ds, str(tmp_path / "vidxpq"), sample_mat=sample,
+                      cb_mat=cb_mat, n_centroids=8, m_subspaces=8)
+    idx = VecIndex(str(tmp_path / "vidxpq"))
+    assert idx.kind == "ivf_pq" and idx.count() == mat.shape[0]
+    ids = t["vec_id"].to_numpy()
+    mask = ids % 10 == 0
+    got = (idx.query_topk(ids[mask], mat[mask], k=5, n_probe=8)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    want = (sim.ivf_pq_topk(ds, m_subspaces=8, n_codewords=16,
+                            query_mask_mod=10, k=5, n_centroids=8,
+                            n_probe=8, sample_mat=sample)
+            .to_pandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+
 def test_vecindex_pruned_recall_and_pruned_read(ray_session, tmp_path):
     """n_probe < n_centroids on clustered data: recall ≥ 0.9 vs full
     probe, and the pruned query opens strictly fewer partition files."""
