@@ -11220,6 +11220,266 @@ FROM d a JOIN d b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
 """
 
 
+SEN_SCALE = 1_000_000
+
+
+def q_tile_sen_slope(sf_dir: str):
+    """Theil–Sen slope per tile over weekly event counts — the robust
+    companion of `tile_mk_trend` (together they are the ArcGIS
+    emerging-hot-spot primitive pair): the median over all week pairs
+    i<j of (n_j − n_i)/(w_j − w_i). Each slope becomes a fixed-point
+    int64 via TRUNCATING division (⌊·⌋ toward zero — DuckDB's `//`
+    truncates, numpy's floors, so the engine mirrors truncation) of
+    SCALE·Δn by Δweek, and the output is 2×median so even-count
+    midpoints stay int64 (grouped_median2 discipline). Plan: two-phase
+    (tile, week) counts → driver-bounded dense pivot (≤ tiles ×
+    single-digit weeks) → vectorized pair slopes across ALL tiles at
+    once → per-tile sorted-middle pick. SQL twin: week self-join +
+    ROW_NUMBER median replay."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xi = (eid * HASH_LON) % 360000
+        yi = (eid * HASH_LAT) % 180000
+        tile = (xi // 11250) * 32 + yi // 5625
+        week = us // (7 * 86_400_000_000)
+        pack = tile * (np.int64(1) << 24) + week
+        u, inv = np.unique(pack, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table({"tile": u >> 24, "week": u & ((1 << 24) - 1),
+                         "p_n": n})
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["tile", "week"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: tiles × single-digit weeks
+
+    tiles_v = agg["tile"].to_numpy().astype(np.int64)
+    weeks_v = agg["week"].to_numpy().astype(np.int64)
+    n_v = agg["n"].to_numpy().astype(np.int64)
+    ut = np.unique(tiles_v)
+    uw = np.unique(weeks_v)
+    ti = np.searchsorted(ut, tiles_v)
+    wi = np.searchsorted(uw, weeks_v)
+    dense = np.zeros((ut.size, uw.size), np.int64)
+    present = np.zeros((ut.size, uw.size), bool)
+    dense[ti, wi] = n_v
+    present[ti, wi] = True
+
+    if uw.size < 2:  # single observed week: no pairs anywhere (SQL: empty)
+        return pd.DataFrame({
+            "tile": np.empty(0, np.int64),
+            "n_pairs": np.empty(0, np.int64),
+            "sen2": np.empty(0, np.int64),
+        })
+    slope_cols = []
+    mask_cols = []
+    for i in range(uw.size):
+        for j in range(i + 1, uw.size):
+            num = (dense[:, j] - dense[:, i]) * SEN_SCALE
+            den = uw[j] - uw[i]
+            # truncating division (DuckDB `//` semantics, den > 0)
+            q = np.where(num >= 0, num // den, -((-num) // den))
+            slope_cols.append(q)
+            mask_cols.append(present[:, i] & present[:, j])
+    slopes = np.stack(slope_cols, axis=1)  # (tiles, week pairs)
+    masks = np.stack(mask_cols, axis=1)
+    n_pairs = masks.sum(1).astype(np.int64)
+    slopes = np.where(masks, slopes, np.iinfo(np.int64).max)
+    slopes.sort(axis=1)  # absent pairs sort to the right
+    keep = n_pairs > 0
+    lo = (n_pairs[keep] - 1) // 2  # 0-based ranks of the two middles
+    hi = n_pairs[keep] // 2
+    rows = np.arange(ut.size)[keep]
+    sen2 = slopes[rows, lo] + slopes[rows, hi]
+    return pd.DataFrame({
+        "tile": ut[keep], "n_pairs": n_pairs[keep], "sen2": sen2,
+    }).sort_values("tile").reset_index(drop=True)
+
+
+SQL_TILE_SEN_SLOPE = f"""
+WITH p AS (
+  SELECT ((((event_id * {HASH_LON}) % 360000) // 11250) * 32
+          + ((event_id * {HASH_LAT}) % 180000) // 5625) AS tile,
+         epoch_us(ts) // {7 * 86_400_000_000} AS week
+  FROM events),
+a AS (SELECT tile, week, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+s AS (SELECT x.tile, ((y.n - x.n) * {SEN_SCALE}) // (y.week - x.week) AS v
+      FROM a x JOIN a y ON y.tile = x.tile AND y.week > x.week),
+r AS (SELECT tile, v, ROW_NUMBER() OVER (PARTITION BY tile ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY tile) AS n
+      FROM s),
+m AS (SELECT tile, CAST(MAX(n) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                           THEN v ELSE 0 END) AS BIGINT) AS s
+      FROM r GROUP BY tile)
+SELECT tile, n_pairs,
+       CASE WHEN n_pairs % 2 = 1 THEN 2 * s ELSE s END AS sen2
+FROM m
+"""
+
+
+def q_lisa_clusters(sf_dir: str):
+    """Local Moran's I (LISA, Anselin 1995) per occupied cell of the
+    per-tile order-count surface — the local decomposition of the global
+    `moran_i` (queen 8-neighbor weights over occupied cells, same
+    convention). Integer core: z_i = K·n_i − S, lag_i = Σ_nbr z_j, both
+    exact Python ints after the distributed two-phase count; the single
+    float division K·z_i·lag_i / Σz² happens once per cell, and the
+    HH/LL/HL/LH cluster quadrant comes from exact int signs. Cells with
+    no occupied neighbor drop out (mirrors the SQL inner join)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: ≤ 2^BITS_TILE occupied cells
+
+    cell = agg["cell"].to_numpy().astype(np.uint64)
+    x, y = codec.deinterleave(cell, BITS_TILE)
+    n = agg["n"].to_numpy()
+    K = len(agg)
+    S = int(n.sum())
+    z = {(int(a), int(b)): K * int(v) - S for a, b, v in zip(x, y, n)}
+    ss = sum(v * v for v in z.values())
+    out_x, out_y, out_nn, out_lisa, out_quad = [], [], [], [], []
+    for (cx, cy), zv in sorted(z.items()):
+        nn = 0
+        lag = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nb = z.get((cx + dx, cy + dy))
+                if nb is not None:
+                    nn += 1
+                    lag += nb
+        if nn == 0:
+            continue
+        out_x.append(cx)
+        out_y.append(cy)
+        out_nn.append(nn)
+        out_lisa.append(float(K * zv * lag) / float(ss))
+        out_quad.append(("HH" if lag > 0 else "HL") if zv > 0
+                        else ("LH" if lag > 0 else "LL"))
+    return pd.DataFrame({
+        "x": np.array(out_x, np.int64), "y": np.array(out_y, np.int64),
+        "nn": np.array(out_nn, np.int64),
+        "lisa": np.array(out_lisa, np.float64),
+        "quad": out_quad,
+    })
+
+
+SQL_LISA_CLUSTERS = f"""
+WITH c AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, CAST(SUM(n) AS HUGEINT) AS s
+       FROM c),
+z AS (SELECT x, y, k * n - s AS z FROM c CROSS JOIN st),
+l AS (SELECT a.x, a.y, CAST(COUNT(*) AS BIGINT) AS nn,
+             SUM(b.z) AS lag, MAX(a.z) AS z
+      FROM z a JOIN z b
+        ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+           AND NOT (a.x = b.x AND a.y = b.y)
+      GROUP BY a.x, a.y),
+den AS (SELECT SUM(z * z) AS ss FROM z)
+SELECT l.x, l.y, l.nn,
+       CAST(k * l.z * l.lag AS DOUBLE) / CAST(ss AS DOUBLE) AS lisa,
+       CASE WHEN l.z > 0 AND l.lag > 0 THEN 'HH'
+            WHEN l.z > 0 THEN 'HL'
+            WHEN l.lag > 0 THEN 'LH'
+            ELSE 'LL' END AS quad
+FROM l CROSS JOIN st CROSS JOIN den
+"""
+
+
+def q_quadrat_csr(sf_dir: str):
+    """Quadrat test of complete spatial randomness (CSR) over the order
+    points: chi² = Σ_all_quadrats (n_c − N/Q)² / (N/Q) across the FULL
+    Q = 32×32 grid (empty quadrats included — they contribute (N/Q)²
+    each, the classic point-pattern-analysis detail). Multiplying out
+    the expectation makes the statistic one exact integer,
+    Σ(Q·n_c − N)², computed as Σ_occupied (Q·n_c − N)² +
+    (Q − K_occ)·N² from the bounded two-phase count table, with ONE
+    float division by Q·N at the end; the index of dispersion (VMR)
+    divides the same integer by Q·N·(Q−1)/Q·… — both SQL-twinned via
+    HUGEINT."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+        uc, n = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": n.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: ≤ 2^BITS_TILE occupied cells
+
+    Q = 1 << BITS_TILE
+    n = agg["n"].to_numpy()
+    K = len(agg)
+    N = int(n.sum())
+    chi2_num = sum((Q * int(v) - N) ** 2 for v in n) + (Q - K) * N * N
+    chi2 = float(chi2_num) / float(Q * N)
+    return pd.DataFrame({
+        "quadrats": [np.int64(Q)], "n_points": [np.int64(N)],
+        "k_occupied": [np.int64(K)], "chi2": [chi2],
+        "dispersion_index": [chi2 / float(Q - 1)],
+    })
+
+
+SQL_QUADRAT_CSR = f"""
+WITH c AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS HUGEINT) AS n
+           FROM orders GROUP BY 1, 2),
+st AS (SELECT CAST(1024 AS HUGEINT) AS q, CAST(COUNT(*) AS HUGEINT) AS k,
+              CAST(SUM(n) AS HUGEINT) AS nn
+       FROM c),
+num AS (SELECT SUM((q * n - nn) * (q * n - nn))
+               + (q - k) * nn * nn AS chi2_num
+        FROM c CROSS JOIN st GROUP BY q, k, nn)
+SELECT CAST(q AS BIGINT) AS quadrats, CAST(nn AS BIGINT) AS n_points,
+       CAST(k AS BIGINT) AS k_occupied,
+       CAST(chi2_num AS DOUBLE) / CAST(q * nn AS DOUBLE) AS chi2,
+       CAST(chi2_num AS DOUBLE) / CAST(q * nn AS DOUBLE) / CAST(q - 1 AS DOUBLE)
+         AS dispersion_index
+FROM st CROSS JOIN num
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -11450,4 +11710,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
         "kcore": (q_kcore, SQL_KCORE),
         "fuzzy_edit1": (q_fuzzy_edit1, SQL_FUZZY_EDIT1),
+        "tile_sen_slope": (q_tile_sen_slope, SQL_TILE_SEN_SLOPE),
+        "lisa_clusters": (q_lisa_clusters, SQL_LISA_CLUSTERS),
+        "quadrat_csr": (q_quadrat_csr, SQL_QUADRAT_CSR),
     }

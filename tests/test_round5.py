@@ -437,3 +437,93 @@ def test_adaptive_partitions_semantics(ray_session):
     assert adaptive_partitions(cap=2) == 4  # floor wins over cap
     assert adaptive_partitions(cap=max(4, cpus - 1)) == max(4, cpus - 1)
     assert adaptive_partitions(floor=1, cap=1) == 1
+
+
+# ----------------------------------------------- r5 point-pattern queries
+
+SF1K = "/root/testdata/sf0.001"
+
+
+def test_tile_sen_slope_matches_bruteforce(ray_session):
+    """q_tile_sen_slope vs an independent pandas reimplementation from the
+    raw parquet: same tile hashing, TRUNCATING fixed-point division
+    (DuckDB `//` semantics) and 2x-median — the engine's dense-pivot
+    vectorization must not change the math."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from georay.ops.spatial import HASH_LAT, HASH_LON
+    from georay.queries import SEN_SCALE, q_tile_sen_slope
+
+    got = q_tile_sen_slope(SF1K).reset_index(drop=True)
+
+    ev = pq.read_table(f"{SF1K}/events.parquet",
+                       columns=["event_id", "ts"]).to_pandas()
+    eid = ev["event_id"].to_numpy().astype(np.int64)
+    us = ev["ts"].astype("int64").to_numpy()  # us-unit fixture column
+    tile = (((eid * HASH_LON) % 360000) // 11250) * 32 + (
+        (eid * HASH_LAT) % 180000) // 5625
+    week = us // (7 * 86_400_000_000)
+    cnt = (
+        pd.DataFrame({"tile": tile, "week": week})
+        .groupby(["tile", "week"], as_index=False).size()
+    )
+    rows = []
+    for t, g in cnt.groupby("tile"):
+        w = g["week"].to_numpy()
+        n = g["size"].to_numpy().astype(np.int64)
+        slopes = []
+        for i in range(len(w)):
+            for j in range(i + 1, len(w)):
+                num = int(n[j] - n[i]) * SEN_SCALE
+                den = int(w[j] - w[i])
+                q = abs(num) // den * (1 if num >= 0 else -1)
+                slopes.append(q)
+        if not slopes:
+            continue
+        slopes.sort()
+        m = len(slopes)
+        rows.append((t, m, slopes[(m - 1) // 2] + slopes[m // 2]))
+    want = pd.DataFrame(rows, columns=["tile", "n_pairs", "sen2"])
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
+
+
+def test_lisa_sums_to_global_moran(ray_session):
+    """LISA decomposition identity: sum_i I_i == global Moran's I x W
+    (queen weights, occupied cells) — ties the new local query to the
+    already-oracle-verified global one."""
+    from georay.queries import q_lisa_clusters, q_moran_i
+
+    lisa = q_lisa_clusters(SF1K)
+    glob = q_moran_i(SF1K)
+    w = float(glob["w_pairs"].iloc[0])
+    assert lisa["nn"].sum() == glob["w_pairs"].iloc[0]  # each pair counted once per side
+    assert abs(lisa["lisa"].sum() - float(glob["moran_i"].iloc[0]) * w) < 1e-6 * w
+    assert set(lisa["quad"]) <= {"HH", "LL", "HL", "LH"}
+
+
+def test_quadrat_csr_exact_ints(ray_session):
+    """chi2 numerator recomputed independently with exact Python ints from
+    the raw parquet (empty quadrats included) must match the engine's
+    float output bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from georay import codec
+    from georay.ops.spatial import synth_lonlat
+    from georay.queries import BITS_TILE, q_quadrat_csr
+
+    got = q_quadrat_csr(SF1K)
+
+    key = pq.read_table(f"{SF1K}/orders.parquet",
+                        columns=["o_custkey"])["o_custkey"].to_numpy()
+    lon, lat = synth_lonlat(key.astype(np.int64))
+    cell = codec.encode(lon, lat, BITS_TILE).astype(np.int64)
+    _, counts = np.unique(cell, return_counts=True)
+    Q = 1 << BITS_TILE
+    N = int(counts.sum())
+    K = int(counts.size)
+    num = sum((Q * int(v) - N) ** 2 for v in counts) + (Q - K) * N * N
+    assert int(got["n_points"].iloc[0]) == N
+    assert int(got["k_occupied"].iloc[0]) == K
+    assert float(got["chi2"].iloc[0]) == float(num) / float(Q * N)
