@@ -11480,6 +11480,75 @@ FROM st CROSS JOIN num
 """
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher-rule n-gram repetition signal per document (Rae 2021 §A1.1,
+    the duplicate-n-gram family): total / distinct / max-multiplicity
+    lowercase word TRIGRAMS — the integer base features behind the
+    "fraction of duplicate n-grams" quality filter (unigram repetition is
+    already in `quality`; this catches boilerplate that repeats phrases
+    with a diverse vocabulary). Embarrassingly parallel: one tokenize +
+    shift-pairing pass per batch, no shuffle; docs with <3 tokens emit
+    zeros (SQL LEFT JOIN twin)."""
+    import re
+
+    import pandas as pd
+
+    from georay.runtime import table_from_pandas
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    schema = pa.schema([("doc_id", pa.int64()), ("n_tri", pa.int64()),
+                        ("n_uniq_tri", pa.int64()), ("max_tri_n", pa.int64())])
+
+    def features(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        ex = df["text"].str.findall(word_re).explode().dropna().str.lower()
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tri": np.zeros(len(df), np.int64),
+            "n_uniq_tri": np.zeros(len(df), np.int64),
+            "max_tri_n": np.zeros(len(df), np.int64),
+        })
+        if len(ex) >= 3:
+            w = ex.to_numpy()
+            r = ex.index.to_numpy().astype(np.int64)
+            m = r[2:] == r[:-2]  # row indices nondecreasing ⇒ middle equal too
+            if m.any():
+                tri = pd.DataFrame({
+                    "d": r[:-2][m],
+                    "g": w[:-2][m] + " " + w[1:-1][m] + " " + w[2:][m],
+                })
+                c = tri.groupby(["d", "g"], as_index=False).size()
+                a = c.groupby("d")["size"].agg(["sum", "count", "max"])
+                di = a.index.to_numpy().astype(np.int64)
+                out.loc[di, "n_tri"] = a["sum"].to_numpy().astype(np.int64)
+                out.loc[di, "n_uniq_tri"] = a["count"].to_numpy().astype(
+                    np.int64)
+                out.loc[di, "max_tri_n"] = a["max"].to_numpy().astype(np.int64)
+        return table_from_pandas(out, schema=schema)
+
+    return docs.map_batches(features, batch_format="pandas")
+
+
+SQL_GOPHER_REPETITION = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[\\p{L}\\p{N}_'']+') AS toks
+           FROM documents),
+tri AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM t WHERE len(toks) >= 3)),
+c AS (SELECT doc_id, g, COUNT(*) AS n FROM tri GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tri,
+             CAST(COUNT(*) AS BIGINT) AS n_uniq_tri,
+             CAST(MAX(n) AS BIGINT) AS max_tri_n
+      FROM c GROUP BY 1)
+SELECT d.doc_id, COALESCE(n_tri, 0) AS n_tri,
+       COALESCE(n_uniq_tri, 0) AS n_uniq_tri,
+       COALESCE(max_tri_n, 0) AS max_tri_n
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -11713,4 +11782,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "tile_sen_slope": (q_tile_sen_slope, SQL_TILE_SEN_SLOPE),
         "lisa_clusters": (q_lisa_clusters, SQL_LISA_CLUSTERS),
         "quadrat_csr": (q_quadrat_csr, SQL_QUADRAT_CSR),
+        "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     }

@@ -527,3 +527,19 @@ def test_quadrat_csr_exact_ints(ray_session):
     assert int(got["n_points"].iloc[0]) == N
     assert int(got["k_occupied"].iloc[0]) == K
     assert float(got["chi2"].iloc[0]) == float(num) / float(Q * N)
+
+
+def test_gopher_repetition_short_docs_zero(ray_session):
+    """Invariants of the trigram repetition features over sf0.001: docs
+    with no trigrams carry all-zero features (SQL LEFT JOIN parity), and
+    distinct-count / max-multiplicity are consistent with the total."""
+    import georay.queries as q
+
+    res = q.q_gopher_repetition("/root/testdata/sf0.001").to_pandas()
+    zero = res[res["n_tri"] == 0]
+    assert (zero[["n_uniq_tri", "max_tri_n"]] == 0).all().all()
+    some = res[res["n_tri"] > 0]
+    assert len(some) > 0
+    assert (some["n_uniq_tri"] <= some["n_tri"]).all()
+    assert (some["max_tri_n"] >= 1).all()
+    assert (some["max_tri_n"] <= some["n_tri"] - some["n_uniq_tri"] + 1).all()
