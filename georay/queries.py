@@ -11549,6 +11549,179 @@ FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
 """
 
 
+GI_HOT_Z = 1.645  # one-sided 95 % hot threshold
+
+
+def q_emerging_hotspots(sf_dir: str):
+    """Emerging hot-spot analysis (the ESRI space-time composition, built
+    from this repo's own primitives): per-week Getis-Ord Gi* over the
+    32×32 event grid + per-tile Mann–Kendall trend of the weekly counts,
+    classified into new / intensifying / persistent / former hot
+    categories. Gi* uses `hotspot_gi`'s integer-exact variance/slack
+    numerators and the IDENTICAL float expression tree as the SQL twin
+    (one week = one (k, Σx, Σx²) scalar set; degenerate W=K or zero
+    variance weeks emit z=0). Distributed part: two-phase (tile, week)
+    counts; the pivot is driver-bounded (≤ tiles × single-digit weeks)
+    and the 9-shift neighbor sums vectorize across all weeks at once.
+    Categories (simplified ESRI taxonomy, exact int/float-compare CASE):
+    new_hot (hot only in the last week), intensifying_hot (hot last week,
+    rising MK trend), persistent_hot (hot last week, flat/falling),
+    former_hot (was hot, not last week), none."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xi = (eid * HASH_LON) % 360000
+        yi = (eid * HASH_LAT) % 180000
+        tile = (xi // 11250) * 32 + yi // 5625
+        week = us // (7 * 86_400_000_000)
+        pack = tile * (np.int64(1) << 24) + week
+        u, inv = np.unique(pack, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table({"tile": u >> 24, "week": u & ((1 << 24) - 1),
+                         "p_n": n})
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby(["tile", "week"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: tiles × single-digit weeks
+
+    tiles_v = agg["tile"].to_numpy().astype(np.int64)
+    weeks_v = agg["week"].to_numpy().astype(np.int64)
+    n_v = agg["n"].to_numpy().astype(np.int64)
+    uw = np.unique(weeks_v)
+    nw = uw.size
+    wi = np.searchsorted(uw, weeks_v)
+
+    # dense (32, 32, weeks) count + presence cubes
+    gx = tiles_v // 32
+    gy = tiles_v % 32
+    dense = np.zeros((32, 32, nw), np.int64)
+    present = np.zeros((32, 32, nw), bool)
+    dense[gx, gy, wi] = n_v
+    present[gx, gy, wi] = True
+
+    # per-week scalars (occupied cells only)
+    k_w = present.sum((0, 1)).astype(np.int64)           # K per week
+    sum_x = dense.sum((0, 1), dtype=np.int64)
+    sum_x2 = (dense * dense).sum((0, 1), dtype=np.int64)
+
+    # 9-shift neighbor aggregation (incl. self), all weeks at once
+    w_cnt = np.zeros_like(dense)
+    s_sum = np.zeros_like(dense)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            sl_src = (slice(max(0, -dx), 32 - max(0, dx)),
+                      slice(max(0, -dy), 32 - max(0, dy)))
+            sl_dst = (slice(max(0, dx), 32 - max(0, -dx)),
+                      slice(max(0, dy), 32 - max(0, -dy)))
+            w_cnt[sl_dst] += present[sl_src].astype(np.int64)
+            s_sum[sl_dst] += dense[sl_src]
+
+    # Gi* z with hotspot_gi's exact integer cores and float tree
+    var_i = k_w * sum_x2 - sum_x * sum_x                 # (weeks,) exact
+    slack_i = k_w * w_cnt - w_cnt * w_cnt                # (32,32,weeks) exact
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = (
+            s_sum.astype(np.float64)
+            - (sum_x.astype(np.float64) / k_w.astype(np.float64)) * w_cnt.astype(np.float64)
+        ) / (
+            (np.sqrt(var_i.astype(np.float64)) / k_w.astype(np.float64))
+            * np.sqrt(slack_i.astype(np.float64) / (k_w.astype(np.float64) - 1.0))
+        )
+    z = np.where((slack_i == 0) | (var_i[None, None, :] == 0), 0.0, z)
+    hot = present & (z > GI_HOT_Z)
+
+    # per-tile Mann–Kendall S over present weeks' counts
+    mk_s = np.zeros((32, 32), np.int64)
+    for i in range(nw):
+        for j in range(i + 1, nw):
+            both = present[:, :, i] & present[:, :, j]
+            mk_s += np.where(
+                both, np.sign(dense[:, :, j] - dense[:, :, i]), 0)
+
+    n_weeks = present.sum(2).astype(np.int64)
+    hot_n = hot.sum(2).astype(np.int64)
+    hot_last = hot[:, :, nw - 1].astype(np.int64)
+    occ = n_weeks > 0
+    ox, oy = np.nonzero(occ)
+    tile = ox.astype(np.int64) * 32 + oy.astype(np.int64)
+    hn = hot_n[occ]
+    hl = hot_last[occ]
+    mks = mk_s[occ]
+    cat = np.where(
+        (hl == 1) & (hn == 1), "new_hot",
+        np.where((hl == 1) & (mks > 0), "intensifying_hot",
+                 np.where(hl == 1, "persistent_hot",
+                          np.where(hn >= 1, "former_hot", "none"))))
+    out = pd.DataFrame({
+        "tile": tile, "n_weeks": n_weeks[occ], "hot_n": hn,
+        "mk_s": mks, "hot_last": hl, "category": cat,
+    }).sort_values("tile").reset_index(drop=True)
+    return out
+
+
+SQL_EMERGING_HOTSPOTS = f"""
+WITH p AS (
+  SELECT ((((event_id * {HASH_LON}) % 360000) // 11250) * 32
+          + ((event_id * {HASH_LAT}) % 180000) // 5625) AS tile,
+         epoch_us(ts) // {7 * 86_400_000_000} AS week
+  FROM events),
+a AS (SELECT tile, week, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+axy AS (SELECT tile, tile // 32 AS x, tile % 32 AS y, week, n FROM a),
+st AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS k,
+              CAST(SUM(n) AS BIGINT) AS sum_x,
+              CAST(SUM(n * n) AS BIGINT) AS sum_x2
+       FROM axy GROUP BY week),
+nb AS (SELECT a.tile, a.week, a.n,
+              CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(b.n) AS BIGINT) AS s
+       FROM axy a JOIN axy b
+         ON b.week = a.week
+        AND b.x BETWEEN a.x - 1 AND a.x + 1
+        AND b.y BETWEEN a.y - 1 AND a.y + 1
+       GROUP BY a.tile, a.week, a.n),
+z AS (SELECT nb.tile, nb.week, nb.n,
+        CASE WHEN k * w - w * w = 0 OR k * sum_x2 - sum_x * sum_x = 0 THEN 0.0
+        ELSE (CAST(s AS DOUBLE)
+              - (CAST(sum_x AS DOUBLE) / CAST(k AS DOUBLE)) * CAST(w AS DOUBLE))
+             / ((SQRT(CAST(k * sum_x2 - sum_x * sum_x AS DOUBLE))
+                 / CAST(k AS DOUBLE))
+                * SQRT(CAST(k * w - w * w AS DOUBLE)
+                       / (CAST(k AS DOUBLE) - 1.0)))
+        END AS gi_z
+      FROM nb JOIN st ON st.week = nb.week),
+hot AS (SELECT tile, week, n,
+               CASE WHEN gi_z > {GI_HOT_Z!r} THEN 1 ELSE 0 END AS hot
+        FROM z),
+mk AS (SELECT x.tile,
+              CAST(COALESCE(SUM(CASE WHEN y.n > x.n THEN 1
+                                     WHEN y.n < x.n THEN -1
+                                     ELSE 0 END), 0) AS BIGINT) AS mk_s
+       FROM hot x LEFT JOIN hot y ON y.tile = x.tile AND y.week > x.week
+       GROUP BY 1),
+wmax AS (SELECT MAX(week) AS wl FROM a),
+t AS (SELECT h.tile, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             CAST(SUM(h.hot) AS BIGINT) AS hot_n,
+             CAST(COALESCE(MAX(CASE WHEN h.week = wl THEN h.hot END), 0)
+                  AS BIGINT) AS hot_last
+      FROM hot h CROSS JOIN wmax GROUP BY 1)
+SELECT t.tile, n_weeks, hot_n, mk.mk_s, hot_last,
+  CASE WHEN hot_last = 1 AND hot_n = 1 THEN 'new_hot'
+       WHEN hot_last = 1 AND mk_s > 0 THEN 'intensifying_hot'
+       WHEN hot_last = 1 THEN 'persistent_hot'
+       WHEN hot_n >= 1 THEN 'former_hot'
+       ELSE 'none' END AS category
+FROM t JOIN mk ON mk.tile = t.tile
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -11783,4 +11956,5 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "lisa_clusters": (q_lisa_clusters, SQL_LISA_CLUSTERS),
         "quadrat_csr": (q_quadrat_csr, SQL_QUADRAT_CSR),
         "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
+        "emerging_hotspots": (q_emerging_hotspots, SQL_EMERGING_HOTSPOTS),
     }

@@ -543,3 +543,24 @@ def test_gopher_repetition_short_docs_zero(ray_session):
     assert (some["n_uniq_tri"] <= some["n_tri"]).all()
     assert (some["max_tri_n"] >= 1).all()
     assert (some["max_tri_n"] <= some["n_tri"] - some["n_uniq_tri"] + 1).all()
+
+
+def test_emerging_hotspots_category_consistency(ray_session):
+    """Category labels must be consistent with their defining ints, and
+    the composition must find at least one non-'none' tile at sf0.001."""
+    from georay.queries import q_emerging_hotspots
+
+    res = q_emerging_hotspots("/root/testdata/sf0.001")
+    assert set(res["category"]) <= {
+        "new_hot", "intensifying_hot", "persistent_hot", "former_hot",
+        "none"}
+    hot_last = res["hot_last"].to_numpy()
+    hot_n = res["hot_n"].to_numpy()
+    mk_s = res["mk_s"].to_numpy()
+    cat = res["category"].to_numpy()
+    assert ((cat == "none") == ((hot_last == 0) & (hot_n == 0))).all()
+    assert ((cat == "new_hot") == ((hot_last == 1) & (hot_n == 1))).all()
+    assert ((cat == "intensifying_hot")
+            == ((hot_last == 1) & (hot_n > 1) & (mk_s > 0))).all()
+    assert (res["hot_n"] <= res["n_weeks"]).all()
+    assert (cat != "none").any()
