@@ -11722,6 +11722,562 @@ FROM t JOIN mk ON mk.tile = t.tile
 """
 
 
+def q_sde_ellipse(sf_dir: str):
+    """Standard deviational ellipse per event type (the classic ESRI
+    directional-distribution summary): mean center, PCA major-axis
+    orientation and axis lengths of each type's synthetic capture points,
+    all derived from EXACT integer moments (Σx, Σy, Σx², Σy², Σxy on the
+    centi-degree grid — n·Σx² ≤ 10⁵·1.3·10¹² keeps every numerator in
+    int64 up to ~10⁶ points/group) so the one float expression per group
+    is bit-identical to the SQL twin. Plan: per-batch moment partials →
+    one tiny groupby(event_type) → bounded 5-row driver final."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist())
+        x = (eid * HASH_LON) % 360000 // 100
+        y = (eid * HASH_LAT) % 180000 // 100
+        u, inv = np.unique(et, return_inverse=True)
+        def seg(v):
+            acc = np.zeros(u.size, np.int64)
+            np.add.at(acc, inv, v)
+            return acc
+        return pa.table({
+            "event_type": pa.array(u, pa.string()),
+            "p_n": seg(np.ones(eid.size, np.int64)),
+            "p_x": seg(x), "p_y": seg(y),
+            "p_xx": seg(x * x), "p_yy": seg(y * y), "p_xy": seg(x * y),
+        })
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .groupby("event_type")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_x", alias_name="sx"),
+                   Sum("p_y", alias_name="sy"), Sum("p_xx", alias_name="sxx"),
+                   Sum("p_yy", alias_name="syy"), Sum("p_xy", alias_name="sxy"))
+    ).to_pandas()  # bounded: one row per event type
+
+    n = agg["n"].to_numpy().astype(np.int64)
+    sx, sy = (agg[c].to_numpy().astype(np.int64) for c in ("sx", "sy"))
+    sxx, syy, sxy = (agg[c].to_numpy().astype(np.int64)
+                     for c in ("sxx", "syy", "sxy"))
+    vxx = n * sxx - sx * sx  # n²·variance numerators — exact ints
+    vyy = n * syy - sy * sy
+    vxy = n * sxy - sx * sy
+    d = (vxx - vyy).astype(np.float64)
+    b2 = vxy.astype(np.float64)
+    r = np.sqrt(d * d + 4.0 * b2 * b2)
+    lam1 = ((vxx + vyy).astype(np.float64) + r) / 2.0
+    lam2 = np.maximum(((vxx + vyy).astype(np.float64) - r) / 2.0, 0.0)
+    nf = n.astype(np.float64)
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": n,
+        "mean_x": sx.astype(np.float64) / nf,
+        "mean_y": sy.astype(np.float64) / nf,
+        "theta": np.array([math.atan2(2.0 * float(bb), float(dd)) / 2.0
+                           for bb, dd in zip(b2, d)]),
+        "sigma_major": np.sqrt(lam1) / nf,
+        "sigma_minor": np.sqrt(lam2) / nf,
+    }).sort_values("event_type").reset_index(drop=True)
+    return out
+
+
+SQL_SDE_ELLIPSE = f"""
+WITH p AS (
+  SELECT event_type,
+         ((event_id * {HASH_LON}) % 360000) // 100 AS x,
+         ((event_id * {HASH_LAT}) % 180000) // 100 AS y
+  FROM events),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM p GROUP BY 1),
+v AS (SELECT event_type, n, sx, sy,
+             n * sxx - sx * sx AS vxx, n * syy - sy * sy AS vyy,
+             n * sxy - sx * sy AS vxy
+      FROM m),
+f AS (SELECT event_type, n, sx, sy, vxx, vyy, vxy,
+             CAST(vxx - vyy AS DOUBLE) AS d, CAST(vxy AS DOUBLE) AS b2,
+             SQRT(CAST(vxx - vyy AS DOUBLE) * CAST(vxx - vyy AS DOUBLE)
+                  + 4.0 * CAST(vxy AS DOUBLE) * CAST(vxy AS DOUBLE)) AS r
+      FROM v)
+SELECT event_type, n,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+       atan2(2.0 * b2, d) / 2.0 AS theta,
+       SQRT((CAST(vxx + vyy AS DOUBLE) + r) / 2.0) / CAST(n AS DOUBLE)
+         AS sigma_major,
+       SQRT(GREATEST((CAST(vxx + vyy AS DOUBLE) - r) / 2.0, 0.0))
+         / CAST(n AS DOUBLE) AS sigma_minor
+FROM f ORDER BY event_type
+"""
+
+
+JOIN_COUNT_BLACK = 16  # cells with ≥ this many orders are "black"
+
+
+def q_join_counts(sf_dir: str):
+    """Join-count statistics (Cliff–Ord) for a BINARY spatial mark — the
+    categorical complement to Moran's I / Geary's C: occupied BITS_TILE
+    cells are marked black when they hold ≥ {JOIN_COUNT_BLACK} orders,
+    rook-adjacent occupied-cell pairs are classified BB / BW / WW, and the
+    nonfree-sampling expectations ship as exact integer numerators over
+    the shared denominator m·(m−1). Plan: two-phase per-cell counts →
+    bounded ≤1024-row driver final (dense 32×32 shift masks)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(key)
+        cx, cy = codec.xy_from_lonlat(lon, lat, BITS_TILE)
+        cell = cx.astype(np.int64) * 32 + cy.astype(np.int64)
+        uc, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": uc, "p_n": cnt.astype(np.int64)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(8)
+        .groupby("cell")
+        .aggregate(Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: ≤ 2^BITS_TILE occupied cells
+
+    cell = agg["cell"].to_numpy().astype(np.int64)
+    cnt = agg["n"].to_numpy().astype(np.int64)
+    occ = np.zeros((32, 32), bool)
+    blk = np.zeros((32, 32), bool)
+    occ[cell // 32, cell % 32] = True
+    blk[cell // 32, cell % 32] = cnt >= JOIN_COUNT_BLACK
+    m = int(occ.sum())
+    nb = int(blk.sum())
+    nw = m - nb
+    bb = bw = ww = joins = 0
+    for ax in (0, 1):  # rook edges: +x and +y shifts
+        a_occ = occ[1:, :] if ax == 0 else occ[:, 1:]
+        b_occ = occ[:-1, :] if ax == 0 else occ[:, :-1]
+        a_blk = blk[1:, :] if ax == 0 else blk[:, 1:]
+        b_blk = blk[:-1, :] if ax == 0 else blk[:, :-1]
+        both = a_occ & b_occ
+        joins += int(both.sum())
+        bb += int((both & a_blk & b_blk).sum())
+        ww += int((both & ~a_blk & ~b_blk).sum())
+        bw += int((both & (a_blk != b_blk)).sum())
+    return pd.DataFrame({
+        "m": [np.int64(m)], "n_b": [np.int64(nb)], "n_w": [np.int64(nw)],
+        "n_joins": [np.int64(joins)], "n_bb": [np.int64(bb)],
+        "n_bw": [np.int64(bw)], "n_ww": [np.int64(ww)],
+        "ebb_num": [np.int64(joins * nb * (nb - 1))],
+        "ebw_num": [np.int64(2 * joins * nb * nw)],
+        "eww_num": [np.int64(joins * nw * (nw - 1))],
+        "e_den": [np.int64(m * (m - 1))],
+    })
+
+
+SQL_JOIN_COUNTS = f"""
+WITH c AS (SELECT {sql_x(sql_lon('o_custkey'), 5)} AS x,
+                  {sql_y(sql_lat('o_custkey'), 5)} AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+mk AS (SELECT x, y, CASE WHEN n >= {JOIN_COUNT_BLACK} THEN 1 ELSE 0 END AS b
+       FROM c),
+e AS (SELECT a.b AS ba, t.b AS bt
+      FROM mk a JOIN mk t
+        ON (t.x = a.x + 1 AND t.y = a.y) OR (t.x = a.x AND t.y = a.y + 1)),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(b) AS BIGINT) AS n_b
+      FROM mk),
+j AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_joins,
+             CAST(COALESCE(SUM(CASE WHEN ba = 1 AND bt = 1 THEN 1 END), 0)
+                  AS BIGINT) AS n_bb,
+             CAST(COALESCE(SUM(CASE WHEN ba <> bt THEN 1 END), 0)
+                  AS BIGINT) AS n_bw,
+             CAST(COALESCE(SUM(CASE WHEN ba = 0 AND bt = 0 THEN 1 END), 0)
+                  AS BIGINT) AS n_ww
+      FROM e)
+SELECT m, n_b, m - n_b AS n_w, n_joins, n_bb, n_bw, n_ww,
+       n_joins * n_b * (n_b - 1) AS ebb_num,
+       2 * n_joins * n_b * (m - n_b) AS ebw_num,
+       n_joins * (m - n_b) * (m - n_b - 1) AS eww_num,
+       m * (m - 1) AS e_den
+FROM s CROSS JOIN j
+"""
+
+
+def q_hausdorff_pairs(sf_dir: str):
+    """Discrete Hausdorff distance between paired user trajectories —
+    the trajectory-similarity join: users 2k and 2k+1 form pair k, and
+    H²(A,B) = max(max_a min_b d², max_b min_a d²) over their synthetic
+    milli-degree capture points is EXACT int64 (d² ≤ 1.6·10¹¹). Pairs
+    missing a side are dropped (no similarity defined). Plan: one
+    hash-bucket groupby co-locates each pair (ops.buckets idiom — both
+    users of pair k land in bucket(k)), then per-pair broadcasted numpy
+    distance matrices inside the bucket; cost Σ|A||B| per pair, never
+    all-pairs across users."""
+    import pandas as pd
+
+    from georay.ops import buckets as bk
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = pa.table({
+            "pair": pa.array(uid // 2), "side": pa.array(uid % 2),
+            "xi": pa.array((eid * HASH_LON) % 360000),
+            "yi": pa.array((eid * HASH_LAT) % 180000),
+        })
+        return bk.append_bucket(tt, "pair", 32)
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out_p, out_na, out_nb, out_h2 = [], [], [], []
+        for pid, sub in g.groupby("pair", sort=True):
+            s = sub["side"].to_numpy()
+            ax = sub["xi"].to_numpy()[s == 0]
+            ay = sub["yi"].to_numpy()[s == 0]
+            bx = sub["xi"].to_numpy()[s == 1]
+            by = sub["yi"].to_numpy()[s == 1]
+            if not len(ax) or not len(bx):
+                continue
+            dx = ax[:, None] - bx[None, :]
+            dy = ay[:, None] - by[None, :]
+            d2 = dx * dx + dy * dy
+            h2 = max(int(d2.min(axis=1).max()), int(d2.min(axis=0).max()))
+            out_p.append(pid)
+            out_na.append(len(ax))
+            out_nb.append(len(bx))
+            out_h2.append(h2)
+        return pd.DataFrame({
+            "pair": np.asarray(out_p, np.int64),
+            "n_a": np.asarray(out_na, np.int64),
+            "n_b": np.asarray(out_nb, np.int64),
+            "h2": np.asarray(out_h2, np.int64),
+        })
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(bucket_fn, batch_format="pandas")
+    )
+
+
+SQL_HAUSDORFF_PAIRS = f"""
+WITH p AS (
+  SELECT user_id // 2 AS pair, user_id % 2 AS side, event_id,
+         (event_id * {HASH_LON}) % 360000 AS xi,
+         (event_id * {HASH_LAT}) % 180000 AS yi
+  FROM events),
+a AS (SELECT * FROM p WHERE side = 0),
+b AS (SELECT * FROM p WHERE side = 1),
+dab AS (SELECT a.pair, a.event_id,
+               MIN((a.xi - b.xi) * (a.xi - b.xi)
+                   + (a.yi - b.yi) * (a.yi - b.yi)) AS md
+        FROM a JOIN b ON b.pair = a.pair GROUP BY a.pair, a.event_id),
+dba AS (SELECT b.pair, b.event_id,
+               MIN((a.xi - b.xi) * (a.xi - b.xi)
+                   + (a.yi - b.yi) * (a.yi - b.yi)) AS md
+        FROM b JOIN a ON a.pair = b.pair GROUP BY b.pair, b.event_id),
+hab AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_a,
+               CAST(MAX(md) AS BIGINT) AS h FROM dab GROUP BY pair),
+hba AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(MAX(md) AS BIGINT) AS h FROM dba GROUP BY pair)
+SELECT hab.pair, n_a, n_b, GREATEST(hab.h, hba.h) AS h2
+FROM hab JOIN hba ON hba.pair = hab.pair
+"""
+
+
+SIL_CS = 1024  # component scale: |v|·CS·n_label must stay < 2^31/√dims
+SIL_SCALE = 1_000_000
+
+
+def q_silhouette_labels(sf_dir: str):
+    """Per-label simplified silhouette over the embedding table — the
+    cluster-validity score (Rousseeuw 1987, centroid variant): a(x) =
+    d²(x, own-label centroid), b(x) = min over other labels, s(x) =
+    (b−a)/max(a,b) on SQUARED distances. Exactness: components pre-scale
+    to ints via floor(v·CS) — floor, NOT round: np.round is half-even
+    while DuckDB round is half-away, and a power-of-two CS makes exact
+    .5 products real — per-(label,dim) integer sums make centroids
+    exact rationals, and d²'s numerator Σ_dim (xs·n_l − s_ld)² is pure
+    int64 (|xs·n| < 2^23 → 64-dim sum < 2^63); the one float step d² =
+    I/(n·CS)² and the (b−a)/max ratio are order-free scalars, floored to
+    ints before the final Sum. Plan: two-phase centroid sums (bounded
+    labels×dims) → broadcast → per-batch integer scoring → groupby(label).
+    """
+    from ray.data.aggregate import Sum
+
+    from georay.ops.similarity import emb_matrix
+    from georay.runtime import per_process
+
+    import ray
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                               "label"])
+
+    def cent_partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = emb_matrix(t["embedding"]).astype(np.float64)
+        xs = np.floor(m * SIL_CS).astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((u.size, d), np.int64)
+        np.add.at(sums, inv, xs)
+        n = np.bincount(inv, minlength=u.size).astype(np.int64)
+        return pa.table({
+            "label": np.repeat(u, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), u.size),
+            "p_s": sums.reshape(-1), "p_n": np.repeat(n, d),
+        })
+
+    cent = (
+        emb.map_batches(cent_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .repartition(4)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("p_s", alias_name="s"), Sum("p_n", alias_name="n"))
+    ).to_pandas()  # bounded: labels × dims
+
+    labs = np.sort(cent["label"].unique()).astype(np.int64)
+    dims = int(cent["dim"].max()) + 1
+    smat = np.zeros((labs.size, dims), np.int64)
+    nvec = np.zeros(labs.size, np.int64)
+    li = np.searchsorted(labs, cent["label"].to_numpy())
+    smat[li, cent["dim"].to_numpy()] = cent["s"].to_numpy()
+    nvec[li] = cent["n"].to_numpy()
+    ref = ray.put((labs, smat, nvec))
+    key = ref.hex() + "-sil"
+
+    def score(t: pa.Table) -> pa.Table:
+        ls, sm, nv = per_process(key, lambda: ray.get(ref))
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = emb_matrix(t["embedding"]).astype(np.float64)
+        xs = np.floor(m * SIL_CS).astype(np.int64)
+        # I[p, l] = Σ_dim (xs·n_l − s_ld)²  — exact int64
+        diff = xs[:, None, :] * nv[None, :, None] - sm[None, :, :]
+        inum = np.einsum("pld,pld->pl", diff, diff)
+        den = nv.astype(np.float64) * float(SIL_CS)
+        d2 = inum.astype(np.float64) / (den * den)[None, :]
+        own = np.searchsorted(ls, lab)
+        a = d2[np.arange(lab.size), own]
+        d2[np.arange(lab.size), own] = np.inf
+        b = d2.min(axis=1)
+        mx = np.maximum(a, b)
+        sil = np.where(mx == 0.0, 0.0, (b - a) / mx)
+        silq = np.floor(SIL_SCALE * sil).astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, silq)
+        return pa.table({
+            "label": u,
+            "p_sil": acc,
+            "p_n": np.bincount(inv, minlength=u.size).astype(np.int64),
+        })
+
+    return (
+        emb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .groupby("label")
+        .aggregate(Sum("p_sil", alias_name="sil_sum_scaled"),
+                   Sum("p_n", alias_name="n_pts"))
+    )
+
+
+SQL_SILHOUETTE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         unnest(range(len(embedding))) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {SIL_CS}) AS BIGINT)
+           AS xs
+  FROM embeddings),
+cent AS (SELECT label AS cl, dim, CAST(SUM(xs) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM ex GROUP BY 1, 2),
+dist AS (SELECT ex.vec_id, ex.label, cent.cl, ANY_VALUE(cent.n) AS n,
+                CAST(SUM((ex.xs * cent.n - cent.s)
+                         * (ex.xs * cent.n - cent.s)) AS BIGINT) AS inum
+         FROM ex JOIN cent ON cent.dim = ex.dim
+         GROUP BY ex.vec_id, ex.label, cent.cl),
+d2 AS (SELECT vec_id, label, cl,
+              CAST(inum AS DOUBLE)
+              / ((CAST(n AS DOUBLE) * {float(SIL_CS)!r})
+                 * (CAST(n AS DOUBLE) * {float(SIL_CS)!r})) AS d2
+       FROM dist),
+ab AS (SELECT vec_id, label,
+              MAX(CASE WHEN cl = label THEN d2 END) AS a,
+              MIN(CASE WHEN cl <> label THEN d2 END) AS b
+       FROM d2 GROUP BY vec_id, label),
+s AS (SELECT vec_id, label,
+             CASE WHEN GREATEST(a, b) = 0.0 THEN 0.0
+                  ELSE (b - a) / GREATEST(a, b) END AS sil
+      FROM ab)
+SELECT label,
+       CAST(SUM(CAST(FLOOR({SIL_SCALE} * sil) AS BIGINT)) AS BIGINT)
+         AS sil_sum_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_pts
+FROM s GROUP BY 1
+"""
+
+
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed unigram bucket
+    log-likelihood ratios between the TARGET distribution (lang = 'en'
+    docs) and the RAW corpus, summed per document. Buckets come from
+    splitmix64(rank of token in the sorted global vocabulary) %
+    {DSIR_BUCKETS} — rank-hashing keeps the SQL twin exact where a string
+    hash could not be mirrored. λ_b = ⌊S·((ln(t_b+1) − ln(T+B)) −
+    (ln(r_b+1) − ln(R+B)))⌋ is computed ONCE per bucket driver-side
+    (bounded B), so per-doc weights are order-free integer dots. Plan:
+    tf rows → two-phase (target, raw) bucket counts → broadcast λ table →
+    per-doc integer dot + two-phase Sum."""
+    import math
+    import re
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from georay.ops.sketch import splitmix64
+    from georay.runtime import per_process, table_from_pandas
+
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.string()),
+                           ("tf", pa.int64()), ("tf_t", pa.int64())])
+
+    def tf_rows(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.findall(word_re).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        tgt = (df["lang"].to_numpy() == DSIR_TARGET_LANG).astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[row],
+            "w": toks.to_numpy(),
+            "tgt": tgt[row],
+        }).groupby(["doc_id", "w", "tgt"], as_index=False).size()
+        out["tf_t"] = out["size"] * out["tgt"]
+        return table_from_pandas(
+            out.rename(columns={"size": "tf"})[["doc_id", "w", "tf", "tf_t"]],
+            schema=tf_schema)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+
+    def cf_partial(t: pa.Table) -> pa.Table:
+        w = np.asarray(t["w"].to_pylist())
+        r = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = t["tf_t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(w, return_inverse=True)
+        ar = np.zeros(u.size, np.int64)
+        at = np.zeros(u.size, np.int64)
+        np.add.at(ar, inv, r)
+        np.add.at(at, inv, tt)
+        return pa.table({"w": pa.array(u, pa.string()), "p_r": ar, "p_t": at})
+
+    cf = (
+        tf.map_batches(cf_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(4)
+        .groupby("w")
+        .aggregate(Sum("p_r", alias_name="r"), Sum("p_t", alias_name="t"))
+    ).to_pandas()  # bounded: vocabulary
+
+    words = cf["w"].to_numpy()
+    order = np.argsort(words, kind="quicksort")
+    words = words[order]
+    rv = cf["r"].to_numpy().astype(np.int64)[order]
+    tv = cf["t"].to_numpy().astype(np.int64)[order]
+    bkt = (splitmix64(np.arange(words.size, dtype=np.int64).view(np.uint64))
+           % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+    rb = np.zeros(DSIR_BUCKETS, np.int64)
+    tb = np.zeros(DSIR_BUCKETS, np.int64)
+    np.add.at(rb, bkt, rv)
+    np.add.at(tb, bkt, tv)
+    rr, ttot = int(rv.sum()), int(tv.sum())
+    lam_b = np.array([
+        math.floor(DSIR_SCALE * (
+            (math.log(float(t_ + 1)) - math.log(float(ttot + DSIR_BUCKETS)))
+            - (math.log(float(r_ + 1)) - math.log(float(rr + DSIR_BUCKETS)))))
+        for r_, t_ in zip(rb, tb)
+    ], dtype=np.int64)
+    lam_w = lam_b[bkt]  # per sorted-vocab word
+    ref = ray.put((words, lam_w))
+    key = ref.hex() + "-dsir"
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        ws, lam = per_process(key, lambda: ray.get(ref))
+        w = np.asarray(t["w"].to_pylist())
+        v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = lam[np.searchsorted(ws, w)]
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(did, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, v * s)
+        ntk = np.zeros(u.size, np.int64)
+        np.add.at(ntk, inv, v)
+        return pa.table({"doc_id": u, "p_s": acc, "p_n": ntk})
+
+    return (
+        tf.map_batches(score_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(4)
+        .groupby("doc_id")
+        .aggregate(Sum("p_s", alias_name="dsir_scaled"),
+                   Sum("p_n", alias_name="n_tokens"))
+    )
+
+
+def _sql_dsir() -> str:
+    vocab_hashed = sketch_sql_subquery("vocab", "idx", "hu")
+    return rf"""
+WITH toks AS (SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+              FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf,
+              CAST(COALESCE(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                                     THEN 1 END), 0) AS BIGINT) AS tf_t
+       FROM toks GROUP BY doc_id, w),
+vocab AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS idx
+          FROM (SELECT DISTINCT w FROM tf)),
+bk AS (SELECT w, CAST(hu % {DSIR_BUCKETS} AS BIGINT) AS b
+       FROM {vocab_hashed}),
+bs AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS rb,
+              CAST(SUM(tf_t) AS BIGINT) AS tb
+       FROM tf JOIN bk USING (w) GROUP BY b),
+tot AS (SELECT CAST(SUM(rb) AS BIGINT) AS rr, CAST(SUM(tb) AS BIGINT) AS tt
+        FROM bs),
+lam AS (SELECT b,
+               CAST(FLOOR({DSIR_SCALE} * (
+                 (ln(CAST(tb + 1 AS DOUBLE))
+                  - ln(CAST(tt + {DSIR_BUCKETS} AS DOUBLE)))
+                 - (ln(CAST(rb + 1 AS DOUBLE))
+                    - ln(CAST(rr + {DSIR_BUCKETS} AS DOUBLE)))))
+                 AS BIGINT) AS lam
+        FROM bs CROSS JOIN tot)
+SELECT tf.doc_id,
+       CAST(SUM(tf * lam) AS BIGINT) AS dsir_scaled,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens
+FROM tf JOIN bk USING (w) JOIN lam USING (b)
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -11917,6 +12473,11 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "ks_by_type": (q_ks_by_type, SQL_KS_BY_TYPE),
         "auc_mwu": (q_auc_mwu, SQL_AUC_MWU),
         "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
+        "sde_ellipse": (q_sde_ellipse, SQL_SDE_ELLIPSE),
+        "join_counts": (q_join_counts, SQL_JOIN_COUNTS),
+        "hausdorff_pairs": (q_hausdorff_pairs, SQL_HAUSDORFF_PAIRS),
+        "silhouette_labels": (q_silhouette_labels, SQL_SILHOUETTE),
+        "dsir_weights": (q_dsir_weights, _sql_dsir()),
         "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
         "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
         "gains_deciles": (q_gains_deciles, SQL_GAINS_DECILES),
