@@ -12278,6 +12278,242 @@ GROUP BY 1
 """
 
 
+NB_BUCKETS = 512
+NB_SCALE = 1_000_000
+
+
+def q_nb_langid(sf_dir: str):
+    """TRAINED language classifier — multinomial Naive Bayes over hashed
+    unigram buckets (the fasttext-style quality/language-classifier
+    pattern of corpus curation, complementing the heuristic `langid`):
+    train on even doc_ids, score odd ones, emit the confusion matrix.
+    Honest caveat (same spirit as `langid`): the synthetic fixture text
+    shares one vocabulary across langs, so accuracy sits near the
+    majority base rate — the pipeline mechanics are the deliverable.
+    Model: λ_{b,c} = ⌊S·(ln(n_bc+1) − ln(T_c+B))⌋ per (bucket, class) and
+    doc-count priors π_c = ⌊S·(ln d_c − ln d)⌋, both computed ONCE
+    driver-side over the bounded B×C grid; buckets hash the sorted TRAIN
+    vocabulary rank (the DSIR trick that keeps the SQL twin exact), and
+    out-of-vocabulary test tokens are ignored (classic NB practice) on
+    BOTH sides. Scoring is an order-free integer dot; prediction = argmax
+    with smallest-class-code tie-break; lang_true rides INSIDE the
+    groupby key (doc_id·8 + code, ≤8 classes by contract) so no
+    doc→lang join or broadcast of the big side is ever needed. Test docs
+    whose true lang never occurs in training are excluded (no code).
+    Plan: train tf → two-phase (lang, w) counts → broadcast λ/π →
+    per-batch score partials → groupby(key) → argmax map → 1-partition
+    confusion final (empty-block invariant)."""
+    import math
+    import re
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from georay.ops.sketch import splitmix64
+    from georay.runtime import per_process, table_from_pandas
+
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                           ("w", pa.string()), ("tf", pa.int64())])
+
+    def tf_rows(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.findall(word_re).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[row],
+            "lang": df["lang"].to_numpy()[row],
+            "w": toks.to_numpy(),
+        }).groupby(["doc_id", "lang", "w"], as_index=False).size()
+        return table_from_pandas(
+            out.rename(columns={"size": "tf"})[
+                ["doc_id", "lang", "w", "tf"]],
+            schema=tf_schema)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = did % 2 == 0
+        w = np.asarray(t["w"].to_pylist(), dtype=object)[keep]
+        lg = np.asarray(t["lang"].to_pylist(), dtype=object)[keep]
+        v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        dd = did[keep]
+        lw = pd.DataFrame({"lang": lg, "w": w, "tf": v, "doc": dd})
+        tf_g = lw.groupby(["lang", "w"], as_index=False)["tf"].sum()
+        dc_g = (lw[["lang", "doc"]].drop_duplicates()
+                .groupby("lang", as_index=False).size())
+        return pa.table({
+            "lang": pa.array(
+                np.concatenate([tf_g["lang"].to_numpy(),
+                                dc_g["lang"].to_numpy()]), pa.string()),
+            "w": pa.array(
+                np.concatenate([tf_g["w"].to_numpy(),
+                                np.full(len(dc_g), "", object)]),
+                pa.string()),
+            "p_tf": np.concatenate([
+                tf_g["tf"].to_numpy().astype(np.int64),
+                np.zeros(len(dc_g), np.int64)]),
+            "p_docs": np.concatenate([
+                np.zeros(len(tf_g), np.int64),
+                dc_g["size"].to_numpy().astype(np.int64)]),
+        })
+
+    trained = (
+        tf.map_batches(train_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(4)
+        .groupby(["lang", "w"])
+        .aggregate(Sum("p_tf", alias_name="tf"),
+                   Sum("p_docs", alias_name="docs"))
+    ).to_pandas()  # bounded: train vocabulary × classes
+
+    langs = np.sort(trained["lang"].unique().astype(str))
+    c_cnt = len(langs)
+    assert c_cnt <= 8, "nb_langid key packs the class code into 3 bits"
+    wmask = trained["w"] != ""
+    vocab = np.sort(np.unique(trained.loc[wmask, "w"].to_numpy().astype(str)))
+
+    bkt_all = (splitmix64(np.arange(vocab.size, dtype=np.int64)
+                          .view(np.uint64))
+               % np.uint64(NB_BUCKETS)).astype(np.int64)
+    nbc = np.zeros((NB_BUCKETS, c_cnt), np.int64)
+    tw = trained.loc[wmask, "w"].to_numpy().astype(str)
+    tl = trained.loc[wmask, "lang"].to_numpy().astype(str)
+    tv = trained.loc[wmask, "tf"].to_numpy().astype(np.int64)
+    np.add.at(nbc, (bkt_all[np.searchsorted(vocab, tw)],
+                    np.searchsorted(langs, tl)), tv)
+    t_c = nbc.sum(axis=0)
+    d_c = np.zeros(c_cnt, np.int64)
+    d_rows = trained.loc[~wmask]
+    np.add.at(d_c, np.searchsorted(langs, d_rows["lang"].to_numpy().astype(str)),
+              d_rows["docs"].to_numpy().astype(np.int64))
+    d_tot = int(d_c.sum())
+    lam = np.empty((NB_BUCKETS, c_cnt), np.int64)
+    for c in range(c_cnt):
+        ltc = math.log(float(t_c[c] + NB_BUCKETS))
+        for b in range(NB_BUCKETS):
+            lam[b, c] = math.floor(
+                NB_SCALE * (math.log(float(nbc[b, c] + 1)) - ltc))
+    pri = np.array([
+        math.floor(NB_SCALE * (math.log(float(d_c[c]))
+                               - math.log(float(d_tot))))
+        for c in range(c_cnt)
+    ], dtype=np.int64)
+    ref = ray.put((vocab, bkt_all, lam, langs))
+    key = ref.hex() + "-nb"
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        vb, bk_v, lm, ls = per_process(key, lambda: ray.get(ref))
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.asarray(t["w"].to_pylist(), dtype=object).astype(str)
+        lg = np.asarray(t["lang"].to_pylist(), dtype=object).astype(str)
+        v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(vb, w)
+        in_v = (idx < vb.size) & (vb[np.minimum(idx, vb.size - 1)] == w)
+        lc = np.searchsorted(ls, lg)
+        in_l = (lc < ls.size) & (ls[np.minimum(lc, ls.size - 1)] == lg)
+        keep = (did % 2 == 1) & in_v & in_l
+        cols = {"key": np.empty(0, np.int64)}
+        cols.update({f"s{c}": np.empty(0, np.int64)
+                     for c in range(ls.size)})
+        if not keep.any():
+            return pa.table(cols)
+        bkt = bk_v[idx[keep]]
+        kk = did[keep] * 8 + lc[keep]
+        vv = v[keep]
+        u, inv = np.unique(kk, return_inverse=True)
+        cols["key"] = u
+        for c in range(ls.size):
+            acc = np.zeros(u.size, np.int64)
+            np.add.at(acc, inv, vv * lm[bkt, c])
+            cols[f"s{c}"] = acc
+        return pa.table(cols)
+
+    aggs = [Sum(f"s{c}", alias_name=f"t{c}") for c in range(c_cnt)]
+    scored = (
+        tf.map_batches(score_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(4)
+        .groupby("key")
+        .aggregate(*aggs)
+    )
+
+    langs_b, pri_b = langs, pri  # bound pre-closure for the worker
+
+    def finalize(t: pa.Table) -> pa.Table:
+        kk = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = np.stack([
+            t[f"t{c}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in range(len(langs_b))], axis=1) + pri_b[None, :]
+        pred = np.argmax(sc, axis=1)  # first max = smallest code on ties
+        return pa.table({
+            "lang_true": pa.array(langs_b[kk % 8], pa.string()),
+            "lang_pred": pa.array(langs_b[pred], pa.string()),
+            "p_n": np.ones(kk.size, np.int64),
+        })
+
+    return (
+        scored.map_batches(finalize, batch_format="pyarrow")
+        .repartition(1)  # ≤ C² confusion groups: empty-block invariant
+        .groupby(["lang_true", "lang_pred"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+
+def _sql_nb() -> str:
+    vocab_hashed = sketch_sql_subquery("vocab", "idx", "hu")
+    return rf"""
+WITH toks AS (SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+              FROM documents),
+tf AS (SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2, 3),
+langs AS (SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS c
+          FROM (SELECT DISTINCT lang FROM tf WHERE doc_id % 2 = 0)),
+vocab AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS idx
+          FROM (SELECT DISTINCT w FROM tf WHERE doc_id % 2 = 0)),
+bk AS (SELECT w, CAST(hu % {NB_BUCKETS} AS BIGINT) AS b
+       FROM {vocab_hashed}),
+nbc AS (SELECT b, c, CAST(SUM(tf) AS BIGINT) AS n
+        FROM tf JOIN bk USING (w) JOIN langs USING (lang)
+        WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+tc AS (SELECT c, CAST(SUM(n) AS BIGINT) AS t FROM nbc GROUP BY 1),
+grid AS (SELECT g.b, langs.c
+         FROM (SELECT DISTINCT b FROM bk) g CROSS JOIN langs),
+lam AS (SELECT grid.b, grid.c,
+               CAST(FLOOR({NB_SCALE} * (
+                 ln(CAST(COALESCE(nbc.n, 0) + 1 AS DOUBLE))
+                 - ln(CAST(tc.t + {NB_BUCKETS} AS DOUBLE)))) AS BIGINT)
+                 AS lam
+        FROM grid LEFT JOIN nbc ON nbc.b = grid.b AND nbc.c = grid.c
+        JOIN tc ON tc.c = grid.c),
+dc AS (SELECT langs.c, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+       FROM tf JOIN langs USING (lang) WHERE doc_id % 2 = 0 GROUP BY 1),
+dtot AS (SELECT CAST(SUM(d) AS BIGINT) AS dt FROM dc),
+pri AS (SELECT c, CAST(FLOOR({NB_SCALE} * (ln(CAST(d AS DOUBLE))
+                     - ln(CAST(dt AS DOUBLE)))) AS BIGINT) AS pri
+        FROM dc CROSS JOIN dtot),
+test AS (SELECT tf.doc_id, tf.lang, bk.b, tf.tf
+         FROM tf JOIN bk USING (w) JOIN langs ON langs.lang = tf.lang
+         WHERE tf.doc_id % 2 = 1),
+sc AS (SELECT test.doc_id, test.lang AS lang_true, lam.c,
+              CAST(SUM(test.tf * lam.lam) AS BIGINT) + ANY_VALUE(pri.pri)
+                AS score
+       FROM test JOIN lam ON lam.b = test.b JOIN pri ON pri.c = lam.c
+       GROUP BY 1, 2, 3),
+pick AS (SELECT doc_id, lang_true, c,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, c ASC) AS rk
+         FROM sc)
+SELECT lang_true, langs.lang AS lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pick JOIN langs ON langs.c = pick.c
+WHERE rk = 1 GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -12478,6 +12714,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "hausdorff_pairs": (q_hausdorff_pairs, SQL_HAUSDORFF_PAIRS),
         "silhouette_labels": (q_silhouette_labels, SQL_SILHOUETTE),
         "dsir_weights": (q_dsir_weights, _sql_dsir()),
+        "nb_langid": (q_nb_langid, _sql_nb()),
         "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
         "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
         "gains_deciles": (q_gains_deciles, SQL_GAINS_DECILES),
