@@ -113,23 +113,14 @@ def _bucket_pairs(ids: np.ndarray, max_bucket: int | None,
     return bucket_pairs(ids, max_bucket, label, log_prefix="georay.minhash")
 
 
-def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
-                        max_bucket: int | None = 4096,
-                        num_pair_buckets: int = 64):
-    """Explode signatures to (band, band_hash, doc_id), co-locate band
-    buckets with ONE groupby over ``hash(band_hash) % num_pair_buckets``
-    (a few dozen pandas groups TOTAL — the ops.buckets idiom; a naive
-    groupby(band, bh) costs one Python call per LSH bucket, and nearly
-    every bucket is a singleton: measured 77 s just to emit 2.5k pairs
-    from 20k docs × 16 bands = 320k groups), then emit unique candidate
-    pairs (id_a < id_b) for ALL buckets in a group with one vectorized
-    ``grouped_pair_indices`` pass over lexsorted bucket runs.
-
-    ``max_bucket`` caps the per-bucket pair explosion: one degenerate band
-    value (e.g. near-empty docs all hashing alike) would otherwise put an
-    O(b²) group on a single reducer. Capped buckets are logged, never
-    silent; pass ``None`` for exact all-pairs semantics."""
-    import pandas as pd
+def band_rows(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
+              num_pair_buckets: int = 64):
+    """Explode signatures to (band, band_hash, doc_id, _pb) rows — the
+    shared front half of :func:`lsh_candidate_pairs`, public so the
+    persisted :class:`georay.textindex.MinHashIndex` can store EXACTLY
+    the rows the in-flight pipeline groups (bit-equal lifecycle oracle).
+    ``_pb = splitmix64(bh + salt·band) % num_pair_buckets`` is both the
+    co-location key and the index's partition key."""
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -159,6 +150,25 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
                 "_pb": pb,
             }
         )
+
+    return sig_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def candidate_pairs_from_bands(band_ds, max_bucket: int | None = 4096):
+    """Back half of :func:`lsh_candidate_pairs`: co-locate band buckets
+    with ONE groupby over the precomputed ``_pb`` (a few dozen pandas
+    groups TOTAL — the ops.buckets idiom; a naive groupby(band, bh) costs
+    one Python call per LSH bucket, and nearly every bucket is a
+    singleton: measured 77 s just to emit 2.5k pairs from 20k docs × 16
+    bands = 320k groups), then emit unique candidate pairs (id_a < id_b)
+    for ALL buckets in a group with one vectorized
+    ``grouped_pair_indices`` pass over lexsorted bucket runs.
+
+    ``max_bucket`` caps the per-bucket pair explosion: one degenerate band
+    value (e.g. near-empty docs all hashing alike) would otherwise put an
+    O(b²) group on a single reducer. Capped buckets are logged, never
+    silent; pass ``None`` for exact all-pairs semantics."""
+    import pandas as pd
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         # return ARROW, not pandas: Ray rebuilds pandas UDF outputs via
@@ -192,16 +202,25 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
         return pa.table({"id_a": pa.array(ids_s[ia].astype(np.int64)),
                          "id_b": pa.array(ids_s[ib].astype(np.int64))})
 
-    cand = (
-        sig_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(pairs, batch_format="pandas")
-    )
+    cand = band_ds.groupby("_pb").map_groups(pairs, batch_format="pandas")
     # dedupe pairs found in multiple bands — pair-hash bucket dedup, not
     # groupby(pair).aggregate: the sort-aggregate grinds on skewed blocks
     # from capped hot buckets (ops.pairs.distinct_pairs, measured in
     # containment_join). The old n_bands_hit count had no consumers.
     return distinct_pairs(cand)
+
+
+def lsh_candidate_pairs(sig_ds, n_bands: int = 8, rows_per_band: int = 8,
+                        max_bucket: int | None = 4096,
+                        num_pair_buckets: int = 64):
+    """Signatures → banded LSH candidate pairs: :func:`band_rows` then
+    :func:`candidate_pairs_from_bands` (split so the persisted text index
+    can reuse both halves — see each half's docstring for the plan)."""
+    return candidate_pairs_from_bands(
+        band_rows(sig_ds, n_bands=n_bands, rows_per_band=rows_per_band,
+                  num_pair_buckets=num_pair_buckets),
+        max_bucket=max_bucket,
+    )
 
 
 def jaccard_verify(pairs_ds, docs_table: pa.Table, shingle_k: int = 5,
@@ -307,16 +326,27 @@ def jaccard_verify_shuffle(pairs_ds, docs_ds, shingle_k: int = 5,
 
     This is the 100 TB path; :func:`jaccard_verify` (broadcast) is the
     small-corpus fast path."""
-    from georay.runtime import adaptive_partitions
-
-    if num_partitions is None:
-        num_partitions = adaptive_partitions()
-
     # shingle ONCE, materialize the (id, packed-hashes) table, and feed
     # both join sides from it via cheap column renames — re-running
     # shingle_sets per side would double the dominant hashing cost
     sh = shingle_sets(docs_ds, shingle_k, id_col, text_col,
                       out_id="sid", out_col="sh").materialize()
+    return jaccard_verify_packed(pairs_ds, sh, threshold=threshold,
+                                 num_partitions=num_partitions)
+
+
+def jaccard_verify_packed(pairs_ds, sh_ds, threshold: float = 0.7,
+                          num_partitions: int | None = None):
+    """Exact-Jaccard verify against a PRECOMPUTED (sid, sh) packed
+    shingle-set dataset — the back half of :func:`jaccard_verify_shuffle`,
+    public so the persisted :class:`georay.textindex.MinHashIndex` can
+    feed its stored shingle partitions straight in without re-hashing the
+    corpus text."""
+    from georay.runtime import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+    sh = sh_ds
 
     def as_side(side: str):
         def fn(t: pa.Table) -> pa.Table:

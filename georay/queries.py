@@ -12278,6 +12278,37 @@ GROUP BY 1
 """
 
 
+def q_minhash_index_lifecycle(sf_dir: str):
+    """Persisted TEXT-dedup index lifecycle under oracle check
+    (MinHashIndex — the build/open split CellIndex provides for the
+    spatial family and VecIndex for ANN, applied to MinHash-LSH): BUILD
+    the index (signatures → band table partitioned by LSH pair-bucket +
+    packed shingle sets partitioned by id hash, both checkpointed
+    writes), OPEN a fresh handle from disk (props sidecar only), then
+    SELF-QUERY. The stored band rows are exactly the in-flight
+    ``band_rows`` output and verification reuses the stored shingle
+    sets, so the loaded index's pairs are bit-identical to
+    ``near_dup_pairs(verify="shuffle")`` — the relational 5-gram Jaccard
+    oracle gates the whole save/load round trip. Fresh root per call:
+    the lifecycle itself is the unit under test, never a cache hit."""
+    import os
+    import shutil
+    import tempfile
+
+    from georay.textindex import MinHashIndex
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_textidx_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    MinHashIndex.build(docs, root, n_hashes=64, n_bands=16, shingle_k=5)
+    idx = MinHashIndex(root)  # fresh open: everything must come from disk
+    return idx.self_pairs(threshold=0.7)
+
+
 NB_BUCKETS = 512
 NB_SCALE = 1_000_000
 
@@ -12715,6 +12746,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "silhouette_labels": (q_silhouette_labels, SQL_SILHOUETTE),
         "dsir_weights": (q_dsir_weights, _sql_dsir()),
         "nb_langid": (q_nb_langid, _sql_nb()),
+        "minhash_index_lifecycle": (q_minhash_index_lifecycle,
+                                    SQL_MINHASH_NEARDUP),
         "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
         "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
         "gains_deciles": (q_gains_deciles, SQL_GAINS_DECILES),

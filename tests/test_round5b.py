@@ -114,3 +114,67 @@ def test_dsir_weights_direction(ray_session):
     assert len(en) and len(other)
     assert en.mean() > other.mean()
     assert (j["n_tokens"] > 0).all()
+
+
+def test_minhash_index_incremental_query(ray_session):
+    """Build a persisted MinHashIndex, then probe NEW docs against it:
+    a near-copy of an indexed doc must hit its source above threshold,
+    unrelated text must miss. Exercises partition pruning, the two-sided
+    candidate path and the stored-shingle verify."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from georay.queries import _read
+    from georay.textindex import MinHashIndex
+
+    root = tempfile.mkdtemp(prefix="georay_textidx_test_")
+    try:
+        docs = _read(SF, "documents", columns=["doc_id", "text"])
+        MinHashIndex.build(docs, root, n_hashes=64, n_bands=16, shingle_k=5)
+        idx = MinHashIndex(root)
+
+        base = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        src_id = int(base["doc_id"][0].as_py())
+        src_text = base["text"][0].as_py()
+        q = pa.table({
+            "doc_id": pa.array([10_000_000, 10_000_001], pa.int64()),
+            "text": pa.array([src_text + " tail", "zzz qqq xxx " * 30]),
+        })
+        res = idx.query_pairs(ray.data.from_arrow(q),
+                              threshold=0.7).to_pandas()
+        hits = res[res["id_a"] == 10_000_000]
+        assert src_id in set(hits["id_b"])  # near-copy found its source
+        assert (res["id_a"] != 10_000_001).all()  # junk matches nothing
+        assert (res["jaccard"] >= 0.7).all()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_minhash_index_self_pairs_match_inflight(ray_session):
+    """Loaded-index self-query must reproduce the in-flight shuffle
+    pipeline bit-for-bit (same candidates, same exact Jaccard)."""
+    import shutil
+    import tempfile
+
+    from georay.ops import minhash as mh
+    from georay.queries import _read
+    from georay.textindex import MinHashIndex
+
+    root = tempfile.mkdtemp(prefix="georay_textidx_self_")
+    try:
+        docs = _read(SF, "documents", columns=["doc_id", "text"])
+        MinHashIndex.build(docs, root, n_hashes=64, n_bands=16, shingle_k=5)
+        got = (MinHashIndex(root).self_pairs(threshold=0.7).to_pandas()
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        want = (mh.near_dup_pairs(docs, n_hashes=64, n_bands=16,
+                                  shingle_k=5, threshold=0.7,
+                                  verify="shuffle").to_pandas()
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        assert got.equals(want)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
