@@ -643,7 +643,8 @@ def tile_trend(ds, cell_col: str = "cell", x_col: str = "x", y_col: str = "y",
 
 def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
               value_col: str = "n", combine_partitions: int = 8,
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              vector_bins: bool = False):
     """Empirical semivariogram of an aggregated raster: every unordered
     pair of OCCUPIED cells within Chebyshev distance ``max_lag`` is binned
     by squared Euclidean grid distance d² = dx²+dy² and contributes
@@ -686,8 +687,9 @@ def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
             parts_c.append(codec.interleave(
                 tx[ok].astype(np.uint64), ty[ok].astype(np.uint64), bits))
             parts_v.append(val[ok])
-            parts_d.append(np.full(int(ok.sum()), dx * dx + dy * dy,
-                                   dtype=np.int64))
+            d_key = (dx * (2 * max_lag + 1) + dy + max_lag
+                     if vector_bins else dx * dx + dy * dy)
+            parts_d.append(np.full(int(ok.sum()), d_key, dtype=np.int64))
         return pa.table({
             cell_col: np.concatenate(parts_c).astype(np.int64),
             "src_v": np.concatenate(parts_v),
@@ -714,7 +716,7 @@ def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
         np.add.at(s, inv, diff * diff)
         return pa.table({"d2": u, "p_n": n, "p_sq": s})
 
-    return (
+    agg = (
         landed.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
         .repartition(min(combine_partitions, 4))
@@ -723,6 +725,20 @@ def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
                    Sum("p_sq", alias_name="sq_sum"))
         .repartition(1)  # few-group final: merge schema-less empty blocks
     )
+    if not vector_bins:
+        return agg
+
+    def decode(t: pa.Table) -> pa.Table:
+        # ``vector_bins`` packs the half-ring lag VECTOR (the variogram
+        # map / anisotropy surface) instead of binning by d²
+        k = t["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "dx": k // (2 * max_lag + 1),
+            "dy": k % (2 * max_lag + 1) - max_lag,
+            "n_pairs": t["n_pairs"], "sq_sum": t["sq_sum"],
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 def grid_bfs(raster_ds, bits: int, max_hops: int,

@@ -12309,6 +12309,149 @@ def q_minhash_index_lifecycle(sf_dir: str):
     return idx.self_pairs(threshold=0.7)
 
 
+def q_variogram_map(sf_dir: str):
+    """Variogram map (anisotropy surface): the semivariogram binned by
+    LAG VECTOR (dx, dy) instead of scalar d² — the geostatistics tool for
+    detecting directional spatial structure before kriging. Same
+    half-ring scatter → hash join → integer (vᵢ−vⱼ)² partials as
+    ``semivariogram`` (ops.tiles.variogram vector_bins=True; each
+    unordered pair has exactly one reporter). SQL twin: the bounded
+    self-join grouped by the raw offsets."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    pts = spatial.points_with_cells(cust, "c_custkey", BITS_TILE, xy=False)
+    raster = tiles.count_by(pts.select_columns(["cell"]), "cell")
+    return tiles.variogram(raster, BITS_TILE, max_lag=3, vector_bins=True)
+
+
+SQL_VARIOGRAM_MAP = f"""
+WITH pts AS (
+  SELECT {sql_x(sql_lon('c_custkey'), 5)} AS x,
+         {sql_y(sql_lat('c_custkey'), 5)} AS y
+  FROM customer),
+g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY x, y)
+SELECT b.x - a.x AS dx, b.y - a.y AS dy,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM((a.n - b.n) * (a.n - b.n)) AS BIGINT) AS sq_sum
+FROM g a JOIN g b
+  ON b.x BETWEEN a.x - 3 AND a.x + 3
+ AND b.y BETWEEN a.y - 3 AND a.y + 3
+ AND (b.x > a.x OR (b.x = a.x AND b.y > a.y))
+ AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) <= 9
+GROUP BY 1, 2
+"""
+
+
+KNOX_EPS = 5_000              # milli-degree grid units
+KNOX_TAU = 1_800_000_000      # 30 min in µs — τ sets the
+# time-bucket candidate density (pairs ~ N²·τ/range): keep τ·rate ≈ O(1)
+# per bucket at scale, same contract as every blocking join in the repo
+_KNOX_BIG_EPS = 1_000_000     # > any possible grid distance → space ignored
+_KNOX_BIG_WIN = 1 << 59       # > any epoch-µs spread → time ignored
+
+
+def q_knox_test(sf_dir: str):
+    """Knox space-time interaction test over cross-user event pairs (the
+    classic epidemiology statistic: do close-in-space pairs cluster in
+    time?). Observed = pairs within BOTH the space radius δ and the time
+    window τ; expected under the permutation null = X·T/M where X / T
+    count space-only / time-only close pairs and M is the cross-user pair
+    universe. All four counts are exact integers; the ratio is the one
+    float. Plan: ONE 3-D bucket contact join (ops.trajectory.
+    spatiotemporal_pairs) run three times with degenerate parameters —
+    (δ, ∞) counts X with pure spatial blocking, (∞, τ) counts T with pure
+    time-bucket blocking, (δ, τ) counts XT — each a streaming count, no
+    pair list ever materializes to the driver; M comes from a two-phase
+    per-user count. SQL twin: three DuckDB IEJoins on the raw predicates."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from georay.ops import trajectory as traj
+
+    def pts():
+        ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_id": t["event_id"], "user_id": t["user_id"],
+                "us": pa.array(us),
+                "xi": pa.array((eid * HASH_LON) % 360000),
+                "yi": pa.array((eid * HASH_LAT) % 180000),
+            })
+
+        return ev.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def n_pairs(eps: int, window_us: int) -> int:
+        return traj.spatiotemporal_pairs(
+            pts(), "event_id", "user_id", "us", "xi", "yi",
+            eps=eps, window_us=window_us,
+        ).count()
+
+    x_pairs = n_pairs(KNOX_EPS, _KNOX_BIG_WIN)
+    t_pairs = n_pairs(_KNOX_BIG_EPS, KNOX_TAU)
+    xt_pairs = n_pairs(KNOX_EPS, KNOX_TAU)
+
+    uc = tiles.count_by(pts().select_columns(["user_id"]), "user_id")
+
+    def m_partial(t: pa.Table) -> pa.Table:
+        c = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"p_n": pa.array([int(c.sum())]),
+                         "p_s2": pa.array([int((c * (c - 1)).sum())])})
+
+    mrow = (
+        uc.map_batches(m_partial, batch_format="pyarrow")
+    ).to_pandas()  # bounded: one row per per-user-count block
+    n = int(mrow["p_n"].sum())
+    s2 = int(mrow["p_s2"].sum())
+    m = (n * (n - 1) - s2) // 2
+    denom = x_pairs * t_pairs
+    ratio = (float(xt_pairs) * float(m) / float(denom)) if denom else 0.0
+    return pd.DataFrame({
+        "n": [np.int64(n)], "m_pairs": [np.int64(m)],
+        "x_pairs": [np.int64(x_pairs)], "t_pairs": [np.int64(t_pairs)],
+        "xt_pairs": [np.int64(xt_pairs)],
+        "exp_num": [np.int64(denom)],
+        "knox_ratio": [ratio],
+    })
+
+
+SQL_KNOX_TEST = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         (event_id * {HASH_LON}) % 360000 AS xi,
+         (event_id * {HASH_LAT}) % 180000 AS yi
+  FROM events),
+uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+              CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+       FROM uc),
+x AS (SELECT CAST(COUNT(*) AS BIGINT) AS x_pairs
+      FROM p a JOIN p b
+        ON a.event_id < b.event_id AND a.user_id <> b.user_id
+       AND (a.xi - b.xi) * (a.xi - b.xi)
+         + (a.yi - b.yi) * (a.yi - b.yi) <= {KNOX_EPS * KNOX_EPS}),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_pairs
+      FROM p a JOIN p b
+        ON a.event_id < b.event_id AND a.user_id <> b.user_id
+       AND abs(a.us - b.us) <= {KNOX_TAU}),
+xt AS (SELECT CAST(COUNT(*) AS BIGINT) AS xt_pairs
+       FROM p a JOIN p b
+         ON a.event_id < b.event_id AND a.user_id <> b.user_id
+        AND abs(a.us - b.us) <= {KNOX_TAU}
+        AND (a.xi - b.xi) * (a.xi - b.xi)
+          + (a.yi - b.yi) * (a.yi - b.yi) <= {KNOX_EPS * KNOX_EPS})
+SELECT n, (n * (n - 1) - s2) // 2 AS m_pairs, x_pairs, t_pairs, xt_pairs,
+       x_pairs * t_pairs AS exp_num,
+       CASE WHEN x_pairs * t_pairs = 0 THEN 0.0
+            ELSE CAST(xt_pairs AS DOUBLE)
+                 * CAST((n * (n - 1) - s2) // 2 AS DOUBLE)
+                 / CAST(x_pairs * t_pairs AS DOUBLE) END AS knox_ratio
+FROM nn CROSS JOIN x CROSS JOIN t CROSS JOIN xt
+"""
+
+
 NB_BUCKETS = 512
 NB_SCALE = 1_000_000
 
@@ -12748,6 +12891,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "nb_langid": (q_nb_langid, _sql_nb()),
         "minhash_index_lifecycle": (q_minhash_index_lifecycle,
                                     SQL_MINHASH_NEARDUP),
+        "knox_test": (q_knox_test, SQL_KNOX_TEST),
+        "variogram_map": (q_variogram_map, SQL_VARIOGRAM_MAP),
         "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
         "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
         "gains_deciles": (q_gains_deciles, SQL_GAINS_DECILES),
