@@ -644,7 +644,7 @@ def tile_trend(ds, cell_col: str = "cell", x_col: str = "x", y_col: str = "y",
 def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
               value_col: str = "n", combine_partitions: int = 8,
               num_partitions: int | None = None,
-              vector_bins: bool = False):
+              vector_bins: bool = False, stat: str = "sq_diff"):
     """Empirical semivariogram of an aggregated raster: every unordered
     pair of OCCUPIED cells within Chebyshev distance ``max_lag`` is binned
     by squared Euclidean grid distance d² = dx²+dy² and contributes
@@ -708,12 +708,15 @@ def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
 
     def partial(t: pa.Table) -> pa.Table:
         d2 = t["d2"].to_numpy(zero_copy_only=False)
-        diff = (t["src_v"].to_numpy(zero_copy_only=False)
-                - t[value_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        a = t["src_v"].to_numpy(zero_copy_only=False)
+        b = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # stat="sq_diff": Σ(vᵢ−vⱼ)² (semivariogram); "product": Σvᵢ·vⱼ
+        # (the covariogram numerator — spatial autocovariance per lag)
+        contrib = a * b if stat == "product" else (a - b) * (a - b)
         u, inv = np.unique(d2, return_inverse=True)
         n = np.bincount(inv, minlength=u.size).astype(np.int64)
         s = np.zeros(u.size, dtype=np.int64)
-        np.add.at(s, inv, diff * diff)
+        np.add.at(s, inv, contrib)
         return pa.table({"d2": u, "p_n": n, "p_sq": s})
 
     agg = (
@@ -722,7 +725,8 @@ def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
         .repartition(min(combine_partitions, 4))
         .groupby("d2")
         .aggregate(Sum("p_n", alias_name="n_pairs"),
-                   Sum("p_sq", alias_name="sq_sum"))
+                   Sum("p_sq", alias_name=(
+                       "prod_sum" if stat == "product" else "sq_sum")))
         .repartition(1)  # few-group final: merge schema-less empty blocks
     )
     if not vector_bins:
@@ -735,7 +739,9 @@ def variogram(raster_ds, bits: int, max_lag: int, cell_col: str = "cell",
         return pa.table({
             "dx": k // (2 * max_lag + 1),
             "dy": k % (2 * max_lag + 1) - max_lag,
-            "n_pairs": t["n_pairs"], "sq_sum": t["sq_sum"],
+            "n_pairs": t["n_pairs"],
+            ("prod_sum" if stat == "product" else "sq_sum"):
+                t["prod_sum" if stat == "product" else "sq_sum"],
         })
 
     return agg.map_batches(decode, batch_format="pyarrow")

@@ -12341,6 +12341,161 @@ GROUP BY 1, 2
 """
 
 
+def q_covariogram(sf_dir: str):
+    """Empirical covariogram numerators of the customer-count raster —
+    Σ vᵢ·vⱼ and pair count per squared lag d² (the spatial-autocovariance
+    complement of `semivariogram`: C(h) = prod_sum/n_pairs − m̄ₕ², with
+    the mean adjustment left to the caller because it needs per-lag head
+    means). Same half-ring scatter → hash join → integer partials
+    (ops.tiles.variogram stat="product"); exact under any execution
+    order. SQL twin: bounded self-join with SUM(a.n·b.n)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    pts = spatial.points_with_cells(cust, "c_custkey", BITS_TILE, xy=False)
+    raster = tiles.count_by(pts.select_columns(["cell"]), "cell")
+    return tiles.variogram(raster, BITS_TILE, max_lag=3, stat="product")
+
+
+SQL_COVARIOGRAM = f"""
+WITH pts AS (
+  SELECT {sql_x(sql_lon('c_custkey'), 5)} AS x,
+         {sql_y(sql_lat('c_custkey'), 5)} AS y
+  FROM customer),
+g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY x, y)
+SELECT (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS prod_sum
+FROM g a JOIN g b
+  ON b.x BETWEEN a.x - 3 AND a.x + 3
+ AND b.y BETWEEN a.y - 3 AND a.y + 3
+ AND (b.x > a.x OR (b.x = a.x AND b.y > a.y))
+ AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) <= 9
+GROUP BY 1
+"""
+
+
+GRAVITY_SCALE = 10_000
+
+
+def q_gravity_calibration(sf_dir: str):
+    """Gravity-model distance-decay calibration: OLS fit of ln(flow) =
+    k − β·ln(d²) over the origin→destination matrix (flow = OD leg count,
+    d² = integer squared grid distance between cell centers; same-cell
+    flows drop — no distance). Exactness: x = ⌊S·ln d²⌋ and y = ⌊S·ln n⌋
+    are floored ONCE PER DISTINCT value driver-side over the bounded
+    (d², n) histogram (segment-entropy discipline — d² has ≤ ~2·31²
+    distinct values on the 32×32 grid and n is a small count), the OLS
+    moments are exact integers, the β̂ = (mΣxy−ΣxΣy)/(mΣx²−(Σx)²)
+    numerators are Python-int / HUGEINT (they exceed int64 at sf0.1),
+    and the two divisions are the only floats. Plan: od_matrix →
+    two-phase (d², n) histogram → bounded driver final."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from georay.ops import trajectory as traj
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lon, lat = spatial.synth_lonlat(eid)
+        cx, cy = codec.xy_from_lonlat(lon, lat, BITS_TILE)
+        return pa.table({
+            "user_id": t["user_id"], "us": pa.array(us),
+            "event_id": t["event_id"],
+            "cell": pa.array((cx * 32 + cy).astype(np.int64)),
+        })
+
+    pts = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    od = traj.od_matrix(pts, "user_id", "us", "event_id", "cell")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        o = t["o_cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d_cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = o // 32 - d // 32
+        dy = o % 32 - d % 32
+        d2 = dx * dx + dy * dy
+        keep = d2 > 0
+        key = d2[keep] * (1 << 24) + n[keep]  # n = leg count ≪ 2^24
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": u,
+            "p_m": np.bincount(inv, minlength=u.size).astype(np.int64),
+        })
+
+    hist = (
+        od.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(4)
+        .groupby("key")
+        .aggregate(Sum("p_m", alias_name="m"))
+    ).to_pandas()  # bounded: distinct (d², flow) combos on a 32×32 grid
+
+    key = hist["key"].to_numpy().astype(np.int64)
+    m = hist["m"].to_numpy().astype(np.int64)
+    d2 = key >> 24
+    nf = key & ((1 << 24) - 1)
+    x = np.array([math.floor(GRAVITY_SCALE * math.log(float(v)))
+                  for v in d2], dtype=object)
+    y = np.array([math.floor(GRAVITY_SCALE * math.log(float(v)))
+                  for v in nf], dtype=object)
+    mi = m.astype(object)
+    tot = int(m.sum())
+    sx, sy = int((mi * x).sum()), int((mi * y).sum())
+    sxx, sxy = int((mi * x * x).sum()), int((mi * x * y).sum())
+    num = tot * sxy - sx * sy     # Python ints: exceed int64 at sf0.1
+    den = tot * sxx - sx * sx
+    beta = float(num) / float(den) if den else 0.0
+    k = (float(sy) - beta * float(sx)) / float(tot) / GRAVITY_SCALE
+    return pd.DataFrame({
+        "m_flows": [np.int64(tot)],
+        "beta": [-beta],       # decay is the NEGATIVE slope on ln d²
+        "k_intercept": [k],
+    })
+
+
+SQL_GRAVITY_CALIBRATION = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {sql_x(sql_lon('event_id'), 5)} * 32
+           + {sql_y(sql_lat('event_id'), 5)} AS cell
+  FROM events),
+l AS (SELECT LAG(cell) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS o_cell,
+             cell AS d_cell
+      FROM p),
+od AS (SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS n
+       FROM l WHERE o_cell IS NOT NULL GROUP BY 1, 2),
+f AS (SELECT (o_cell // 32 - d_cell // 32) * (o_cell // 32 - d_cell // 32)
+             + (o_cell % 32 - d_cell % 32) * (o_cell % 32 - d_cell % 32)
+               AS d2, n
+      FROM od
+      WHERE o_cell <> d_cell
+        AND (o_cell // 32 - d_cell // 32) * (o_cell // 32 - d_cell // 32)
+          + (o_cell % 32 - d_cell % 32) * (o_cell % 32 - d_cell % 32) > 0),
+xy AS (SELECT CAST(FLOOR({GRAVITY_SCALE} * ln(CAST(d2 AS DOUBLE)))
+                AS HUGEINT) AS x,
+              CAST(FLOOR({GRAVITY_SCALE} * ln(CAST(n AS DOUBLE)))
+                AS HUGEINT) AS y
+       FROM f),
+mo AS (SELECT CAST(COUNT(*) AS HUGEINT) AS tot,
+              SUM(x) AS sx, SUM(y) AS sy,
+              SUM(x * x) AS sxx, SUM(x * y) AS sxy
+       FROM xy)
+SELECT CAST(tot AS BIGINT) AS m_flows,
+       -(CAST(tot * sxy - sx * sy AS DOUBLE)
+         / CAST(tot * sxx - sx * sx AS DOUBLE)) AS beta,
+       (CAST(sy AS DOUBLE)
+        - (CAST(tot * sxy - sx * sy AS DOUBLE)
+           / CAST(tot * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       / CAST(tot AS DOUBLE) / {GRAVITY_SCALE} AS k_intercept
+FROM mo
+"""
+
+
 KNOX_EPS = 5_000              # milli-degree grid units
 KNOX_TAU = 1_800_000_000      # 30 min in µs — τ sets the
 # time-bucket candidate density (pairs ~ N²·τ/range): keep τ·rate ≈ O(1)
@@ -12893,6 +13048,9 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
                                     SQL_MINHASH_NEARDUP),
         "knox_test": (q_knox_test, SQL_KNOX_TEST),
         "variogram_map": (q_variogram_map, SQL_VARIOGRAM_MAP),
+        "covariogram": (q_covariogram, SQL_COVARIOGRAM),
+        "gravity_calibration": (q_gravity_calibration,
+                                SQL_GRAVITY_CALIBRATION),
         "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
         "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
         "gains_deciles": (q_gains_deciles, SQL_GAINS_DECILES),
