@@ -380,6 +380,31 @@ def scene_cuts(ds, thresh_per_byte: int = 7):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
 
 
+def sharpness(ds, out_col: str = "sharp"):
+    """image_id + integer Laplacian-energy sharpness per image — the
+    classic blur-detection signal (variance-of-Laplacian family) an
+    image-curation pipeline thresholds on. All-integer and exact: luma is
+    the milli-weighted 299R+587G+114B int32 plane, the 4-neighbor
+    Laplacian is an int64 difference field, and the score is Σ lap² over
+    interior pixels (|lap| ≤ 8·255·10³ → 64×64 images stay < 2⁵⁵).
+    Stateless tasks; the per-image decode loop is inherent to
+    variable-size codecs (same shape as image_features)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fmts = t["fmt"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        out = np.empty(len(fmts), dtype=np.int64)
+        for k in range(len(fmts)):
+            px = images.decode_image(blobs[k], fmts[k]).astype(np.int64)
+            lum = px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+            lap = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
+                   - lum[1:-1, :-2] - lum[1:-1, 2:])
+            out[k] = int((lap * lap).sum())
+        return pa.table({"image_id": t["image_id"], out_col: pa.array(out)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
+
+
 def perceptual_hashes(ds, out_col: str = "ahash"):
     """image_id + 64-bit perceptual aHash per image: decode → grayscale
     8×8 block means → median threshold (images.ahash64). Stateless tasks;

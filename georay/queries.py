@@ -3237,6 +3237,67 @@ FROM img JOIN th ON th.pmod = img.pix % 768
 """
 
 
+def q_images_sharpness(sf_dir: str):
+    """Decode → integer Laplacian-energy sharpness per image (the
+    blur-detection filter of image curation; ops/images.sharpness — all
+    int64, exact across codecs INCLUDING the lossy JPEG rows because the
+    fixture's encode→decode round trip is deterministic). Fixture-derived
+    oracle: sharpness is periodic in the pixel index (period 768), so the
+    SQL twin joins range(N) against a 768-entry literal computed once
+    driver-side through the same decode→Laplacian path — same discipline
+    as `images_features`."""
+    import pyarrow.compute as pc
+
+    from georay import fixtures
+    from georay.ops import images as img_ops
+
+    ds = fixtures.read_images(sf_dir, columns=["image_id", "fmt", "bytes"])
+    sharp = img_ops.sharpness(ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 15), pa.int64())
+        return pa.table({"img_idx": idx, "sharp": t["sharp"]})
+
+    return sharp.map_batches(project, batch_format="pyarrow")
+
+
+_SHARP_TABLE_CACHE: dict[int, str] = {}
+
+
+def _sql_sharp_values() -> str:
+    """(pmod, sharp) literal rows for one pixel period, via the same
+    decode→Laplacian-energy path ops/images.sharpness runs."""
+    cached = _SHARP_TABLE_CACHE.get(0)
+    if cached is None:
+        from georay import images
+        from georay.fixtures import PIXEL_PERIOD
+
+        rows = []
+        for p in range(PIXEL_PERIOD):
+            w, h = images.image_dims(p)
+            fmt = images.image_fmt(p)
+            blob = images.encode_image(images.synth_pixels(p, w, h), fmt)
+            px = images.decode_image(blob, fmt).astype(np.int64)
+            lum = px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+            lap = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
+                   - lum[1:-1, :-2] - lum[1:-1, 2:])
+            rows.append(f"({p}, {int((lap * lap).sum())})")
+        cached = ",\n  ".join(rows)
+        _SHARP_TABLE_CACHE[0] = cached
+    return cached
+
+
+def sql_images_sharpness(n: int) -> str:
+    return f"""
+WITH img AS ({_sql_img(n)}),
+sh(pmod, sharp) AS (VALUES
+  {_sql_sharp_values()}
+)
+SELECT CAST(img.i AS BIGINT) AS img_idx, CAST(sh.sharp AS BIGINT) AS sharp
+FROM img JOIN sh ON sh.pmod = img.pix % 768
+"""
+
+
 def q_images_ahash_neardup(sf_dir: str):
     """Visual near-dup pairs by perceptual aHash at Hamming ≤ 2 through the
     generic block-LSH pigeonhole path (exact for max_hamming < n_blocks):
@@ -12891,6 +12952,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "images_dedup": (q_images_dedup, sql_images_dedup(n_images)),
         "images_decode": (q_images_decode, sql_images_decode(n_images)),
         "images_tiles": (q_images_tiles, sql_images_tiles(n_images)),
+        "images_sharpness": (q_images_sharpness,
+                             sql_images_sharpness(n_images)),
         "images_pip": (q_images_pip, sql_images_pip(n_images)),
         "zonal_stats": (q_zonal_stats, sql_zonal_stats(n_images)),
         "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
