@@ -12196,7 +12196,61 @@ DSIR_SCALE = 1_000_000
 DSIR_TARGET_LANG = "en"
 
 
+def q_dsir_resample(sf_dir: str):
+    """DSIR step 2 — Gumbel-top-k importance RESAMPLING (Xie 2023 §2.2:
+    sample k docs ∝ exp(weight) without replacement ≡ top-k of weight +
+    Gumbel noise): deterministic Gumbel g = −ln(−ln u) from u =
+    (splitmix64(doc_id)+0.5)/2⁶⁴, score = dsir_scaled + ⌊10⁶·g⌋ (both
+    int64 — the float Gumbel expression is bit-identical on both sides
+    because its input hash is), k highest scores win with (score DESC,
+    doc_id ASC) tie-break. Plan: the dsir_weights pipeline → per-batch
+    integer scoring → global top-k via one bounded sort-limit."""
+    import pandas as pd
+
+    from georay.ops.sketch import splitmix64
+
+    k = 64
+    w = _dsir_weights_ds(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = t["dsir_scaled"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hu = splitmix64(did.view(np.uint64))
+        u = (hu.astype(np.float64) + 0.5) / 18446744073709551616.0
+        g = -np.log(-np.log(u))
+        sc = ws + np.floor(1e6 * g).astype(np.int64)
+        # per-batch top-k partial: only k rows per batch reach the final
+        order = np.lexsort((did, -sc))[:k]
+        return pa.table({"doc_id": did[order], "score": sc[order]})
+
+    part = w.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    # bounded final: ≤ k rows per batch partial
+    part = part.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return part.reset_index(drop=True)
+
+
+def _sql_dsir_resample() -> str:
+    hashed = sketch_sql_subquery("w", "doc_id", "hu")
+    return f"""
+WITH w AS (SELECT * FROM ({_sql_dsir()}) dsir),
+s AS (SELECT doc_id,
+             dsir_scaled
+             + CAST(FLOOR(1000000.0 * (-ln(-ln(
+                 (CAST(hu AS DOUBLE) + 0.5) / 18446744073709551616.0))))
+               AS BIGINT) AS score
+      FROM {hashed})
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id ASC LIMIT 64
+"""
+
+
 def q_dsir_weights(sf_dir: str):
+    """DSIR step 1 — importance weights (see :func:`_dsir_weights_ds`)."""
+    return _dsir_weights_ds(sf_dir)
+
+
+def _dsir_weights_ds(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): hashed unigram bucket
     log-likelihood ratios between the TARGET distribution (lang = 'en'
@@ -12431,6 +12485,69 @@ FROM g a JOIN g b
  AND (b.x > a.x OR (b.x = a.x AND b.y > a.y))
  AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) <= 9
 GROUP BY 1
+"""
+
+
+def q_areal_interpolation(sf_dir: str):
+    """Areal interpolation — area-weighted transfer of the customer-count
+    raster between MISALIGNED zonal systems (the classic GIS
+    reaggregation: census tracts → grid): source 32×32 cells to a 16×16
+    target-zone grid offset by half a source cell, so every source cell
+    splits into exact QUARTERS across up to 4 zones. Counts stay integer
+    by 4×-scaling: each quarter contributes the full cell count n, and
+    ``n4 = Σ quarters`` is the zone estimate ×4 — no float weights
+    anywhere. Edge quarters outside the zone frame clamp to the nearest
+    zone (both sides mirror the clamp). Plan: two-phase cell counts →
+    4-way scatter partial → one tiny groupby(zone)."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    pts = spatial.points_with_cells(cust, "c_custkey", BITS_TILE, xy=False)
+    raster = tiles.count_by(pts.select_columns(["cell"]), "cell")
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = codec.deinterleave(cell, BITS_TILE)
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        zones, vals = [], []
+        for qx in (0, 1):
+            for qy in (0, 1):
+                hx = 2 * x + qx
+                hy = 2 * y + qy
+                zx = np.clip((hx - 1) // 4, 0, 15)
+                zy = np.clip((hy - 1) // 4, 0, 15)
+                zones.append(zx * 16 + zy)
+                vals.append(n)
+        u, inv = np.unique(np.concatenate(zones), return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, np.concatenate(vals))
+        return pa.table({"zone": u, "p_n4": acc})
+
+    return (
+        raster.map_batches(scatter, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(4)
+        .groupby("zone")
+        .aggregate(Sum("p_n4", alias_name="n4"))
+    )
+
+
+SQL_AREAL_INTERPOLATION = f"""
+WITH pts AS (
+  SELECT {sql_x(sql_lon('c_custkey'), 5)} AS x,
+         {sql_y(sql_lat('c_custkey'), 5)} AS y
+  FROM customer),
+g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY x, y),
+q AS (SELECT x, y, n, qx, qy
+      FROM g CROSS JOIN (VALUES (0), (1)) t1(qx)
+             CROSS JOIN (VALUES (0), (1)) t2(qy)),
+z AS (SELECT LEAST(GREATEST((2 * x + qx - 1) // 4, 0), 15) * 16
+             + LEAST(GREATEST((2 * y + qy - 1) // 4, 0), 15) AS zone, n
+      FROM q)
+SELECT zone, CAST(SUM(n) AS BIGINT) AS n4
+FROM z GROUP BY zone
 """
 
 
@@ -13106,6 +13223,7 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "hausdorff_pairs": (q_hausdorff_pairs, SQL_HAUSDORFF_PAIRS),
         "silhouette_labels": (q_silhouette_labels, SQL_SILHOUETTE),
         "dsir_weights": (q_dsir_weights, _sql_dsir()),
+        "dsir_resample": (q_dsir_resample, _sql_dsir_resample()),
         "nb_langid": (q_nb_langid, _sql_nb()),
         "minhash_index_lifecycle": (q_minhash_index_lifecycle,
                                     SQL_MINHASH_NEARDUP),
@@ -13114,6 +13232,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "covariogram": (q_covariogram, SQL_COVARIOGRAM),
         "gravity_calibration": (q_gravity_calibration,
                                 SQL_GRAVITY_CALIBRATION),
+        "areal_interpolation": (q_areal_interpolation,
+                                SQL_AREAL_INTERPOLATION),
         "tile_mk_trend": (q_tile_mk_trend, SQL_TILE_MK_TREND),
         "dbscan_centroids": (q_dbscan_centroids, SQL_DBSCAN_CENTROIDS),
         "gains_deciles": (q_gains_deciles, SQL_GAINS_DECILES),
