@@ -12785,6 +12785,212 @@ FROM nn CROSS JOIN x CROSS JOIN t CROSS JOIN xt
 """
 
 
+RBO_K = 20
+RBO_SCALE = 1_000_000_000
+
+
+def q_rbo_rankings(sf_dir: str):
+    """Rank-biased overlap (Webber 2010, truncated at k={RBO_K}, p=0.9)
+    between the revenue-top-k and quantity-top-k part rankings — the
+    ranking-comparison metric of the eval family (rrf_fusion fuses,
+    ann_recall scores retrieval; RBO compares two rankings directly).
+    EXACT despite p^d: p = 9/10 makes every term rational, t_d =
+    ⌊S·9^(d−1)·ov_d / (10^d·d)⌋ in Python-int / HUGEINT, and rbo_scaled =
+    Σ t_d. Both rankings break ties (metric DESC, partkey ASC). Plan: two
+    two-phase integer part aggregates → bounded part-catalog driver final
+    (overlap prefix loop over two k-lists)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t["l_partkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        pct = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        qty = np.round(t["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        rev = cents * (100 - pct)
+        u, inv = np.unique(key, return_inverse=True)
+        ar = np.zeros(u.size, np.int64)
+        aq = np.zeros(u.size, np.int64)
+        np.add.at(ar, inv, rev)
+        np.add.at(aq, inv, qty)
+        return pa.table({"l_partkey": u, "p_rev": ar, "p_qty": aq})
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .groupby("l_partkey")
+        .aggregate(Sum("p_rev", alias_name="rev"),
+                   Sum("p_qty", alias_name="qty"))
+    ).to_pandas()  # bounded: part catalog (dimension table)
+
+    top_a = (agg.sort_values(["rev", "l_partkey"], ascending=[False, True])
+             .head(RBO_K)["l_partkey"].to_numpy())
+    top_b = (agg.sort_values(["qty", "l_partkey"], ascending=[False, True])
+             .head(RBO_K)["l_partkey"].to_numpy())
+    rbo_scaled = 0
+    ov_k = 0
+    for d in range(1, RBO_K + 1):
+        ov = len(set(top_a[:d]) & set(top_b[:d]))
+        ov_k = ov
+        rbo_scaled += (RBO_SCALE * 9 ** (d - 1) * ov) // (10 ** d * d)
+    return pd.DataFrame({
+        "k": [np.int64(RBO_K)],
+        "overlap_at_k": [np.int64(ov_k)],
+        "rbo_scaled": [np.int64(rbo_scaled)],
+    })
+
+
+def _sql_rbo() -> str:
+    pows = ",\n  ".join(
+        f"({d}, {RBO_SCALE * 9 ** (d - 1)}, {10 ** d * d})"
+        for d in range(1, RBO_K + 1))
+    return f"""
+WITH a AS (SELECT l_partkey,
+                  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev,
+                  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                    AS qty
+           FROM lineitem GROUP BY 1),
+ra AS (SELECT l_partkey,
+              ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey ASC) AS rk
+       FROM a),
+rb AS (SELECT l_partkey,
+              ROW_NUMBER() OVER (ORDER BY qty DESC, l_partkey ASC) AS rk
+       FROM a),
+pw(d, num, den) AS (VALUES
+  {pows}
+),
+ov AS (SELECT pw.d, pw.num, pw.den,
+              (SELECT CAST(COUNT(*) AS HUGEINT)
+               FROM ra JOIN rb USING (l_partkey)
+               WHERE ra.rk <= pw.d AND rb.rk <= pw.d) AS o
+       FROM pw),
+terms AS (SELECT d, (CAST(num AS HUGEINT) * o) // CAST(den AS HUGEINT)
+                    AS t
+          FROM ov)
+SELECT CAST({RBO_K} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ra JOIN rb USING (l_partkey)
+        WHERE ra.rk <= {RBO_K} AND rb.rk <= {RBO_K}) AS overlap_at_k,
+       CAST(SUM(t) AS BIGINT) AS rbo_scaled
+FROM terms
+"""
+
+
+KW_SCALE = 1_000_000
+KW_K = 3
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword extraction — top-{KW_K} terms by TF·IDF with
+    (score DESC, term ASC) tie-break (the RAG/metadata-enrichment step;
+    complements the corpus-level `tfidf_topk`). IDF = ⌊S·(ln D − ln df)⌋
+    is floored ONCE per distinct term driver-side over the bounded
+    vocabulary and broadcast, so per-row scores are exact int64 products;
+    ranking runs through ops.rank.grouped_topk (per-batch local top-k →
+    hash-bucket final, never one Python call per doc). SQL twin: window
+    ROW_NUMBER over the same integer scores."""
+    import math
+    import re
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from georay.ops.rank import grouped_topk
+    from georay.runtime import per_process, table_from_pandas
+
+    word_re = re.compile(r"[\w']+", re.UNICODE)
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("w", pa.string()),
+                           ("tf", pa.int64())])
+
+    def tf_rows(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df["text"].str.findall(word_re).explode().dropna().str.lower()
+        row = toks.index.to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[row], "w": toks.to_numpy(),
+        }).groupby(["doc_id", "w"], as_index=False).size()
+        return table_from_pandas(out.rename(columns={"size": "tf"}),
+                                 schema=tf_schema)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # tf rows are unique per (doc, w): counting rows per w IS df
+        w = np.asarray(t["w"].to_pylist())
+        u, inv = np.unique(w, return_inverse=True)
+        return pa.table({
+            "w": pa.array(u, pa.string()),
+            "p_df": np.bincount(inv, minlength=u.size).astype(np.int64),
+        })
+
+    dfh = (
+        tf.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(4)
+        .groupby("w")
+        .aggregate(Sum("p_df", alias_name="df"))
+    ).to_pandas()  # bounded: vocabulary
+
+    # D = docs with ≥1 token (distinct doc_id in tf) via one tiny count_by
+    n_docs = tiles.count_by(tf.select_columns(["doc_id"]), "doc_id").count()
+
+    words = dfh["w"].to_numpy()
+    order = np.argsort(words, kind="quicksort")
+    words = words[order]
+    dfv = dfh["df"].to_numpy().astype(np.int64)[order]
+    ld = math.log(float(n_docs))
+    idf = np.array([
+        math.floor(KW_SCALE * (ld - math.log(float(v)))) for v in dfv
+    ], dtype=np.int64)
+    ref = ray.put((words, idf))
+    key = ref.hex() + "-kw"
+
+    def score(t: pa.Table) -> pa.Table:
+        ws, iv = per_process(key, lambda: ray.get(ref))
+        w = np.asarray(t["w"].to_pylist())
+        v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = iv[np.searchsorted(ws, w)]
+        return pa.table({"doc_id": t["doc_id"], "w": t["w"],
+                         "tfidf": pa.array(v * s)})
+
+    scored = tf.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return grouped_topk(scored, ["doc_id"], ["tfidf", "w"],
+                        [False, True], k=KW_K)
+
+
+SQL_DOC_KEYWORDS = rf"""
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[\w'']+')) AS w
+              FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, w),
+dft AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+dd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM tf),
+idf AS (SELECT w, CAST(FLOOR({KW_SCALE} * (ln(CAST(d AS DOUBLE))
+                   - ln(CAST(df AS DOUBLE)))) AS BIGINT) AS idf
+        FROM dft CROSS JOIN dd),
+s AS (SELECT tf.doc_id, tf.w, tf * idf AS tfidf
+      FROM tf JOIN idf USING (w)),
+r AS (SELECT doc_id, w, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, w ASC) AS rank
+      FROM s)
+SELECT doc_id, w, CAST(tfidf AS BIGINT) AS tfidf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {KW_K}
+"""
+
+
 NB_BUCKETS = 512
 NB_SCALE = 1_000_000
 
@@ -13224,6 +13430,8 @@ def registry(n_images: int = 10_000, include_sql: bool = True):
         "silhouette_labels": (q_silhouette_labels, SQL_SILHOUETTE),
         "dsir_weights": (q_dsir_weights, _sql_dsir()),
         "dsir_resample": (q_dsir_resample, _sql_dsir_resample()),
+        "doc_keywords": (q_doc_keywords, SQL_DOC_KEYWORDS),
+        "rbo_rankings": (q_rbo_rankings, _sql_rbo()),
         "nb_langid": (q_nb_langid, _sql_nb()),
         "minhash_index_lifecycle": (q_minhash_index_lifecycle,
                                     SQL_MINHASH_NEARDUP),
