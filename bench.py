@@ -58,6 +58,10 @@ HEAVY_QUERIES = {
     "pagerank_suppliers": 60.0,
     "semantic_dedup": 15.0,
     "minhash_neardup_shuffle": 20.0,
+    # r5 final-session additions (clean-window best: knox 13.1 s,
+    # persisted text-index lifecycle 7.9 s @ sf0.1/32cpu)
+    "knox_test": 40.0,
+    "minhash_index_lifecycle": 25.0,
 }
 
 
